@@ -1,0 +1,229 @@
+"""Sequential pure-Python crawl oracle.
+
+Runs the reference-semantics crawl (SURVEY.md §2.7, §3.1, §7.3) over an
+in-memory corpus, producing the golden outputs the distributed engine must
+reproduce exactly: the URL-seen set, the per-wave admitted order, and the
+per-url extracted text bytes.
+
+Wave model (the deterministic re-expression of the reference's interleaved
+dispatch/merge loop — SURVEY.md §3.1 step 6 note): one wave = drain the
+current frontier in canonical order (priority desc, case-insensitive url
+desc — the reference's ``BinaryHeap<ScoredUrl>`` order, with optional domain
+round-robin), admitting through the exact ``is_allowed`` chain; fetch+parse
+admitted pages; merge extracted links (minus visited, minus duplicate-content
+pages' links) into the next frontier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .config import CrawlConfig, CrawlJob
+from .frontier import UrlFrontier, score_url
+from .htmlparse import extract_links_and_meta, hash_html
+from .robots import RobotFileParser
+from .scope import Selectors, parent_host_match
+from .semantics import Budget, depth_distance_for, is_allowed_default, is_over_depth
+from .textextract import extract_text
+from .urlnorm import url_host
+
+
+@dataclass
+class OracleResult:
+    visited: list[str] = field(default_factory=list)  # first-seen casing, admit order
+    admitted_order: list[tuple[int, int, str]] = field(default_factory=list)  # (wave, seq, url)
+    pages: list[dict] = field(default_factory=list)
+    metrics: list[dict] = field(default_factory=list)
+
+    @property
+    def visited_set(self) -> set[str]:
+        return {u.lower() for u in self.visited}
+
+
+class ScopeRouter:
+    """Multi-seed scope routing: each seed carries its own selectors +
+    crawl root; a page uses the first seed scope whose host matcher accepts
+    the page's host (single-seed jobs trivially use that seed's scope)."""
+
+    def __init__(self, job: CrawlJob) -> None:
+        self.entries = [
+            (job.selectors_for(seed), job.crawl_root_for(seed)) for seed in job.seeds
+        ]
+
+    def for_host(self, host: str) -> tuple[Selectors, str | None]:
+        for sel, root in self.entries:
+            if parent_host_match(
+                host or None, sel.sub_matcher, sel.parent_host, sel.base_input_domain, sel.sub_matcher
+            ):
+                return sel, root
+        return self.entries[0]
+
+
+def load_robots(
+    corpus_get, config: CrawlConfig, crawl_roots: list[str]
+) -> tuple[dict[str, RobotFileParser], dict[str, int]]:
+    """Per-host robots parsers + effective per-host delay (ms).
+
+    robots ``Crawl-delay`` overrides the configured delay, capped at 60 s —
+    ``website.rs:2503-2531``."""
+    robots: dict[str, RobotFileParser] = {}
+    delays: dict[str, int] = {}
+    if not config.respect_robots_txt:
+        return robots, delays
+    for root in crawl_roots:
+        if root is None:
+            continue
+        host = url_host(root)
+        if host in robots:
+            continue
+        parser = RobotFileParser()
+        status, body = corpus_get(root + "robots.txt")
+        parser.read_status(status, body if body is None else _as_text(body))
+        robots[host] = parser
+        delay = parser.get_crawl_delay(config.user_agent)
+        if delay is not None:
+            delays[host] = min(int(delay * 1000), 60000)
+    return robots, delays
+
+
+def _as_text(body) -> str:
+    return body.decode("utf-8", "replace") if isinstance(body, (bytes, bytearray)) else body
+
+
+def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleResult:
+    """Run the sequential crawl.  ``corpus`` maps url → (status, html bytes);
+    missing URLs synthesize status 404 with empty body."""
+    config = job.config
+    result = OracleResult()
+
+    def corpus_get(url: str):
+        return corpus.get(url, (404, None))
+
+    router = ScopeRouter(job)
+    crawl_roots = [root for _, root in router.entries]
+    robots_by_host, robots_delays = load_robots(corpus_get, config, crawl_roots)
+
+    budget = Budget(config.budget, depth_distance_for(config))
+    visited: set[str] = set()
+    signatures: set[int] = set()
+
+    def robots_for(url: str) -> RobotFileParser | None:
+        return robots_by_host.get(url_host(url))
+
+    def host_delay_ms(host: str) -> int:
+        return robots_delays.get(host, config.delay_ms)
+
+    # --- wave 0: seed establish (_crawl_establish, website.rs:4104-4360) ---
+    seq = 0
+    admitted: list[str] = []
+    for seed in job.seeds:
+        from .urlnorm import normalize_url
+
+        url = normalize_url(seed) or seed
+        key = url.lower()
+        if key in visited:
+            continue
+        if not is_allowed_default(url, config, robots_for(url)):
+            continue
+        visited.add(key)
+        result.visited.append(url)
+        result.admitted_order.append((0, seq, url))
+        admitted.append(url)
+        seq += 1
+
+    deferred: list[tuple[str, int]] = []
+    wave = 0
+    while True:
+        # fetch + parse admitted pages in admitted order
+        candidates: list[tuple[str, int]] = list(deferred)
+        deferred = []
+        fetched = blocked_sig = 0
+        for url in admitted:
+            status, body = corpus_get(url)
+            host = url_host(url)
+            sel, root = router.for_host(host)
+            html = _as_text(body) if body is not None else ""
+            extract = extract_links_and_meta(
+                html, url, root, sel, config.external_domains, config.full_resources
+            )
+            sig = None
+            links_allowed = True
+            if config.normalize:
+                sig = hash_html(html)
+                if sig in signatures:
+                    links_allowed = False  # website.rs:8673-8683
+                    blocked_sig += 1
+                else:
+                    signatures.add(sig)
+            text = extract_text(html)
+            result.pages.append(
+                {
+                    "url": url,
+                    "wave": wave,
+                    "status_code": status,
+                    "signature": sig,
+                    "title": extract.title,
+                    "description": extract.description,
+                    "og_image": extract.og_image,
+                    "text": text,
+                    "links": extract.links,
+                }
+            )
+            fetched += 1
+            if links_allowed:
+                depth = wave + 1
+                for link in extract.links:
+                    candidates.append((link, score_url(link, depth)))
+
+        result.metrics.append(
+            {"wave": wave, "admitted": len(admitted), "fetched": fetched,
+             "dup_signature": blocked_sig, "candidates": len(candidates)}
+        )
+
+        if not candidates or wave + 1 >= config.max_waves:
+            break
+
+        # --- next wave admission: canonical order + exact is_allowed chain ---
+        frontier = UrlFrontier(round_robin=config.round_robin)
+        prio_of: dict[str, int] = {}
+        for url, prio in candidates:
+            if frontier.push(url, prio):
+                prio_of[url.lower()] = prio
+        order = frontier.drain()
+
+        wave += 1
+        admitted = []
+        seq = 0
+        quota: dict[str, int] = {}
+        for url in order:
+            key = url.lower()
+            if key in visited:
+                continue
+            if not is_allowed_default(url, config, robots_for(url)):
+                continue
+            if is_over_depth(url, config):
+                continue
+            host = url_host(url)
+            delay = host_delay_ms(host)
+            if delay > 0:
+                cap = max(1, -(-config.wave_span_ms // delay))  # ceil
+                used = quota.get(host, 0)
+                if used >= cap:
+                    deferred.append((url, prio_of[key]))
+                    continue
+                quota[host] = used + 1
+            if budget.is_over(url):
+                continue
+            visited.add(key)
+            result.visited.append(url)
+            result.admitted_order.append((wave, seq, url))
+            admitted.append(url)
+            seq += 1
+
+        if not admitted and not deferred:
+            break
+        if not admitted and deferred:
+            # politeness-only stall: next wave reprocesses deferred
+            admitted = []
+
+    return result

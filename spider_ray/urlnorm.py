@@ -1,0 +1,391 @@
+"""Pure URL canonicalization functions.
+
+Re-expresses the reference's URL semantics (spider-rs/spider) as pure Python:
+
+* ``convert_abs_path`` / ``handle_base``  — ``spider/src/utils/abs.rs:78-146``
+* ``parse_absolute_url``                  — ``spider/src/utils/abs.rs:29-46``
+* ``relative_directory_url``              — ``spider/src/page.rs:2804-2816``
+* ``networking_capable`` / ``prepare_url``— ``spider/src/utils/mod.rs:9189-9219``
+* ``get_domain_from_url`` / ``get_path_from_url`` — ``spider/src/utils/mod.rs:9156-9186``
+* ``extract_root_domain`` / ``is_subdomain``      — ``spider/src/page.rs:2936-2961``
+* ``is_asset_url`` / ``is_ignored_extension``     — ``spider/src/page.rs:2048-2070,2892-2899``
+
+URLs are represented as plain strings serialized WHATWG-style (like the Rust
+``url`` crate): lowercase scheme and host, default port stripped, empty path
+rendered as "/", fragments never serialized.  This module is the correctness
+core — everything here is deterministic, allocation-light, and unit-tested
+1:1 against the reference's inline test tables.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+# spider/src/utils/abs.rs:5-10 — acceptable protocols (exact prefix match of
+# href[:colon+3]).  Note "wss://" is intentionally absent (as in the reference).
+PROTOCOLS = frozenset({"http://", "https://", "ftp://", "ws://"})
+
+# spider/src/utils/abs.rs:13-27 — ignored (non-crawlable) protocols, matched
+# case-sensitively against href[:colon+1].
+IGNORED_PROTOCOLS = frozenset(
+    {
+        "file:",
+        "sms:",
+        "javascript:",
+        "data:",
+        "whatsapp:",
+        "geo:",
+        "skype:",
+        "ssh:",
+        "zoommtg:",
+        "market:",
+        "intent:",
+        "mailto:",
+        "tel:",
+    }
+)
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
+
+_EARLY_RETURN = 0
+_EMPTY = 1
+
+
+def normalize_url(url: str) -> str | None:
+    """Parse + re-serialize a URL WHATWG-style (Rust ``url`` crate parity).
+
+    Lowercases scheme and host, strips the default port, renders an empty
+    path as "/", preserves query, drops the fragment.  Returns None when the
+    URL has no scheme/host (parse failure analogue of ``Url::parse``).
+    """
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    if not parts.scheme or not parts.netloc:
+        return None
+    return _serialize(parts.scheme, parts.netloc, parts.path, parts.query)
+
+
+def _serialize(scheme: str, netloc: str, path: str, query: str) -> str | None:
+    scheme = scheme.lower()
+    host, port = _split_netloc(netloc)
+    if host is None:
+        return None
+    if port is not None and _DEFAULT_PORTS.get(scheme) == port:
+        port = None
+    netloc_out = host if port is None else f"{host}:{port}"
+    if not path:
+        path = "/"
+    return urlunsplit((scheme, netloc_out, path, query, ""))
+
+
+def _split_netloc(netloc: str) -> tuple[str | None, int | None]:
+    """Split netloc into (lowercased host, port) dropping userinfo."""
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    host, port = netloc, None
+    if netloc.startswith("["):  # IPv6 literal
+        end = netloc.find("]")
+        if end == -1:
+            return None, None
+        host = netloc[: end + 1]
+        rest = netloc[end + 1 :]
+        if rest.startswith(":"):
+            rest = rest[1:]
+            if rest:
+                try:
+                    port = int(rest)
+                except ValueError:
+                    return None, None
+    elif ":" in netloc:
+        host, _, port_s = netloc.rpartition(":")
+        if port_s:
+            try:
+                port = int(port_s)
+            except ValueError:
+                return None, None
+        if not host:
+            return None, None
+    if not host:
+        return None, None
+    return host.lower(), port
+
+
+def parse_absolute_url(url: str) -> str | None:
+    """Seed → canonical root URL: clear path segments, drop query.
+
+    Mirrors ``parse_absolute_url`` (``abs.rs:37-46``):
+    ``https://example.com/a/b?q=1`` → ``https://example.com/``.
+    """
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    if not parts.scheme or not parts.netloc:
+        return None
+    return _serialize(parts.scheme, parts.netloc, "/", "")
+
+
+def _handle_base(href: str):
+    """``handle_base`` (``abs.rs:80-120``).
+
+    Returns the absolute normalized URL string, ``_EARLY_RETURN`` (caller
+    returns base), or ``_EMPTY`` (caller joins against base).
+    """
+    if href == "" or href == "#" or href == "javascript:void(0);":
+        return _EARLY_RETURN
+    if not href.startswith("/"):
+        colon = href.find(":")
+        if colon != -1:
+            if href[: colon + 1] in IGNORED_PROTOCOLS:
+                return _EARLY_RETURN
+            prefix = href[: colon + 3]
+            if prefix in PROTOCOLS:
+                normalized = normalize_url(href)  # strips fragment
+                if normalized is not None:
+                    return normalized
+    return _EMPTY
+
+
+def convert_abs_path(base: str, href: str) -> str:
+    """``convert_abs_path`` (``abs.rs:125-146``).
+
+    ``base`` must be an already-normalized absolute URL (typically the crawl
+    root from :func:`parse_absolute_url` or a page URL).  Fragments are
+    always stripped; join failure returns ``base``.
+    """
+    href = href.strip()
+    if base == href:
+        return base
+    handled = _handle_base(href)
+    if handled == _EARLY_RETURN:
+        return base
+    if isinstance(handled, str):
+        return handled
+    try:
+        joined = urljoin(base, href)
+    except ValueError:
+        return base
+    normalized = normalize_url(joined)
+    return normalized if normalized is not None else base
+
+
+def networking_capable(url: str) -> bool:
+    """``networking_capable`` (``utils/mod.rs:9189-9196``)."""
+    if not url:
+        return False
+    c = url[0]
+    if c == "h":
+        return url.startswith("https://") or url.startswith("http://")
+    if c == "f":
+        return url.startswith("file://") or url.startswith("ftp://")
+    return False
+
+
+def relative_directory_url(href: str) -> bool:
+    """``relative_directory_url`` (``page.rs:2804-2816``)."""
+    if href.startswith("./") or href.startswith("//") or href.startswith("../"):
+        return True
+    if networking_capable(href):
+        return False
+    return not href.startswith("/")
+
+
+def prepare_url(u: str) -> str:
+    """``prepare_url`` (``utils/mod.rs:9200-9219``) — force https prefix."""
+    idx = u.find("://")
+    if idx != -1:
+        return "https://" + u[idx + 3 :]
+    return "https://" + u
+
+
+def get_domain_from_url(url: str) -> str:
+    """``get_domain_from_url`` (``utils/mod.rs:9171-9186``) — raw host[:port] slice."""
+    pos = url.find("//")
+    if pos != -1:
+        start = pos + 2
+        slash = url.find("/", start)
+        return url[start:slash] if slash != -1 else url[start:]
+    slash = url.find("/")
+    return url[:slash] if slash != -1 else url
+
+
+def get_path_from_url(url: str) -> str:
+    """``get_path_from_url`` (``utils/mod.rs:9156-9169``) — path incl. query."""
+    pos = url.find("//")
+    if pos == -1:
+        return "/"
+    start = pos + 2
+    slash = url.find("/", start)
+    return url[slash:] if slash != -1 else "/"
+
+
+def extract_root_domain(domain: str) -> str:
+    """``extract_root_domain`` (``page.rs:2936-2955``).
+
+    "sub.example.com" → "example.com"; "example.com" → "example";
+    "localhost" → "localhost".  The two-label collapse is intentional — it is
+    what makes ``tld=True`` match any TLD of the same name.
+    """
+    last = domain.rfind(".")
+    if last == -1:
+        return domain
+    second_last = domain.rfind(".", 0, last)
+    if second_last != -1:
+        return domain[second_last + 1 :]
+    return domain[:last]
+
+
+def is_subdomain(subdomain: str, domain: str) -> bool:
+    """``is_subdomain`` (``page.rs:2958-2961``)."""
+    return extract_root_domain(subdomain) == extract_root_domain(domain)
+
+
+def url_host(url: str) -> str:
+    """Lowercased host (no port) of a normalized URL; '' on failure."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return ""
+    return (parts.hostname or "").lower()
+
+
+def url_host_port(url: str) -> tuple[str, int | None]:
+    """(lowercased host, explicit port or None) of a normalized URL."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return "", None
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    return (parts.hostname or "").lower(), port
+
+
+def url_scheme(url: str) -> str:
+    colon = url.find(":")
+    return url[:colon].lower() if colon != -1 else ""
+
+
+def set_scheme(url: str, scheme: str) -> str:
+    """``Url::set_scheme`` analogue: swap scheme, re-normalize default port."""
+    colon = url.find(":")
+    if colon == -1:
+        return url
+    candidate = scheme + url[colon:]
+    normalized = normalize_url(candidate)
+    return normalized if normalized is not None else candidate
+
+
+# ---------------------------------------------------------------------------
+# Asset-extension filtering — spider/src/page.rs:1995-2070 (IGNORE_EXTENSIONS)
+# ---------------------------------------------------------------------------
+
+IGNORE_EXTENSIONS = frozenset(
+    """
+    jpg jpeg png gif svg webp bmp tiff tif heic heif apng avif ico
+    jfif pjp pjpeg psd ai tga xbm jxl jxr cur pbm pgm ppm
+    cr2 cr3 nef arw dng orf rw2 raf pef srw nrw kdc x3f
+    mp4 avi mov wmv flv mkv webm m4v mpeg 3gp 3g2
+    mpg mpe m2v mts m2ts vob asf rm rmvb f4v divx xvid dv
+    mp3 wav ogg aac flac m4a aiff cda mid midi oga opus weba
+    wma ra aif aifc amr au snd ac3 dts mka caf
+    woff woff2 ttf otf eot
+    pdf eps rtf txt doc docx csv epub
+    abw azw odt ods odp ppt pptx xls xlsx vsd
+    mobi azw3 kf8 lit chm prc pdb
+    xlt dot pot pps wri wks wpd wps
+    yaml yml ics md webmanifest
+    gz arc bin bz bz2 jar mpkg rar tar zip 7z
+    xz lz lzma zst tgz tbz tbz2 txz cab
+    lzh lha sit sitx ace arj cpio ar s7z wim
+    exe msi dmg iso pkg deb rpm apk ipa
+    appx appimage crx xpi nupkg gem whl
+    vhd vmdk qcow2 ova vdi
+    dll so dylib class pyc pyo
+    db sqlite sqlite3 mdb accdb
+    dwg stl fbx 3ds blend glb usdz
+    swf xap
+    ogv ogx
+    ts
+    """.split()
+)
+
+
+def is_ignored_extension(ext: str) -> bool:
+    """``is_ignored_extension`` (``page.rs:2048-2063``)."""
+    if not ext or len(ext) > 16:
+        return False
+    return ext.lower() in IGNORE_EXTENSIONS
+
+
+def is_asset_url(url: str) -> bool:
+    """``is_asset_url`` (``page.rs:2892-2899``)."""
+    position = url.rfind(".")
+    if position != -1 and len(url) - position >= 3:
+        return is_ignored_extension(url[position + 1 :])
+    return False
+
+
+# The anchor selector's :not([href$=...]) suffix filters —
+# spider/src/utils/css_selectors.rs:2-84.  Matched case-SENSITIVELY against
+# the raw href attribute value (CSS attribute matching semantics).
+ANCHOR_HREF_SUFFIX_FILTERS = (
+    ".jpg .jpeg .png .gif .svg .webp .mp4 .avi .mov .wmv .flv .mp3 .wav "
+    ".wma .wpl .mpa .ogg .woff .woff2 .ttf .otf .swf .xap .ico .eot .bmp "
+    ".psd .tiff .tif .heic .heif .mkv .webm .m4v .aac .flac .m4a .aiff "
+    ".pdf .rtf .eps .yaml .yml .xml .css .js .txt .tar .doc .docx .zip "
+    ".deb .pkg .tar.gz .rpm .z .7z .arj .rar .bin .msi .sh .bat .dmg .iso "
+    ".toast .vcd .csv .log .sql .db .exe .rss .key .odp .pps .ptt .pptx .dump"
+).split()
+
+_SUFFIX_TUPLE = tuple(ANCHOR_HREF_SUFFIX_FILTERS)
+
+
+def anchor_href_filtered(href: str) -> bool:
+    """True when the anchor selector excludes this href (suffix filter)."""
+    return href.endswith(_SUFFIX_TUPLE)
+
+
+def glob_expand_url(url: str):
+    """Seed glob expansion — ``spider/src/features/glob.rs:20-120``.
+
+    Supports ``{a,b,c}`` lists and ``[start-end]`` / ``[start-end:step]``
+    numeric (with zero-padding) or single-char ranges.  Returns the list of
+    expanded URLs (just ``[url]`` when no pattern present).
+    """
+    import itertools
+    import re
+
+    pat = re.compile(
+        r"(?P<list>\{(?P<items>[^}{]+)\})"
+        r"|(?P<range>\[(?:(?P<start>(?P<padding>0*)\d+|[a-z]))-(?P<end>\d+|[a-z])(?::(?P<step>\d+))?\])"
+    )
+    groups = []  # list of (substring, [replacements])
+    for m in pat.finditer(url):
+        if m.group("list"):
+            groups.append((m.group("list"), m.group("items").split(",")))
+        elif m.group("range"):
+            start_s, end_s = m.group("start"), m.group("end")
+            step = int(m.group("step") or 1)
+            width = len(start_s) if m.group("padding") else 0
+            try:
+                s, e = int(start_s), int(end_s)
+                reps = [str(n).rjust(width, "0") for n in range(s, e + 1, step)]
+            except ValueError:
+                if len(start_s) == 1 and len(end_s) == 1:
+                    reps = [chr(c) for c in range(ord(start_s), ord(end_s) + 1, step)]
+                else:
+                    continue
+            groups.append((m.group("range"), reps))
+    if not groups:
+        return [url]
+    out = []
+    for combo in itertools.product(*[reps for _, reps in groups]):
+        expanded = url
+        for (sub, _), rep in zip(groups, combo):
+            expanded = expanded.replace(sub, rep, 1)
+        out.append(expanded)
+    return out
