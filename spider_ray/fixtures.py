@@ -1,0 +1,388 @@
+"""Deterministic synthetic web corpus (FIXTURES.md).
+
+Generates the ``web_pages`` Parquet table matching BASELINE.json's
+``input_hint`` schema: ``(url, warc_ts, html, text, lang)``.  The golden
+``text`` column is CONSTRUCTED first and wrapped into HTML (with decoy
+script/style content and canonicalization-stressor links), so byte-identical
+extraction is independently testable.
+
+Seed hosts are ``www.site{k}.example`` (three labels) so the reference's
+``extract_root_domain`` subdomain/TLD matching semantics behave as intended
+(see tests/test_scope.py; ``page.rs:10846-10871``).  Layout mirrors the
+10¹⁰-frontier partitioning: files bucketed by ``hash(host) % n_buckets``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import random
+
+from .hashing import stable_hash_str
+from .textextract import extract_text
+
+EPOCH = datetime.datetime(2020, 1, 1)
+
+ROBOTS_BODIES = {
+    # NOTE: "/private/" (directory rule) — the reference's RuleLine matching is
+    # exact/prefix*, so bare "/private" would NOT block "/private/secret"
+    # (parser.rs:132-145, test_rule_line_applies_exact).
+    0: "User-agent: *\nDisallow: /private/\nAllow: /public\n",
+    1: "User-agent: testbot\nCrawl-delay: 5\nDisallow: /test\n",
+    2: "User-agent: spider\nDisallow: /nogo\n\nUser-agent: otherbot\nDisallow: /other\n",
+    3: None,  # served as 403 → disallow_all (parser.rs:355-364)
+    4: None,  # absent → 404 → allow_all
+    5: "User-agent: *\nDisallow: /dir/\nDisallow: /pre*\n",
+    6: "User-agent: *\nRequest-rate: 3/60\nDisallow: /limited\n",
+}
+
+
+def host_of(k: int) -> str:
+    return f"www.site{k}.example"
+
+
+def seed_of(k: int) -> str:
+    return f"https://{host_of(k)}/"
+
+
+class _PageBuilder:
+    """Builds one page: text blocks first, then HTML around them."""
+
+    def __init__(self, url: str, title: str):
+        self.url = url
+        self.title = title
+        self.body: list[str] = []
+        self.blocks: list[str] = []
+        self.head_extra: list[str] = []
+
+    def heading(self, text: str):
+        self.body.append(f"<h1>{text}</h1>")
+        self.blocks.append(text)
+
+    def para(self, text: str, html_text: str | None = None):
+        self.body.append(f"<p>{html_text if html_text is not None else text}</p>")
+        self.blocks.append(text)
+
+    def nav(self, items: list[tuple[str, str]], hidden: list[tuple[str, str]] = ()):
+        lis = []
+        for href, anchor in items:
+            lis.append(f'<li><a href="{href}">{anchor}</a></li>')
+            self.blocks.append(anchor)
+        for href, anchor in hidden:
+            lis.append(f'<li><a aria-hidden="true" href="{href}">{anchor}</a></li>')
+            self.blocks.append(anchor)
+        self.body.append("<ul>" + "".join(lis) + "</ul>")
+
+    def raw_body(self, html: str):
+        self.body.append(html)
+
+    def render(self) -> tuple[str, str]:
+        html = (
+            "<!DOCTYPE html><html><head>"
+            f"<title>{self.title}</title>"
+            '<meta name="description" content="Synthetic fixture page">'
+            f'<meta property="og:image" content="{self.url}og.png">'
+            "<style>.decoy { color: red; }</style>"
+            "<script>var decoyTop = 'not text';</script>"
+            + "".join(self.head_extra)
+            + "</head><body>"
+            + "".join(self.body)
+            + "<script>var decoyBottom = 42;</script>"
+            "</body></html>"
+        )
+        return html, "\n".join(self.blocks)
+
+
+def build_corpus(
+    n_hosts: int = 8,
+    pages_per_host: int = 50,
+    seed: int = 42,
+    stressors: bool = True,
+) -> list[dict]:
+    """Return rows: {url, warc_ts, html(bytes), text, lang, status}."""
+    rows: list[dict] = []
+    statuses: dict[str, int] = {}
+
+    def add(url: str, html: str, text: str, lang: str = "en", status: int = 200):
+        rows.append({"url": url, "html": html.encode("utf-8"), "text": text, "lang": lang})
+        statuses[url] = status
+
+    n_sections = max(2, min(8, pages_per_host // 12))
+    leaves_per_section = max(1, (pages_per_host - 1 - n_sections) // n_sections)
+
+    for k in range(n_hosts):
+        rng = random.Random(seed * 1000003 + k)
+        host = host_of(k)
+        root = seed_of(k)
+        sections = [f"/sec{i}/" for i in range(n_sections)]
+        leaves = [f"/sec{i}/page{j}" for i in range(n_sections) for j in range(leaves_per_section)]
+        all_paths = sections + leaves
+
+        # robots.txt
+        body = ROBOTS_BODIES.get(k % 7)
+        robots_status = 403 if (k % 7) == 3 else 200
+        if body is not None or (k % 7) == 3:
+            rows_status = robots_status if body is None else 200
+            if body is None:
+                rows.append({"url": root + "robots.txt", "html": b"", "text": "", "lang": "en"})
+                statuses[root + "robots.txt"] = rows_status
+            else:
+                add(root + "robots.txt", body, body.strip())
+        # (k % 7) == 4 → no robots row at all → 404 → allow_all
+
+        # root page
+        p = _PageBuilder(root, f"site{k} home")
+        p.heading(f"Welcome to site{k}")
+        p.para(f"This is the home page of host {host}.")
+        p.nav([(s, f"Section {s.strip('/')}") for s in sections])
+        if stressors and k == 0:
+            _add_root_stressors(p)
+        html, text = p.render()
+        add(root, html, text)
+
+        # section pages
+        for i, s in enumerate(sections):
+            p = _PageBuilder(root + s.lstrip("/"), f"site{k} {s}")
+            p.heading(f"Section sec{i} of site{k}")
+            p.para(f"Listing of pages in sec{i}.")
+            p.nav(
+                [(f"page{j}", f"Page {i}-{j}") for j in range(leaves_per_section)]
+                + [("/", "Home")]
+            )
+            html, text = p.render()
+            add(root + s.lstrip("/"), html, text)
+
+        # leaf pages
+        for idx, leaf in enumerate(leaves):
+            url = root + leaf.lstrip("/")
+            p = _PageBuilder(url, f"site{k} {leaf}")
+            p.heading(f"Content {leaf} on site{k}")
+            n_paras = rng.randint(1, 3)
+            for pi in range(n_paras):
+                words = " ".join(
+                    rng.choice(
+                        ["data", "crawl", "frontier", "page", "robot", "link", "host",
+                         "index", "graph", "stream", "batch", "arrow", "shard", "wave"]
+                    )
+                    for _ in range(rng.randint(8, 30))
+                )
+                p.para(f"Paragraph {pi}: {words}.")
+            # 3-8 same-host links
+            targets = rng.sample(all_paths, min(len(all_paths), rng.randint(3, 8)))
+            items = [(t, f"See {t}") for t in targets]
+            # 0-2 cross-host links (out of scope in single-seed crawls)
+            for _ in range(rng.randint(0, 2)):
+                other = host_of(rng.randrange(n_hosts))
+                items.append((f"https://{other}/sec0/", f"Peer {other}"))
+            # 5% absent links → 404
+            if rng.random() < 0.35:
+                items.append((f"/missing/{idx}", f"Ghost {idx}"))
+            p.nav(items)
+            html, text = p.render()
+            add(url, html, text, lang=("fr" if idx % 17 == 5 else "ja" if idx % 23 == 7 else "en"))
+
+        # sitemap.xml (urlset)
+        locs = "".join(f"<url><loc>{root}{t.lstrip('/')}</loc></url>" for t in sections)
+        sitemap = f'<?xml version="1.0" encoding="UTF-8"?><urlset>{locs}</urlset>'
+        rows.append({"url": root + "sitemap.xml", "html": sitemap.encode(), "text": "", "lang": "en"})
+        statuses[root + "sitemap.xml"] = 200
+
+        if stressors and k == 0:
+            _add_special_hosts(add)
+            _add_dup_pages(add, root)
+            _add_private_pages(add, root)
+
+    # finalize: warc_ts, status column
+    out = []
+    for i, r in enumerate(rows):
+        out.append(
+            {
+                "url": r["url"],
+                "warc_ts": EPOCH + datetime.timedelta(seconds=i),
+                "html": r["html"],
+                "text": r["text"],
+                "lang": r["lang"],
+                "status": statuses.get(r["url"], 200),
+            }
+        )
+    return out
+
+
+def _add_root_stressors(p: _PageBuilder):
+    """FIXTURES.md §2 — one link per canonicalization stressor class."""
+    p.raw_body(
+        '<ul>'
+        '<li><a href="/subpage">Root absolute</a></li>'
+        '<li><a href="/sec0/page0#frag">Fragment stripped</a></li>'
+        '<li><a href="/p?key=value&amp;other=123">Query preserved</a></li>'
+        '<li><a href="mailto:x@y.z">Mail</a></li>'
+        '<li><a href="tel:123">Tel</a></li>'
+        '<li><a href="javascript:void(0);">JS</a></li>'
+        '<li><a href="example.org/another-path">Domain-like path</a></li>'
+        '<li><a href="HTTPS://WWW.SITE0.EXAMPLE/MiXeD">Mixed case</a></li>'
+        '<li><a href="/MiXeD">Mixed twin</a></li>'
+        '<li><a href="http://www.site0.example/coerced">Scheme coerce</a></li>'
+        '<li><a href="https://sub.site0.example/subpage">Subdomain</a></li>'
+        '<li><a href="https://site0.alt/tldpage">TLD variant</a></li>'
+        '<li><a href="https://off-domain.example/x">External</a></li>'
+        '<li><a href="https://www.site0.example:8080/ported">Ported</a></li>'
+        '<li><a href="/assets/pic.jpg">Pic</a></li>'
+        '<li><a href="/assets/app.js">App</a></li>'
+        '<li><a aria-hidden="true" href="/hidden">Hidden</a></li>'
+        '<li><a href="/sec0">No slash</a></li>'
+        '<li><a href="/sec0/">With slash</a></li>'
+        '<li><a href="/dup/a">Dup A</a></li>'
+        '<li><a href="/dup/b">Dup B</a></li>'
+        '<li><a href="/private/secret">Private</a></li>'
+        '<li><a href="/public/open">Public</a></li>'
+        "</ul>"
+    )
+    for anchor in [
+        "Root absolute", "Fragment stripped", "Query preserved", "Mail", "Tel", "JS",
+        "Domain-like path", "Mixed case", "Mixed twin", "Scheme coerce", "Subdomain",
+        "TLD variant", "External", "Ported", "Pic", "App", "Hidden", "No slash", "With slash",
+        "Dup A", "Dup B", "Private", "Public",
+    ]:
+        p.blocks.append(anchor)
+
+
+def _mini_page(url: str, title: str, paras: list[str], links: list[tuple[str, str]] = ()):
+    p = _PageBuilder(url, title)
+    p.heading(title)
+    for t in paras:
+        p.para(t)
+    if links:
+        p.nav(list(links))
+    return p.render()
+
+
+def _add_special_hosts(add):
+    for url, title in [
+        ("https://sub.site0.example/subpage", "sub host page"),
+        ("https://sub.site0.example/", "sub host root"),
+        ("https://site0.alt/tldpage", "tld variant page"),
+        ("https://site0.alt/", "tld variant root"),
+        ("https://off-domain.example/x", "external page"),
+    ]:
+        html, text = _mini_page(url, title, [f"Body of {title}."])
+        add(url, html, text)
+
+
+def _add_dup_pages(add, root: str):
+    """Two URLs with identical normalized content; each carries a unique link
+    that differs ONLY via href (removed by normalize_html) — the
+    later-crawled duplicate's unique link must stay unvisited
+    (website.rs:8673-8683)."""
+    for name in ("a", "b"):
+        url = f"{root}dup/{name}"
+        p = _PageBuilder(url, "dup page")
+        p.heading("Duplicated content")
+        p.para("Identical body for signature dedup.")
+        p.body.append(f'<ul><li><a href="/dup/only-{name}">Unique link</a></li></ul>')
+        p.blocks.append("Unique link")
+        html, text = p.render()
+        # identical title so <head> normalizes identically
+        add(url, html, text)
+        only_url = f"{root}dup/only-{name}"
+        h2, t2 = _mini_page(only_url, "dup leaf", [f"Leaf {name}."])
+        add(only_url, h2, t2)
+
+
+def _add_private_pages(add, root: str):
+    html, text = _mini_page(root + "private/secret", "private page", ["Robots-blocked content."])
+    add(root + "private/secret", html, text)
+    h2, t2 = _mini_page(root + "public/open", "public page", ["Open content."])
+    add(root + "public/open", h2, t2)
+
+
+def corpus_as_dict(rows: list[dict]) -> dict[str, tuple[int, bytes]]:
+    """Oracle-side corpus mapping url → (status, html bytes)."""
+    return {r["url"]: (r["status"], r["html"]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# Parquet layout — host-hash bucketed (the 10¹⁰-frontier layout)
+# ---------------------------------------------------------------------------
+
+
+def write_corpus_parquet(
+    rows: list[dict], out_dir: str, n_buckets: int = 16, row_group_size: int = 4096
+) -> str:
+    """Write ``web_pages`` bucketed by ``hash(host) % n_buckets``; rows inside
+    a bucket sorted by url so row-group pruning on url predicates works."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .urlnorm import url_host
+
+    os.makedirs(out_dir, exist_ok=True)
+    buckets: dict[int, list[dict]] = {}
+    for r in rows:
+        b = stable_hash_str(url_host(r["url"])) % n_buckets
+        buckets.setdefault(b, []).append(r)
+    for b, brows in sorted(buckets.items()):
+        brows.sort(key=lambda r: r["url"])
+        table = pa.table(
+            {
+                "url": [r["url"] for r in brows],
+                "warc_ts": pa.array([r["warc_ts"] for r in brows], pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in brows], pa.binary()),
+                "text": [r["text"] for r in brows],
+                "lang": [r["lang"] for r in brows],
+                "status": pa.array([r["status"] for r in brows], pa.int32()),
+            }
+        )
+        bdir = os.path.join(out_dir, f"bucket={b:04d}")
+        os.makedirs(bdir, exist_ok=True)
+        pq.write_table(table, os.path.join(bdir, "part-0.parquet"), row_group_size=row_group_size)
+    manifest = {"n_buckets": n_buckets, "rows": len(rows)}
+    with open(os.path.join(out_dir, "_corpus_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return out_dir
+
+
+def ensure_corpus(
+    base_dir: str,
+    scale: str = "unit",
+    n_hosts: int = 8,
+    pages_per_host: int = 50,
+    seed: int = 42,
+    n_buckets: int = 16,
+) -> str:
+    """Idempotently materialize a corpus at ``{base_dir}/{scale}/web_pages``."""
+    out_dir = os.path.join(base_dir, scale, "web_pages")
+    marker = os.path.join(out_dir, "_corpus_manifest.json")
+    if os.path.exists(marker):
+        return out_dir
+    rows = build_corpus(n_hosts=n_hosts, pages_per_host=pages_per_host, seed=seed)
+    return write_corpus_parquet(rows, out_dir, n_buckets=n_buckets)
+
+
+SCALE_PARAMS = {
+    # sf name → (n_hosts, pages_per_host, n_buckets)
+    "sf0.001": (4, 30, 8),
+    "sf0.01": (8, 120, 16),
+    "sf0.1": (48, 1200, 64),
+    "unit": (8, 50, 16),
+}
+
+FIXTURE_BASE = "/tmp/spider_ray_fixtures"
+
+
+def ensure_scale(sf_name: str) -> str:
+    """Corpus for a named scale (deterministic path for oracle SQL)."""
+    params = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])
+    n_hosts, pph, n_buckets = params
+    return ensure_corpus(FIXTURE_BASE, sf_name, n_hosts, pph, seed=42, n_buckets=n_buckets)
+
+
+def sanity_check_text_roundtrip(rows: list[dict]) -> int:
+    """Every constructed page's golden text must equal the extractor output."""
+    bad = 0
+    for r in rows:
+        if r["url"].endswith(("robots.txt", "sitemap.xml")):
+            continue
+        if extract_text(r["html"]) != r["text"]:
+            bad += 1
+    return bad
