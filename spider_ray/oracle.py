@@ -12,6 +12,9 @@ desc — the reference's ``BinaryHeap<ScoredUrl>`` order, with optional domain
 round-robin), admitting through the exact ``is_allowed`` chain; fetch+parse
 admitted pages; merge extracted links (minus visited, minus duplicate-content
 pages' links) into the next frontier.
+
+The admission fold itself lives in :mod:`spider_ray.waves` and is SHARED with
+the distributed engine.
 """
 
 from __future__ import annotations
@@ -19,13 +22,14 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .config import CrawlConfig, CrawlJob
-from .frontier import UrlFrontier, score_url
+from .frontier import score_url
 from .htmlparse import extract_links_and_meta, hash_html
 from .robots import RobotFileParser
 from .scope import Selectors, parent_host_match
-from .semantics import Budget, depth_distance_for, is_allowed_default, is_over_depth
+from .semantics import Budget, depth_distance_for, is_allowed_default
 from .textextract import extract_text
-from .urlnorm import url_host
+from .urlnorm import normalize_url, url_host
+from .waves import admit_wave, gate_links_by_signature, order_candidates
 
 
 @dataclass
@@ -90,6 +94,22 @@ def _as_text(body) -> str:
     return body.decode("utf-8", "replace") if isinstance(body, (bytes, bytearray)) else body
 
 
+def admit_seeds(job: CrawlJob, config, robots_for, visited: set[str]) -> list[str]:
+    """Wave-0 seed establish (``_crawl_establish``, website.rs:4104-4360):
+    seeds pass ``is_allowed_default`` only (no depth/budget)."""
+    admitted = []
+    for seed in job.seeds:
+        url = normalize_url(seed) or seed
+        key = url.lower()
+        if key in visited:
+            continue
+        if not is_allowed_default(url, config, robots_for(url)):
+            continue
+        visited.add(key)
+        admitted.append(url)
+    return admitted
+
+
 def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleResult:
     """Run the sequential crawl.  ``corpus`` maps url → (status, html bytes);
     missing URLs synthesize status 404 with empty body."""
@@ -107,29 +127,16 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleR
     visited: set[str] = set()
     signatures: set[int] = set()
 
-    def robots_for(url: str) -> RobotFileParser | None:
+    def robots_for(url: str):
         return robots_by_host.get(url_host(url))
 
     def host_delay_ms(host: str) -> int:
         return robots_delays.get(host, config.delay_ms)
 
-    # --- wave 0: seed establish (_crawl_establish, website.rs:4104-4360) ---
-    seq = 0
-    admitted: list[str] = []
-    for seed in job.seeds:
-        from .urlnorm import normalize_url
-
-        url = normalize_url(seed) or seed
-        key = url.lower()
-        if key in visited:
-            continue
-        if not is_allowed_default(url, config, robots_for(url)):
-            continue
-        visited.add(key)
+    admitted = admit_seeds(job, config, robots_for, visited)
+    for seq, url in enumerate(admitted):
         result.visited.append(url)
         result.admitted_order.append((0, seq, url))
-        admitted.append(url)
-        seq += 1
 
     deferred: list[tuple[str, int]] = []
     wave = 0
@@ -137,93 +144,58 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleR
         # fetch + parse admitted pages in admitted order
         candidates: list[tuple[str, int]] = list(deferred)
         deferred = []
-        fetched = blocked_sig = 0
+        parsed = []
         for url in admitted:
             status, body = corpus_get(url)
             host = url_host(url)
             sel, root = router.for_host(host)
             html = _as_text(body) if body is not None else ""
-            extract = extract_links_and_meta(
+            ex = extract_links_and_meta(
                 html, url, root, sel, config.external_domains, config.full_resources
             )
-            sig = None
-            links_allowed = True
-            if config.normalize:
-                sig = hash_html(html)
-                if sig in signatures:
-                    links_allowed = False  # website.rs:8673-8683
-                    blocked_sig += 1
-                else:
-                    signatures.add(sig)
-            text = extract_text(html)
+            sig = hash_html(html) if config.normalize else None
             result.pages.append(
                 {
                     "url": url,
                     "wave": wave,
                     "status_code": status,
                     "signature": sig,
-                    "title": extract.title,
-                    "description": extract.description,
-                    "og_image": extract.og_image,
-                    "text": text,
-                    "links": extract.links,
+                    "title": ex.title,
+                    "description": ex.description,
+                    "og_image": ex.og_image,
+                    "text": extract_text(html),
+                    "links": ex.links,
                 }
             )
-            fetched += 1
-            if links_allowed:
-                depth = wave + 1
-                for link in extract.links:
-                    candidates.append((link, score_url(link, depth)))
+            parsed.append((url, sig, ex.links))
+
+        dup_sig = 0
+        depth = wave + 1
+        for url, allowed, links in gate_links_by_signature(parsed, signatures, config.normalize):
+            if allowed:
+                candidates.extend((link, score_url(link, depth)) for link in links)
+            else:
+                dup_sig += 1
 
         result.metrics.append(
-            {"wave": wave, "admitted": len(admitted), "fetched": fetched,
-             "dup_signature": blocked_sig, "candidates": len(candidates)}
+            {"wave": wave, "admitted": len(admitted), "fetched": len(parsed),
+             "dup_signature": dup_sig, "candidates": len(candidates)}
         )
 
         if not candidates or wave + 1 >= config.max_waves:
             break
 
-        # --- next wave admission: canonical order + exact is_allowed chain ---
-        frontier = UrlFrontier(round_robin=config.round_robin)
-        prio_of: dict[str, int] = {}
-        for url, prio in candidates:
-            if frontier.push(url, prio):
-                prio_of[url.lower()] = prio
-        order = frontier.drain()
-
+        order, prio_of = order_candidates(candidates, config.round_robin)
+        adm = admit_wave(order, prio_of, visited, config, robots_for, host_delay_ms, budget)
         wave += 1
-        admitted = []
-        seq = 0
-        quota: dict[str, int] = {}
-        for url in order:
-            key = url.lower()
-            if key in visited:
-                continue
-            if not is_allowed_default(url, config, robots_for(url)):
-                continue
-            if is_over_depth(url, config):
-                continue
-            host = url_host(url)
-            delay = host_delay_ms(host)
-            if delay > 0:
-                cap = max(1, -(-config.wave_span_ms // delay))  # ceil
-                used = quota.get(host, 0)
-                if used >= cap:
-                    deferred.append((url, prio_of[key]))
-                    continue
-                quota[host] = used + 1
-            if budget.is_over(url):
-                continue
-            visited.add(key)
+        admitted = adm.admitted
+        deferred = adm.deferred
+        for seq, url in enumerate(admitted):
+            visited.add(url.lower())
             result.visited.append(url)
             result.admitted_order.append((wave, seq, url))
-            admitted.append(url)
-            seq += 1
 
         if not admitted and not deferred:
             break
-        if not admitted and deferred:
-            # politeness-only stall: next wave reprocesses deferred
-            admitted = []
 
     return result

@@ -1,0 +1,372 @@
+"""Distributed wave-crawl pipeline (Ray Data).
+
+Architecture (SURVEY.md §7.0): one crawl = repeated application of a wave
+pipeline over Datasets, with small stateful services:
+
+* ``UrlSeen`` actor shards (set + bloom)          — visited membership
+* driver-held ``Budget`` + per-host politeness    — inherently ordered fold
+  (metadata-only, mirroring spider's driver-held ``Website`` state)
+* everything heavy — the corpus-join fetch, HTML parse / link extraction /
+  text extraction / signature — is stateless ``map_batches`` over zero-copy
+  Arrow batches; ``html`` never leaves the fetch→parse fusion.
+
+Per wave::
+
+    admitted urls ──read_parquet(bucket-pruned, url-filtered)──▶ pages(html)
+        ▲                                                          │ map_batches(ParsePages)
+        │                                                          ▼
+    admission fold (waves.admit_wave) ◀── UrlSeen.contains ◀── links+sig+meta
+        │                                                          │
+        └────────── checkpoint (frontier/seen/budget/metrics) ◀────┴─ write pages parquet
+
+Checkpoint layout (resume = load latest complete wave; per-partition lineage)::
+
+    ckpt_dir/
+      manifest.json                  {wave, shards, config_hash}
+      wave_{k}/frontier.parquet      next-wave candidates (url, priority)
+      wave_{k}/deferred.parquet      politeness carry-over
+      wave_{k}/seen/shard_{s}.parquet  urls first seen in wave k (incremental)
+      wave_{k}/budget.json           budget counters + signature set
+      wave_{k}/metrics.json
+    out_dir/wave_{k}/*.parquet       parsed pages (wave lineage column)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import CrawlJob
+from ..frontier import score_url
+from ..oracle import load_robots
+from ..semantics import Budget, depth_distance_for
+from ..stages.fetch import FETCH_COLUMNS, corpus_n_buckets, fetch_wave
+from ..stages.parse import ParsePages, missing_rows
+from ..urlnorm import url_host
+from ..waves import admit_wave, gate_links_by_signature, order_candidates
+from .. import oracle as _oracle
+
+
+@dataclass
+class CrawlResult:
+    visited: list[str] = field(default_factory=list)
+    admitted_order: list[tuple[int, int, str]] = field(default_factory=list)
+    pages_tables: list[pa.Table] = field(default_factory=list)
+    metrics: list[dict] = field(default_factory=list)
+    out_dir: str | None = None
+    seen_keys: set[str] = field(default_factory=set)  # authoritative final seen set
+
+    @property
+    def visited_set(self) -> set[str]:
+        return {u.lower() for u in self.visited}
+
+    def pages_table(self) -> pa.Table:
+        return pa.concat_tables(self.pages_tables) if self.pages_tables else None
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class RayCrawler:
+    """Driver for one crawl job over a bucketed Parquet corpus."""
+
+    def __init__(
+        self,
+        job: CrawlJob,
+        corpus_dir: str,
+        out_dir: str | None = None,
+        ckpt_dir: str | None = None,
+        num_seen_shards: int = 4,
+        parse_batch_size: int = 128,
+        parse_concurrency: int | None = None,
+        keep_pages: bool = True,
+    ) -> None:
+        self.job = job
+        self.config = job.config
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.ckpt_dir = ckpt_dir
+        self.num_seen_shards = num_seen_shards
+        self.parse_batch_size = parse_batch_size
+        self.parse_concurrency = parse_concurrency
+        self.keep_pages = keep_pages
+        self.frontier_ops = 0  # candidate URLs processed (bench metric)
+
+    # -- corpus-side helpers -------------------------------------------------
+
+    def _robots(self):
+        """robots.txt lookup straight from the corpus (tiny, driver-side —
+        a ``RobotsCache`` actor pool shard at 10¹⁰ scale, SURVEY.md §2.3)."""
+        import pyarrow.dataset as pads
+
+        config = self.config
+        roots = [r for _, r in _oracle.ScopeRouter(self.job).entries if r]
+        if not config.respect_robots_txt or not roots:
+            return {}, {}
+        urls = [r + "robots.txt" for r in roots]
+        n_buckets = corpus_n_buckets(self.corpus_dir)
+        from ..stages.fetch import bucket_of
+
+        paths = []
+        for u in urls:
+            p = os.path.join(self.corpus_dir, f"bucket={bucket_of(u, n_buckets):04d}", "part-0.parquet")
+            if os.path.exists(p) and p not in paths:
+                paths.append(p)
+        found: dict[str, tuple[int, bytes]] = {}
+        if paths:
+            import pyarrow.compute as pc
+
+            tbl = pads.dataset(paths).to_table(
+                columns=["url", "html", "status"], filter=pc.field("url").isin(urls)
+            )
+            for u, h, s in zip(
+                tbl.column("url").to_pylist(),
+                tbl.column("html").to_pylist(),
+                tbl.column("status").to_pylist(),
+            ):
+                found[u] = (s, h)
+
+        def corpus_get(url):
+            return found.get(url, (404, None))
+
+        return load_robots(corpus_get, config, roots)
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _ckpt_wave(self, wave, candidates, deferred, budget, signatures, seen, metrics):
+        if not self.ckpt_dir:
+            return
+        wdir = os.path.join(self.ckpt_dir, f"wave_{wave:05d}")
+        os.makedirs(os.path.join(wdir, "seen"), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [u for u, _ in candidates],
+                    "priority": pa.array([p for _, p in candidates], pa.int32()),
+                }
+            ),
+            os.path.join(wdir, "frontier.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "url": [u for u, _ in deferred],
+                    "priority": pa.array([p for _, p in deferred], pa.int32()),
+                }
+            ),
+            os.path.join(wdir, "deferred.parquet"),
+        )
+        for s, inc in enumerate(seen.checkpoint_increments()):
+            pq.write_table(
+                pa.table({"url_norm": inc, "wave": pa.array([wave] * len(inc), pa.int32())}),
+                os.path.join(wdir, "seen", f"shard_{s:03d}.parquet"),
+            )
+        _atomic_write_json(
+            os.path.join(wdir, "budget.json"),
+            {"budget": budget.snapshot(), "signatures": sorted(signatures)},
+        )
+        _atomic_write_json(os.path.join(wdir, "metrics.json"), metrics)
+        _atomic_write_json(
+            os.path.join(self.ckpt_dir, "manifest.json"),
+            {"wave": wave, "num_seen_shards": self.num_seen_shards},
+        )
+
+    def _find_resume_wave(self) -> int | None:
+        if not self.ckpt_dir:
+            return None
+        mpath = os.path.join(self.ckpt_dir, "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)["wave"]
+
+    def _restore(self, upto_wave: int, seen, budget, signatures, result: CrawlResult):
+        """Rebuild state from checkpoints of waves 0..upto_wave."""
+        per_shard: list[list[str]] = [[] for _ in range(self.num_seen_shards)]
+        for w in range(upto_wave + 1):
+            wdir = os.path.join(self.ckpt_dir, f"wave_{w:05d}")
+            for s in range(self.num_seen_shards):
+                p = os.path.join(wdir, "seen", f"shard_{s:03d}.parquet")
+                if os.path.exists(p):
+                    per_shard[s].extend(pq.read_table(p).column("url_norm").to_pylist())
+        seen.restore(per_shard)
+        wdir = os.path.join(self.ckpt_dir, f"wave_{upto_wave:05d}")
+        with open(os.path.join(wdir, "budget.json")) as f:
+            b = json.load(f)
+        budget.restore(b["budget"])
+        signatures.update(b["signatures"])
+        with open(os.path.join(wdir, "metrics.json")) as f:
+            result.metrics.extend(json.load(f))
+        cand = pq.read_table(os.path.join(wdir, "frontier.parquet"))
+        deferred = pq.read_table(os.path.join(wdir, "deferred.parquet"))
+        candidates = list(zip(cand.column("url").to_pylist(), cand.column("priority").to_pylist()))
+        deferred_l = list(
+            zip(deferred.column("url").to_pylist(), deferred.column("priority").to_pylist())
+        )
+        return candidates, deferred_l
+
+    # -- fetch + parse -------------------------------------------------------
+
+    def _fetch_parse_wave(self, admitted: list[str], wave: int) -> pa.Table:
+        """Distributed fetch-join + parse for one wave; returns the parsed
+        table (url, host, status_code, signature, title, …, links)."""
+        import ray
+
+        ds, _ = fetch_wave(admitted, self.corpus_dir)
+        tables: list[pa.Table] = []
+        if ds is not None:
+            parse_kwargs = dict(batch_format="pyarrow", batch_size=self.parse_batch_size)
+            if self.parse_concurrency:
+                parsed_ds = ds.map_batches(
+                    ParsePages,
+                    fn_constructor_args=(self.job, wave),
+                    concurrency=self.parse_concurrency,
+                    **parse_kwargs,
+                )
+            else:
+                parser = ParsePages(self.job, wave)
+                parsed_ds = ds.map_batches(parser, **parse_kwargs)
+            if self.out_dir:
+                parsed_ds = parsed_ds.materialize()
+                parsed_ds.write_parquet(os.path.join(self.out_dir, f"wave_{wave:05d}"))
+            tables = [
+                t
+                for t in (ray.get(ref) for ref in parsed_ds.to_arrow_refs())
+                if t.num_rows > 0 and "url" in t.schema.names
+            ]
+        found: set[str] = set()
+        for t in tables:
+            found.update(t.column("url").to_pylist())
+        missing = [u for u in admitted if u not in found]
+        if missing:
+            miss_tbl = missing_rows(missing, wave)
+            if self.config.normalize:
+                from ..htmlparse import hash_html
+
+                empty_sig = hash_html("")
+                miss_tbl = miss_tbl.set_column(
+                    miss_tbl.schema.get_field_index("signature"),
+                    "signature",
+                    pa.array([empty_sig] * len(missing), pa.uint64()),
+                )
+            tables.append(miss_tbl)
+            if self.out_dir:
+                wdir = os.path.join(self.out_dir, f"wave_{wave:05d}")
+                os.makedirs(wdir, exist_ok=True)
+                pq.write_table(miss_tbl, os.path.join(wdir, "missing.parquet"))
+        if not tables:
+            return None
+        names = [f.name for f in tables[-1].schema]
+        return pa.concat_tables([t.select(names) for t in tables])
+
+    # -- main loop -----------------------------------------------------------
+
+    def run(self, resume: bool = False) -> CrawlResult:
+        from ..state.seen import UrlSeen
+
+        config = self.config
+        result = CrawlResult(out_dir=self.out_dir)
+        seen = UrlSeen(self.num_seen_shards)
+        budget = Budget(config.budget, depth_distance_for(config))
+        signatures: set[int] = set()
+        robots_by_host, robots_delays = self._robots()
+
+        def robots_for(url):
+            return robots_by_host.get(url_host(url))
+
+        def host_delay_ms(host):
+            return robots_delays.get(host, config.delay_ms)
+
+        resume_wave = self._find_resume_wave() if resume else None
+
+        if resume_wave is not None:
+            candidates, deferred = self._restore(resume_wave, seen, budget, signatures, result)
+            wave = resume_wave
+            admitted: list[str] = []
+        else:
+            # wave 0: seed establish (shared with the oracle)
+            visited_seed: set[str] = set()
+            admitted = _oracle.admit_seeds(self.job, config, robots_for, visited_seed)
+            seen.insert_batch([u.lower() for u in admitted])
+            for seq, url in enumerate(admitted):
+                result.visited.append(url)
+                result.admitted_order.append((0, seq, url))
+            candidates, deferred = None, []
+            wave = 0
+
+        while True:
+            if admitted:
+                parsed_tbl = self._fetch_parse_wave(admitted, wave)
+                if self.keep_pages and parsed_tbl is not None:
+                    result.pages_tables.append(parsed_tbl)
+                by_url = {}
+                if parsed_tbl is not None:
+                    for u, s, l in zip(
+                        parsed_tbl.column("url").to_pylist(),
+                        parsed_tbl.column("signature").to_pylist(),
+                        parsed_tbl.column("links").to_pylist(),
+                    ):
+                        by_url[u] = (s, l)
+                pages_in_order = [(u, *by_url.get(u, (None, []))) for u in admitted]
+                candidates = list(deferred)
+                deferred = []
+                dup_sig = 0
+                depth = wave + 1
+                for url, allowed, links in gate_links_by_signature(
+                    pages_in_order, signatures, config.normalize
+                ):
+                    if allowed:
+                        candidates.extend((link, score_url(link, depth)) for link in links)
+                    else:
+                        dup_sig += 1
+                result.metrics.append(
+                    {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
+                     "dup_signature": dup_sig, "candidates": len(candidates)}
+                )
+            elif candidates is None:
+                candidates = []
+
+            self._ckpt_wave(wave, candidates, deferred, budget, signatures, seen, result.metrics)
+
+            if not candidates or wave + 1 >= config.max_waves:
+                break
+
+            order, prio_of = order_candidates(candidates, config.round_robin)
+            self.frontier_ops += len(order)
+            # batched, sharded visited check (the ONLY distributed-state read)
+            mask = seen.contains_batch([u.lower() for u in order])
+            visited_now = {u.lower() for u, m in zip(order, mask) if m}
+            adm = admit_wave(
+                order, prio_of, visited_now, config, robots_for, host_delay_ms, budget
+            )
+            wave += 1
+            admitted = adm.admitted
+            deferred = adm.deferred
+            seen.insert_batch([u.lower() for u in admitted])
+            for seq, url in enumerate(admitted):
+                result.visited.append(url)
+                result.admitted_order.append((wave, seq, url))
+            candidates = None
+
+            if not admitted and not deferred:
+                result.metrics.append(
+                    {"wave": wave, "admitted": 0, "fetched": 0, "dup_signature": 0, "candidates": 0}
+                )
+                self._ckpt_wave(wave, [], [], budget, signatures, seen, result.metrics)
+                break
+
+        result.seen_keys = seen.dump()
+        seen.shutdown()
+        return result
+
+
+def crawl(job: CrawlJob, corpus_dir: str, **kwargs) -> CrawlResult:
+    return RayCrawler(job, corpus_dir, **kwargs).run()

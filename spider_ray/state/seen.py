@@ -1,0 +1,126 @@
+"""Sharded URL-seen state — the distributed analogue of spider's
+``ListBucket`` (authoritative ``HashSet`` + bloom negative-cache,
+``spider/src/utils/interner.rs:52-230`` + ``utils/bloom.rs``).
+
+Shard routing key: ``stable_hash(url_norm) % num_shards`` — the same hash
+used for corpus host-bucketing, so one partitioning scheme serves the whole
+pipeline.  Each shard holds a Python set (authoritative) fronted by a bloom
+filter; the shard API is batch-only so a wave's membership check is
+``num_shards`` actor round-trips, not per-URL calls.
+
+Checkpointing is incremental: ``take_increment()`` returns only URLs inserted
+since the last checkpoint (wave lineage — resume unions increments of waves
+≤ k).  The per-shard backing store can later become an on-disk sorted-run +
+bloom without changing this API (SURVEY.md §7.3 "10¹⁰-scale seen-set").
+"""
+
+from __future__ import annotations
+
+import ray
+
+from ..hashing import BloomFilter, stable_hash_str
+
+
+@ray.remote
+class UrlSeenShard:
+    def __init__(self, shard_id: int, bloom_capacity: int = 1_000_000) -> None:
+        self.shard_id = shard_id
+        self.seen: set[str] = set()
+        self.bloom = BloomFilter(capacity=bloom_capacity)
+        self._increment: list[str] = []
+
+    def contains_batch(self, keys: list[str]) -> list[bool]:
+        """Bloom-fronted membership: a bloom miss is an authoritative NO."""
+        out = []
+        for k in keys:
+            if not self.bloom.might_contain(k):
+                out.append(False)
+            else:
+                out.append(k in self.seen)
+        return out
+
+    def insert_batch(self, keys: list[str]) -> int:
+        added = 0
+        for k in keys:
+            if k not in self.seen:
+                self.seen.add(k)
+                self.bloom.add(k)
+                self._increment.append(k)
+                added += 1
+        return added
+
+    def take_increment(self) -> list[str]:
+        inc, self._increment = self._increment, []
+        return inc
+
+    def size(self) -> int:
+        return len(self.seen)
+
+    def dump(self) -> list[str]:
+        return list(self.seen)
+
+    def restore(self, keys: list[str]) -> None:
+        for k in keys:
+            if k not in self.seen:
+                self.seen.add(k)
+                self.bloom.add(k)
+
+
+class UrlSeen:
+    """Driver-side facade over the shard pool (batch fan-out/fan-in)."""
+
+    def __init__(self, num_shards: int = 8, bloom_capacity: int = 1_000_000) -> None:
+        self.num_shards = num_shards
+        self.shards = [
+            UrlSeenShard.options(name=None).remote(i, bloom_capacity)
+            for i in range(num_shards)
+        ]
+
+    def _route(self, keys: list[str]) -> list[list[tuple[int, str]]]:
+        buckets: list[list[tuple[int, str]]] = [[] for _ in range(self.num_shards)]
+        for idx, k in enumerate(keys):
+            buckets[stable_hash_str(k) % self.num_shards].append((idx, k))
+        return buckets
+
+    def contains_batch(self, keys: list[str]) -> list[bool]:
+        buckets = self._route(keys)
+        futures = []
+        for shard, bucket in zip(self.shards, buckets):
+            if bucket:
+                futures.append((bucket, shard.contains_batch.remote([k for _, k in bucket])))
+        out = [False] * len(keys)
+        for bucket, fut in futures:
+            for (idx, _), hit in zip(bucket, ray.get(fut)):
+                out[idx] = hit
+        return out
+
+    def insert_batch(self, keys: list[str]) -> int:
+        buckets = self._route(keys)
+        futures = [
+            shard.insert_batch.remote([k for _, k in bucket])
+            for shard, bucket in zip(self.shards, buckets)
+            if bucket
+        ]
+        return sum(ray.get(futures)) if futures else 0
+
+    def checkpoint_increments(self) -> list[list[str]]:
+        return ray.get([s.take_increment.remote() for s in self.shards])
+
+    def restore(self, per_shard_keys: list[list[str]]) -> None:
+        ray.get(
+            [s.restore.remote(keys) for s, keys in zip(self.shards, per_shard_keys) if keys]
+        )
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def dump(self) -> set[str]:
+        out: set[str] = set()
+        for keys in ray.get([s.dump.remote() for s in self.shards]):
+            out.update(keys)
+        return out
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

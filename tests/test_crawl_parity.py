@@ -1,0 +1,70 @@
+"""Engine-vs-oracle parity: the distributed Ray crawl must reproduce the
+sequential oracle exactly — URL-seen set, per-wave admitted order, and
+byte-identical extracted text per url (BASELINE.json correctness gates)."""
+
+import tempfile
+
+import pytest
+
+from spider_ray.config import CrawlConfig, CrawlJob
+from spider_ray.fixtures import build_corpus, corpus_as_dict, seed_of, write_corpus_parquet
+from spider_ray.oracle import crawl_oracle
+
+
+@pytest.fixture(scope="module")
+def fixture_env(ray_session):
+    rows = build_corpus()
+    corpus = corpus_as_dict(rows)
+    cdir = tempfile.mkdtemp(prefix="spider_corpus_")
+    write_corpus_parquet(rows, cdir)
+    return corpus, cdir
+
+
+SCENARIOS = {
+    "plain": (CrawlConfig(), [0]),
+    "blacklist": (CrawlConfig(blacklist=("https://www.site0.example/sec1/",)), [0]),
+    "budget": (CrawlConfig(budget=(("sec1", 3),)).with_limit(25), [0]),
+    "depth2": (CrawlConfig(depth=2), [0]),
+    "subdomains": (CrawlConfig(subdomains=True), [0]),
+    "tld": (CrawlConfig(tld=True), [0]),
+    "robots": (CrawlConfig(respect_robots_txt=True), [0]),
+    "dedup": (CrawlConfig(normalize=True), [0]),
+    "politeness": (CrawlConfig(delay_ms=100, round_robin=True), list(range(4))),
+    "full_resources": (CrawlConfig(full_resources=True), [0]),
+    "external": (CrawlConfig(external_domains=frozenset({"off-domain.example"})), [0]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_parity(fixture_env, name):
+    from spider_ray.pipelines.crawl import crawl
+
+    corpus, cdir = fixture_env
+    config, seed_ids = SCENARIOS[name]
+    job = CrawlJob(tuple(seed_of(k) for k in seed_ids), config)
+    o = crawl_oracle(job, corpus)
+    e = crawl(job, cdir)
+
+    assert e.visited_set == o.visited_set, name
+    assert e.admitted_order == o.admitted_order, name
+    assert e.seen_keys == o.visited_set, name
+
+    # byte-identical text + matching metadata/status/signature per url
+    tbl = e.pages_table()
+    by_url = {
+        u: (t, s, sig, ti)
+        for u, t, s, sig, ti in zip(
+            tbl.column("url").to_pylist(),
+            tbl.column("text").to_pylist(),
+            tbl.column("status_code").to_pylist(),
+            tbl.column("signature").to_pylist(),
+            tbl.column("title").to_pylist(),
+        )
+    }
+    assert set(by_url) == {p["url"] for p in o.pages}, name
+    for p in o.pages:
+        text, status, sig, title = by_url[p["url"]]
+        assert text == p["text"], (name, p["url"])
+        assert status == p["status_code"], (name, p["url"])
+        assert sig == p["signature"], (name, p["url"])
+        assert title == p["title"], (name, p["url"])
