@@ -1,0 +1,154 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata.
+
+The decode kernels are STUBBED (this container ships no image/audio libs):
+``PIL``/``soundfile`` paths raise ``NotImplementedError`` unless the import
+succeeds, and a deterministic fake codec (``FAKEIMG:<w>x<h>:`` /
+``FAKEAUD:<sr>:<n>:`` headers) exercises the REAL Ray-side plumbing — schema,
+actor-pool signature, batch sizing, output layout — end to end.
+
+Batch-size guidance: large binary payloads ⇒ small ``batch_size`` (32-128) so
+batch × concurrency fits worker heap; keep ``batch_format="pyarrow"`` (binary
+round-trips zero-copy through Arrow, NOT through pandas).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+        ("mean_luma", pa.float64()),
+    ]
+)
+
+
+def fake_image(item_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake image payload."""
+    rng = np.random.RandomState(item_id)
+    pixels = rng.randint(0, 256, size=width * height, dtype=np.uint8)
+    return f"FAKEIMG:{width}x{height}:".encode() + pixels.tobytes()
+
+
+def _decode_fake(payload: bytes):
+    if not payload.startswith(b"FAKEIMG:"):
+        return None
+    head, _, rest = payload.partition(b":")
+    dims, _, pixels = payload[len(b"FAKEIMG:") :].partition(b":")
+    w, h = (int(x) for x in dims.decode().split("x"))
+    return w, h, np.frombuffer(pixels, dtype=np.uint8)
+
+
+class ImageDecode:
+    """Actor-pool stage: binary → (width, height, n_bytes, mean_luma).
+
+    Real decode (PIL) is gated behind the import; the fake codec keeps the
+    pipeline testable and deterministic."""
+
+    def __init__(self, binary_column: str = "data", id_column: str = "item_id"):
+        self.binary_column = binary_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        payloads = batch.column(self.binary_column).to_pylist()
+        widths, heights, sizes, lumas = [], [], [], []
+        for p in payloads:
+            decoded = _decode_fake(p or b"")
+            if decoded is None:
+                if _HAVE_PIL:
+                    raise NotImplementedError("real image decode not wired in this build")
+                widths.append(0)
+                heights.append(0)
+                sizes.append(len(p or b""))
+                lumas.append(0.0)
+                continue
+            w, h, px = decoded
+            widths.append(w)
+            heights.append(h)
+            sizes.append(len(p))
+            lumas.append(float(px.mean()) if px.size else 0.0)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "mean_luma": pa.array(lumas, pa.float64()),
+            }
+        )
+
+
+class ImageResize:
+    """Actor-pool stage: nearest-neighbor resize of the fake codec payloads
+    (shape plumbing for the real kernel)."""
+
+    def __init__(self, target: tuple[int, int] = (8, 8), binary_column: str = "data",
+                 id_column: str = "item_id"):
+        self.target = target
+        self.binary_column = binary_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        payloads = batch.column(self.binary_column).to_pylist()
+        tw, th = self.target
+        out = []
+        for p in payloads:
+            decoded = _decode_fake(p or b"")
+            if decoded is None:
+                out.append(b"")
+                continue
+            w, h, px = decoded
+            img = px.reshape(h, w)
+            ys = (np.arange(th) * h // th).clip(0, h - 1)
+            xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+            resized = img[np.ix_(ys, xs)]
+            out.append(f"FAKEIMG:{tw}x{th}:".encode() + resized.tobytes())
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "data": pa.array(out, pa.binary()),
+            }
+        )
+
+
+class FrameSampler:
+    """Video frame sampling stub: treats payload as concatenated fake images
+    separated by b'|'; emits every ``stride``-th frame as its own row
+    (flat-map shape: one input row → N output rows)."""
+
+    def __init__(self, stride: int = 2, binary_column: str = "data", id_column: str = "item_id"):
+        self.stride = stride
+        self.binary_column = binary_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        payloads = batch.column(self.binary_column).to_pylist()
+        out_ids, out_frames, out_data = [], [], []
+        for item_id, p in zip(ids, payloads):
+            frames = (p or b"").split(b"|")
+            for fi in range(0, len(frames), self.stride):
+                out_ids.append(item_id)
+                out_frames.append(fi)
+                out_data.append(frames[fi])
+        return pa.table(
+            {
+                "item_id": pa.array(out_ids, pa.int64()),
+                "frame_index": pa.array(out_frames, pa.int32()),
+                "data": pa.array(out_data, pa.binary()),
+            }
+        )
