@@ -1,44 +1,356 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the spider_ray engine (Ray Data).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``  — flagship crawl over the sf0.001 synthetic web corpus.
+``queries()``— one entry per implemented operator family (SURVEY.md §2 +
+               training-data ops); each callable takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset.
+Crawl pipelines are iterative/stateful (not SQL-expressible) → rows-only
+checks; their real correctness gate is the oracle-parity pytest suite
+(tests/test_crawl_parity.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The synthetic web corpus (BASELINE.json input_hint schema) is derived
+deterministically per scale under /tmp/spider_ray_fixtures — no external
+data; DuckDB reads the same files via read_parquet() for exact
+byte-identical text comparison.
+
+Ray is initialised by the driver BEFORE importing this module; nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF001_CORPUS = "/tmp/spider_ray_fixtures/sf0.01/web_pages"
+
+
+def _sf_name(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base.startswith("sf") else "unit"
+
+
+def _corpus_for(sf_dir: str) -> str:
+    from spider_ray.fixtures import ensure_scale
+
+    return ensure_scale(_sf_name(sf_dir))
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# crawl pipelines (rows-only checks; pytest oracle-parity is the real gate)
+# ---------------------------------------------------------------------------
+
+
+def _crawl(sf_dir: str, config=None, seeds=(0,)):
+    from spider_ray.config import CrawlConfig, CrawlJob
+    from spider_ray.fixtures import seed_of
+    from spider_ray.pipelines.crawl import crawl
+
+    corpus = _corpus_for(sf_dir)
+    job = CrawlJob(tuple(seed_of(k) for k in seeds), config or CrawlConfig())
+    res = crawl(job, corpus)
+    return res
+
+
+def _visited_table(res) -> pa.Table:
+    return pa.table(
+        {
+            "wave": pa.array([w for w, _, _ in res.admitted_order], pa.int32()),
+            "seq": pa.array([s for _, s, _ in res.admitted_order], pa.int32()),
+            "url": pa.array([u for _, _, u in res.admitted_order], pa.string()),
+        }
+    )
+
+
+def q_crawl_plain(sf_dir: str):
+    return _visited_table(_crawl(sf_dir))
+
+
+def q_crawl_pages(sf_dir: str):
+    res = _crawl(sf_dir)
+    return res.pages_table().drop_columns(["links"])
+
+
+def q_crawl_budget(sf_dir: str):
+    from spider_ray.config import CrawlConfig
+
+    return _visited_table(_crawl(sf_dir, CrawlConfig().with_limit(50)))
+
+
+def q_crawl_robots(sf_dir: str):
+    from spider_ray.config import CrawlConfig
+
+    return _visited_table(_crawl(sf_dir, CrawlConfig(respect_robots_txt=True)))
+
+
+def q_crawl_dedup(sf_dir: str):
+    from spider_ray.config import CrawlConfig
+
+    return _visited_table(_crawl(sf_dir, CrawlConfig(normalize=True)))
+
+
+def q_crawl_multihost(sf_dir: str):
+    from spider_ray.config import CrawlConfig
+
+    return _visited_table(
+        _crawl(sf_dir, CrawlConfig(delay_ms=100, round_robin=True), seeds=(0, 1, 2, 3))
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-table pipelines with exact SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def q_extract_text_parity(sf_dir: str):
+    """Byte-identical text extraction: Ray re-extracts text from raw html;
+    the oracle reads the corpus's golden text column."""
+    import ray.data
+
+    from spider_ray.textextract import extract_text
+
+    corpus = _corpus_for(sf_dir)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "text": pa.array(
+                    [extract_text(h.decode("utf-8", "replace")) for h in batch.column("html").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(corpus, columns=["url", "html"])
+    out = ds.map_batches(extract, batch_format="pyarrow")
+    return out.filter(
+        lambda row: not (row["url"].endswith("robots.txt") or row["url"].endswith("sitemap.xml"))
+    )
+
+
+def q_host_page_counts(sf_dir: str):
+    import ray.data
+
+    from spider_ray.urlnorm import url_host
+
+    corpus = _corpus_for(sf_dir)
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": pa.array([url_host(u) for u in batch.column("url").to_pylist()], pa.string())}
+        )
+
+    ds = ray.data.read_parquet(corpus, columns=["url"]).map_batches(hosts, batch_format="pyarrow")
+    out = ds.groupby("host").count()
+    return out.map_batches(
+        lambda b: pa.table({"host": b.column("host"), "n_pages": pc.cast(b.column("count()"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over the sf tables (strong SQL oracles where expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    from spider_ray.ops.dedup import exact_dedup_counts
+
+    return exact_dedup_counts(_docs(sf_dir))
+
+
+def q_token_stats(sf_dir: str):
+    from spider_ray.ops.textstats import TokenCounter
+
+    out = _docs(sf_dir).map_batches(TokenCounter(), batch_format="pyarrow")
+    return out.map_batches(lambda b: b.select(["doc_id", "n_chars", "n_tokens"]), batch_format="pyarrow")
+
+
+def q_docs_by_lang(sf_dir: str):
+    ds = _docs(sf_dir).groupby("lang").count()
+    return ds.map_batches(
+        lambda b: pa.table({"lang": b.column("lang"), "n_docs": pc.cast(b.column("count()"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_by_type(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"])
+    from ray.data.aggregate import Count, Max
+
+    out = ds.groupby("event_type").aggregate(Count(), Max("user_id"))
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": pc.cast(b.column("count()"), pa.int64()),
+                "max_user_id": pc.cast(b.column("max(user_id)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_k_similarity(sf_dir: str):
+    from spider_ray.ops.similarity import brute_force_top_k
+
+    emb = _emb(sf_dir)
+    queries = np.array(
+        [r["embedding"] for r in emb.sort("vec_id").limit(5).take_all()], dtype=np.float64
+    )
+    out = brute_force_top_k(emb, queries, k=10)  # pyarrow.Table
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    from spider_ray.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir), threshold=0.5).select_columns(["doc_a", "doc_b"])
+
+
+def q_simhash(sf_dir: str):
+    from spider_ray.ops.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    from spider_ray.ops.textstats import LangId
+
+    out = _docs(sf_dir).map_batches(LangId(), batch_format="pyarrow")
+    return out.groupby("lang_pred").count().map_batches(
+        lambda b: pa.table(
+            {"lang_pred": b.column("lang_pred"), "n": pc.cast(b.column("count()"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    from spider_ray.ops.textstats import Fingerprinter
+
+    out = _docs(sf_dir).map_batches(Fingerprinter(), batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "doc_hash": b.column("doc_hash"),
+                "n_fingerprints": pa.array([len(x) for x in b.column("fingerprint").to_pylist()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Fake-codec image metadata extraction (deterministic payloads derived
+    from doc ids — the Ray-side plumbing is real, the codec is the stub)."""
+    import ray.data
+
+    from spider_ray.ops.multimodal import ImageDecode, fake_image
+
+    ids = list(range(64))
+    items = pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "data": pa.array([fake_image(i, 8 + i % 8, 4 + i % 4) for i in ids], pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(items)
+    return ds.map_batches(ImageDecode(), batch_format="pyarrow", batch_size=16)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl of the sf0.001-scale synthetic web corpus."""
+    from spider_ray.config import CrawlConfig, CrawlJob
+    from spider_ray.fixtures import ensure_scale, seed_of
+    from spider_ray.pipelines.crawl import crawl
+
+    corpus = ensure_scale("sf0.001")
+    job = CrawlJob((seed_of(0),), CrawlConfig(normalize=True))
+    res = crawl(job, corpus)
+    return res.pages_table().drop_columns(["links"]).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from spider_ray.fixtures import ensure_scale
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    ensure_scale("sf0.01")  # materialize before any oracle SQL runs
+    return {
+        "crawl_plain": q_crawl_plain,
+        "crawl_pages": q_crawl_pages,
+        "crawl_budget": q_crawl_budget,
+        "crawl_robots": q_crawl_robots,
+        "crawl_dedup": q_crawl_dedup,
+        "crawl_multihost": q_crawl_multihost,
+        "extract_text_parity": q_extract_text_parity,
+        "host_page_counts": q_host_page_counts,
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "docs_by_lang": q_docs_by_lang,
+        "events_by_type": q_events_by_type,
+        "top_k_similarity": q_top_k_similarity,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    corpus_glob = f"{SF001_CORPUS}/*/*.parquet"
+    return {
+        "extract_text_parity": (
+            f"SELECT url, text FROM read_parquet('{corpus_glob}') "
+            "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "host_page_counts": (
+            f"SELECT split_part(split_part(url, '://', 2), '/', 1) AS host, "
+            f"count(*)::BIGINT AS n_pages FROM read_parquet('{corpus_glob}') GROUP BY 1"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count "
+            "FROM documents GROUP BY text"
+        ),
+        "token_stats": (
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM documents"
+        ),
+        "docs_by_lang": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "events_by_type": (
+            "SELECT event_type, count(*)::BIGINT AS n_events, max(user_id)::BIGINT AS max_user_id "
+            "FROM events GROUP BY event_type"
+        ),
+        "top_k_similarity": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 5), "
+            "sims AS (SELECT q.query_id - (SELECT min(query_id) FROM q) AS query_id, e.vec_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 9) AS sim "
+            "FROM embeddings e CROSS JOIN q), "
+            "ranked AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank "
+            "FROM sims) "
+            "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10"
+        ),
+    }
