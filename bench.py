@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: full multi-host crawl (pages/sec + frontier ops/sec) over the
+deterministic synthetic web corpus derived for $GRAFT_SF_DIR's scale, plus
+per-operator timings over the sf tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...,
+   "frontier_ops_per_sec": ...}
+
+--scaling: runs the same bench in two fresh processes at num_cpus=8 and 32
+and reports both throughputs + scaling efficiency (BASELINE.md criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 log_to_driver=False)
+
+    import numpy as np
+
+    from spider_ray.config import CrawlConfig, CrawlJob
+    from spider_ray.fixtures import SCALE_PARAMS, ensure_scale, seed_of
+    from spider_ray.pipelines.crawl import RayCrawler
+
+    corpus = ensure_scale(sf_name)
+    n_hosts = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])[0]
+
+    # warm the OS page cache (measure compute + shuffle, not first disk read)
+    import glob
+
+    for f in glob.glob(os.path.join(corpus, "*", "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    queries: dict[str, float] = {}
+
+    # untimed Ray Data warmup (first-pipeline startup otherwise lands in the
+    # headline number)
+    import ray.data
+
+    ray.data.range(64).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    # --- headline: full crawl of every host at once -------------------------
+    job = CrawlJob(tuple(seed_of(k) for k in range(n_hosts)), CrawlConfig(normalize=True))
+    t0 = time.perf_counter()
+    crawler = RayCrawler(job, corpus, keep_pages=False,
+                         parse_batch_size=256)
+    res = crawler.run()
+    crawl_sec = time.perf_counter() - t0
+    pages = len(res.visited)
+    queries["crawl_full"] = round(crawl_sec, 3)
+
+    # --- parse-only throughput over the entire corpus ----------------------
+    import pyarrow as pa
+
+    from spider_ray.stages.parse import ParsePages
+
+    t0 = time.perf_counter()
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus, columns=["url", "html", "status"])
+    parsed = ds.map_batches(ParsePages(job), batch_format="pyarrow", batch_size=256)
+    n_parsed = parsed.count()
+    queries["parse_corpus"] = round(time.perf_counter() - t0, 3)
+
+    # --- training-data ops over the sf tables ------------------------------
+    from spider_ray.ops.dedup import exact_dedup_counts, minhash_lsh_candidates
+    from spider_ray.ops.similarity import brute_force_top_k
+    from spider_ray.ops.textstats import TokenCounter
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    exact_dedup_counts(docs).count()
+    queries["exact_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    docs.map_batches(TokenCounter(), batch_format="pyarrow").count()
+    queries["token_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    minhash_lsh_candidates(docs, num_perm=128, n_bands=16).count()
+    queries["minhash_lsh"] = round(time.perf_counter() - t0, 3)
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvecs = np.array([r["embedding"] for r in emb.sort("vec_id").limit(8).take_all()],
+                     dtype=np.float64)
+    t0 = time.perf_counter()
+    brute_force_top_k(emb, qvecs, k=10)
+    queries["top_k_similarity"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "crawl_full_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "num_cpus": num_cpus,
+        "pages_crawled": pages,
+        "pages_parsed": n_parsed,
+        "pages_per_sec": round(pages / crawl_sec, 1),
+        "frontier_ops": crawler.frontier_ops,
+        "frontier_ops_per_sec": round(crawler.frontier_ops / crawl_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "frontier_ops_per_sec_lo": r_lo["frontier_ops_per_sec"],
+        "frontier_ops_per_sec_hi": r_hi["frontier_ops_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -94,13 +94,65 @@ class _PageBuilder:
         return html, "\n".join(self.blocks)
 
 
+def _sentence_pool(seed: int, n: int = 256) -> list[str]:
+    """Pre-generated sentences (one rng pass) so heavy pages don't cost one
+    rng call per word."""
+    rng = random.Random(seed ^ 0x5EED)
+    words = [
+        "data", "crawl", "frontier", "page", "robot", "link", "host", "index",
+        "graph", "stream", "batch", "arrow", "shard", "wave", "queue", "fetch",
+        "parse", "budget", "depth", "bloom", "actor", "block", "spill", "merge",
+    ]
+    return [
+        " ".join(rng.choice(words) for _ in range(rng.randint(9, 17))) + "."
+        for _ in range(n)
+    ]
+
+
 def build_corpus(
     n_hosts: int = 8,
     pages_per_host: int = 50,
     seed: int = 42,
     stressors: bool = True,
+    page_weight: int = 1,
 ) -> list[dict]:
-    """Return rows: {url, warc_ts, html(bytes), text, lang, status}."""
+    """Return rows: {url, warc_ts, html(bytes), text, lang, status}.
+
+    ``page_weight`` scales leaf-page body size (≈1.5 KB × weight) toward
+    realistic web-page sizes for benchmarking; unit scale stays light."""
+    rows: list[dict] = []
+    statuses: dict[str, int] = {}
+    for k in range(n_hosts):
+        hrows, hstat = _build_host_rows(k, n_hosts, pages_per_host, seed, stressors, page_weight)
+        rows.extend(hrows)
+        statuses.update(hstat)
+    return _finalize(rows, statuses)
+
+
+def _finalize(rows: list[dict], statuses: dict[str, int]) -> list[dict]:
+    out = []
+    for i, r in enumerate(rows):
+        out.append(
+            {
+                "url": r["url"],
+                "warc_ts": EPOCH + datetime.timedelta(seconds=i),
+                "html": r["html"],
+                "text": r["text"],
+                "lang": r["lang"],
+                "status": statuses.get(r["url"], 200),
+            }
+        )
+    return out
+
+
+def _build_host_rows(
+    k: int,
+    n_hosts: int,
+    pages_per_host: int,
+    seed: int = 42,
+    stressors: bool = True,
+    page_weight: int = 1,
+) -> tuple[list[dict], dict[str, int]]:
     rows: list[dict] = []
     statuses: dict[str, int] = {}
 
@@ -110,8 +162,9 @@ def build_corpus(
 
     n_sections = max(2, min(8, pages_per_host // 12))
     leaves_per_section = max(1, (pages_per_host - 1 - n_sections) // n_sections)
+    sentences = _sentence_pool(seed)
 
-    for k in range(n_hosts):
+    if True:  # (kept as a block to preserve the per-host body below)
         rng = random.Random(seed * 1000003 + k)
         host = host_of(k)
         root = seed_of(k)
@@ -158,16 +211,13 @@ def build_corpus(
             url = root + leaf.lstrip("/")
             p = _PageBuilder(url, f"site{k} {leaf}")
             p.heading(f"Content {leaf} on site{k}")
-            n_paras = rng.randint(1, 3)
+            n_paras = rng.randint(1, 3) * page_weight
+            n_sent = len(sentences)
             for pi in range(n_paras):
-                words = " ".join(
-                    rng.choice(
-                        ["data", "crawl", "frontier", "page", "robot", "link", "host",
-                         "index", "graph", "stream", "batch", "arrow", "shard", "wave"]
-                    )
-                    for _ in range(rng.randint(8, 30))
+                body = " ".join(
+                    sentences[rng.randrange(n_sent)] for _ in range(rng.randint(2, 5))
                 )
-                p.para(f"Paragraph {pi}: {words}.")
+                p.para(f"Paragraph {pi}: {body}")
             # 3-8 same-host links
             targets = rng.sample(all_paths, min(len(all_paths), rng.randint(3, 8)))
             items = [(t, f"See {t}") for t in targets]
@@ -193,20 +243,33 @@ def build_corpus(
             _add_dup_pages(add, root)
             _add_private_pages(add, root)
 
-    # finalize: warc_ts, status column
-    out = []
-    for i, r in enumerate(rows):
-        out.append(
-            {
-                "url": r["url"],
-                "warc_ts": EPOCH + datetime.timedelta(seconds=i),
-                "html": r["html"],
-                "text": r["text"],
-                "lang": r["lang"],
-                "status": statuses.get(r["url"], 200),
-            }
-        )
-    return out
+    return rows, statuses
+
+
+def build_corpus_parallel(
+    n_hosts: int,
+    pages_per_host: int,
+    seed: int = 42,
+    stressors: bool = True,
+    page_weight: int = 1,
+) -> list[dict]:
+    """Ray-parallel corpus generation (one task per host; deterministic —
+    identical output to :func:`build_corpus`)."""
+    import ray
+
+    if not ray.is_initialized():
+        return build_corpus(n_hosts, pages_per_host, seed, stressors, page_weight)
+    build = ray.remote(_build_host_rows)
+    futs = [
+        build.remote(k, n_hosts, pages_per_host, seed, stressors, page_weight)
+        for k in range(n_hosts)
+    ]
+    rows: list[dict] = []
+    statuses: dict[str, int] = {}
+    for hrows, hstat in ray.get(futs):
+        rows.extend(hrows)
+        statuses.update(hstat)
+    return _finalize(rows, statuses)
 
 
 def _add_root_stressors(p: _PageBuilder):
@@ -349,22 +412,27 @@ def ensure_corpus(
     pages_per_host: int = 50,
     seed: int = 42,
     n_buckets: int = 16,
+    page_weight: int = 1,
 ) -> str:
     """Idempotently materialize a corpus at ``{base_dir}/{scale}/web_pages``."""
     out_dir = os.path.join(base_dir, scale, "web_pages")
     marker = os.path.join(out_dir, "_corpus_manifest.json")
     if os.path.exists(marker):
         return out_dir
-    rows = build_corpus(n_hosts=n_hosts, pages_per_host=pages_per_host, seed=seed)
+    rows = build_corpus_parallel(
+        n_hosts=n_hosts, pages_per_host=pages_per_host, seed=seed, page_weight=page_weight
+    )
     return write_corpus_parquet(rows, out_dir, n_buckets=n_buckets)
 
 
 SCALE_PARAMS = {
-    # sf name → (n_hosts, pages_per_host, n_buckets)
-    "sf0.001": (4, 30, 8),
-    "sf0.01": (8, 120, 16),
-    "sf0.1": (48, 1200, 64),
-    "unit": (8, 50, 16),
+    # sf name → (n_hosts, pages_per_host, n_buckets, page_weight)
+    # page_weight scales leaf bodies toward realistic web-page sizes (bench
+    # scales only; correctness scales stay light so oracle runs are fast)
+    "sf0.001": (4, 30, 8, 1),
+    "sf0.01": (8, 120, 16, 1),
+    "sf0.1": (48, 1200, 64, 16),
+    "unit": (8, 50, 16, 1),
 }
 
 FIXTURE_BASE = "/tmp/spider_ray_fixtures"
@@ -373,8 +441,10 @@ FIXTURE_BASE = "/tmp/spider_ray_fixtures"
 def ensure_scale(sf_name: str) -> str:
     """Corpus for a named scale (deterministic path for oracle SQL)."""
     params = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])
-    n_hosts, pph, n_buckets = params
-    return ensure_corpus(FIXTURE_BASE, sf_name, n_hosts, pph, seed=42, n_buckets=n_buckets)
+    n_hosts, pph, n_buckets, page_weight = params
+    return ensure_corpus(
+        FIXTURE_BASE, sf_name, n_hosts, pph, seed=42, n_buckets=n_buckets, page_weight=page_weight
+    )
 
 
 def sanity_check_text_roundtrip(rows: list[dict]) -> int:

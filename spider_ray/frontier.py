@@ -66,6 +66,27 @@ def score_url(url: str, depth: int) -> int:
     return max(0, min(2000, score))
 
 
+def score_urls_arrow(urls, depth: int):
+    """Vectorized :func:`score_url` over a pyarrow StringArray (exact same
+    semantics — verified 1:1 in tests).  Returns an int32 numpy array."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    low = pc.utf8_lower(urls)
+    # url_path portion: strip scheme+authority, strip query/fragment; inputs
+    # without "://" keep the whole string (frontier.rs:205-222 semantics)
+    path = pc.replace_substring_regex(low, pattern=r"^[^:/?#]+://[^/]*", replacement="")
+    path = pc.replace_substring_regex(path, pattern=r"[?#].*$", replacement="")
+    # a scheme-bearing url with no path yields "" here; rust yields "/" —
+    # both contain no scoring terms, so scores agree.
+    score = np.full(len(urls), 1000 - depth * 100, dtype=np.int64)
+    for seg in HIGH_VALUE:
+        score += np.asarray(pc.match_substring(path, seg), dtype=np.int64) * 50
+    for seg in LOW_VALUE:
+        score -= np.asarray(pc.match_substring(path, seg), dtype=np.int64) * 200
+    return np.clip(score, 0, 2000).astype(np.int32)
+
+
 class _NegStr(str):
     """Inverts string comparison so heapq (min-heap) pops the max url first,
     matching the reference's BinaryHeap tie-break ``then_with(url.cmp)``."""

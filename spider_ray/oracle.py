@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 from .config import CrawlConfig, CrawlJob
 from .frontier import score_url
-from .htmlparse import extract_links_and_meta, hash_html
+from .parsepage import parse_page
 from .robots import RobotFileParser
 from .scope import Selectors, parent_host_match
 from .semantics import Budget, depth_distance_for, is_allowed_default
@@ -150,10 +150,11 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleR
             host = url_host(url)
             sel, root = router.for_host(host)
             html = _as_text(body) if body is not None else ""
-            ex = extract_links_and_meta(
-                html, url, root, sel, config.external_domains, config.full_resources
+            ex = parse_page(
+                html, url, root, sel, config.external_domains, config.full_resources,
+                want_signature=config.normalize, want_text=True,
             )
-            sig = hash_html(html) if config.normalize else None
+            sig = ex.signature if config.normalize else None
             result.pages.append(
                 {
                     "url": url,
@@ -163,7 +164,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleR
                     "title": ex.title,
                     "description": ex.description,
                     "og_image": ex.og_image,
-                    "text": extract_text(html),
+                    "text": ex.text,
                     "links": ex.links,
                 }
             )

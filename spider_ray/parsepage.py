@@ -1,0 +1,305 @@
+"""Single-pass page parse: links + metadata + normalize-signature + text in
+ONE tokenization of the html.
+
+This mirrors the reference's design where fetch, link extraction, metadata
+and signature happen inline in one streaming rewriter scan
+(``Page::new_page_streaming``, ``page.rs:4641+``) rather than separate DOM
+walks.  Semantics are EXACTLY those of the three single-purpose functions
+(:func:`spider_ray.htmlparse.extract_links_and_meta`,
+:func:`spider_ray.htmlparse.hash_html`,
+:func:`spider_ray.textextract.extract_text`) — pinned by
+tests/test_parsepage.py which cross-checks against them on every fixture
+page.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+from dataclasses import dataclass
+
+from .hashing import stable_hash_u64
+from .htmlparse import (
+    COMMENT,
+    END,
+    RAWTEXT,
+    START,
+    TEXT,
+    _NORMALIZE_DELETE,
+    _RAW_TEXT,
+    _attr,
+    parse_attrs,
+    tokenize,
+)
+from .scope import Selectors, choose_join_base, parent_host_match, push_link
+from .textextract import _SKIP_SUBTREE, _WS_RE, BLOCK_TAGS
+from .urlnorm import anchor_href_filtered, normalize_url, url_host_port
+
+
+@dataclass
+class ParsedPage:
+    links: list[str]
+    title: str | None
+    description: str | None
+    og_image: str | None
+    base_href: str | None
+    signature: int | None
+    text: str
+
+
+def parse_page(
+    html: str,
+    page_url: str,
+    crawl_root: str | None,
+    selectors: Selectors,
+    external_domains: frozenset[str] = frozenset(),
+    full_resources: bool = False,
+    want_signature: bool = False,
+    want_text: bool = True,
+) -> ParsedPage:
+    # --- link/meta state (htmlparse.extract_links_and_meta) ---
+    links: dict[str, str] = {}
+    resolver = LinkResolver(page_url, crawl_root, selectors, external_domains)
+    title = description = og_image = None
+    base_element: str | None = None
+    in_head = 0
+    title_in_head = False
+
+    # --- normalize state (htmlparse.normalize_html) ---
+    norm_out: list[str] | None = [] if want_signature else None
+    norm_skip = 0
+
+    # --- text state (textextract.extract_text) ---
+    blocks: list[str] = []
+    buf: list[str] = []
+    text_skip = 0
+
+    def flush():
+        if buf:
+            joined = _WS_RE.sub(" ", _htmllib.unescape("".join(buf))).strip()
+            buf.clear()
+            if joined:
+                blocks.append(joined)
+
+    for kind, tag, attrs_str, raw in tokenize(html):
+        if kind == START:
+            attrs = None
+            self_closing = (attrs_str or "").rstrip().endswith("/")
+            # ---- links + metadata ----
+            if tag == "head":
+                in_head += 1
+            elif tag == "base" and base_element is None:
+                attrs = parse_attrs(attrs_str)
+                href = _attr(attrs, "href")
+                if href:
+                    parsed = normalize_url(href)
+                    if parsed is not None:
+                        base_element = parsed
+            elif tag == "meta":
+                attrs = parse_attrs(attrs_str)
+                content = _attr(attrs, "content")
+                if content:
+                    if _attr(attrs, "name") == "description":
+                        description = content
+                    elif _attr(attrs, "property") == "og:image":
+                        og_image = content
+            elif tag == "title":
+                title_in_head = in_head > 0
+            elif tag == "a" and not full_resources:
+                attrs = parse_attrs(attrs_str)
+                href = _attr(attrs, "href")
+                if (
+                    href is not None
+                    and _attr(attrs, "aria-hidden") != "true"
+                    and not anchor_href_filtered(href)
+                ):
+                    abs_url = resolver.resolve(href, base_element)
+                    if abs_url is not None:
+                        key = abs_url.lower()
+                        if key not in links:
+                            links[key] = abs_url
+            elif full_resources and tag in ("a", "script", "link"):
+                attrs = parse_attrs(attrs_str)
+                if not (tag == "a" and _attr(attrs, "aria-hidden") == "true"):
+                    href = _attr(attrs, "src" if tag == "script" else "href")
+                    if href is not None and not (tag == "a" and anchor_href_filtered(href)):
+                        abs_url = resolver.resolve(href, base_element)
+                        if abs_url is not None:
+                            key = abs_url.lower()
+                            if key not in links:
+                                links[key] = abs_url
+            # ---- normalize ----
+            if norm_out is not None:
+                if tag in _NORMALIZE_DELETE:
+                    if tag not in _RAW_TEXT and not self_closing and tag != "base":
+                        norm_skip += 1
+                elif not norm_skip:
+                    if attrs is None:
+                        attrs = parse_attrs(attrs_str or "")
+                    kept = [
+                        (n, v)
+                        for n, v in attrs
+                        if not (tag == "a" and n == "href")
+                        and (n.startswith("data-") or n in ("id", "class"))
+                    ]
+                    attrs_out = "".join(
+                        f' {n}="{_htmllib.escape(v, quote=True)}"' if v is not None else f" {n}"
+                        for n, v in kept
+                    )
+                    norm_out.append(f"<{tag}{attrs_out}>")
+            # ---- text ----
+            if want_text:
+                if tag in _SKIP_SUBTREE:
+                    flush()
+                    if tag not in ("script", "style") and not self_closing:
+                        text_skip += 1
+                elif not text_skip and tag in BLOCK_TAGS:
+                    flush()
+        elif kind == END:
+            if tag == "head" and in_head:
+                in_head -= 1
+            if norm_out is not None:
+                if tag in _NORMALIZE_DELETE:
+                    if norm_skip and tag not in _RAW_TEXT:
+                        norm_skip -= 1
+                elif not norm_skip:
+                    norm_out.append(f"</{tag}>")
+            if want_text:
+                if tag in _SKIP_SUBTREE:
+                    if text_skip and tag not in ("script", "style"):
+                        text_skip -= 1
+                    flush()
+                elif not text_skip and tag in BLOCK_TAGS:
+                    flush()
+        elif kind == TEXT:
+            if norm_out is not None and not norm_skip:
+                norm_out.append(tag)
+            if want_text and not text_skip:
+                buf.append(tag)
+        elif kind == COMMENT:
+            if norm_out is not None and not norm_skip:
+                norm_out.append(tag)
+        elif kind == RAWTEXT:
+            if tag == "title" and title_in_head and raw:
+                title = raw
+            if norm_out is not None and tag not in _NORMALIZE_DELETE and not norm_skip:
+                norm_out.append(raw or "")
+            if want_text and not text_skip and tag == "textarea" and raw:
+                buf.append(raw)
+    if want_text:
+        flush()
+
+    signature = None
+    if norm_out is not None:
+        normalized = "".join(norm_out).encode("utf-8")
+        signature = stable_hash_u64(normalized) if normalized else 0
+
+    return ParsedPage(
+        links=list(links.values()),
+        title=title,
+        description=description,
+        og_image=og_image,
+        base_href=base_element,
+        signature=signature,
+        text="\n".join(blocks) if want_text else "",
+    )
+
+
+def _push(links, href, page_url, crawl_root, base_element, selectors, external_domains):
+    base = choose_join_base(href, page_url, crawl_root, base_element)
+    abs_url = push_link(base, href, selectors, external_domains)
+    if abs_url is not None:
+        key = abs_url.lower()
+        if key not in links:
+            links[key] = abs_url
+
+
+class LinkResolver:
+    """Hot-path link canonicalization with exact slow-path semantics.
+
+    The generic path (``choose_join_base`` → ``convert_abs_path`` →
+    ``validate_link`` → scheme coercion) costs several ``urlsplit``/
+    ``urljoin`` calls per link.  The two overwhelmingly common href shapes on
+    real pages — root-absolute ``/a/b`` and bare-relative ``page2`` — resolve
+    to simple string concatenations when they contain no dot-segments, no
+    backslashes and no scheme colon.  Everything else falls back to the
+    generic functions, so outputs are IDENTICAL (pinned by
+    tests/test_parsepage.py which cross-checks every fixture page against
+    the single-purpose reference implementation).
+    """
+
+    __slots__ = (
+        "page_url", "crawl_root", "selectors", "external_domains",
+        "page_dir", "page_prefix_ok", "root_prefix", "root_ok",
+    )
+
+    def __init__(self, page_url, crawl_root, selectors, external_domains):
+        self.page_url = page_url
+        self.crawl_root = crawl_root
+        self.selectors = selectors
+        self.external_domains = external_domains
+        # base dir of the page for bare-relative joins ("…/a/b" → "…/a/")
+        cut = page_url.rfind("/")
+        authority_end = page_url.find("/", page_url.find("://") + 3) if "://" in page_url else -1
+        if "://" in page_url and cut >= authority_end >= 0 and "?" not in page_url and "#" not in page_url:
+            self.page_dir = page_url[: cut + 1]
+        else:
+            self.page_dir = None
+        # fast paths are valid only when the inherited scheme already equals
+        # the parent scheme (no coercion step), that scheme is crawlable, and
+        # the base's host passes the scope check (computed ONCE here)
+        scheme = selectors.parent_host_scheme
+        scheme_ok = scheme in ("http", "https") and page_url.startswith(scheme + "://")
+        self.page_prefix_ok = (
+            scheme_ok and self.page_dir is not None and self._host_in_scope(page_url)
+        )
+        self.root_prefix = None
+        self.root_ok = False
+        if crawl_root is not None and crawl_root.endswith("/"):
+            self.root_prefix = crawl_root[:-1]  # scheme://host[:port]
+            self.root_ok = (
+                scheme in ("http", "https")
+                and crawl_root.startswith(scheme + "://")
+                and self._host_in_scope(crawl_root)
+            )
+
+    def _host_in_scope(self, url: str) -> bool:
+        """The host-acceptance part of ``validate_link`` (page.rs:2756-2795)."""
+        host, port = url_host_port(url)
+        sel = self.selectors
+        ok = parent_host_match(
+            host or None, sel.sub_matcher, sel.parent_host, sel.base_input_domain, sel.sub_matcher
+        )
+        if not ok and host and port is not None:
+            ok = parent_host_match(
+                f"{host}:{port}", sel.sub_matcher, sel.parent_host, sel.base_input_domain, sel.sub_matcher
+            )
+        if not ok and host and self.external_domains:
+            ok = host in self.external_domains or "*" in self.external_domains
+        return ok
+
+    def resolve(self, href: str, base_element) -> str | None:
+        """Return the canonical in-scope URL or None.  ``base_element`` non-
+        None forces the generic path (rare)."""
+        h = href.strip()
+        if base_element is None and h and "\\" not in h and "#" not in h:
+            c0 = h[0]
+            if c0 == "/":
+                if (
+                    self.root_ok
+                    and len(h) > 1
+                    and h[1] != "/"
+                    and "/." not in h
+                    and ":" not in h
+                ):
+                    return self.root_prefix + h
+            elif (
+                self.page_prefix_ok
+                and c0 != "."
+                and c0 != "?"
+                and ":" not in h
+                and "/." not in h
+            ):
+                return self.page_dir + h
+        # generic path
+        base = choose_join_base(h, self.page_url, self.crawl_root, base_element)
+        return push_link(base, h, self.selectors, self.external_domains)

@@ -267,6 +267,98 @@ class RayCrawler:
         names = [f.name for f in tables[-1].schema]
         return pa.concat_tables([t.select(names) for t in tables])
 
+    # -- vectorized fast path ------------------------------------------------
+
+    def _simple_config(self) -> bool:
+        """True when admission is order-independent (no budget, politeness,
+        robots, filters, or round-robin) — the common web-scale case.  The
+        vectorized path below then produces EXACTLY the same admitted set and
+        canonical order as the sequential fold (parity-tested)."""
+        c = self.config
+        return (
+            c.budget is None
+            and c.delay_ms == 0
+            and not c.respect_robots_txt
+            and not c.whitelist
+            and not c.blacklist
+            and not c.round_robin
+        )
+
+    def _candidates_fast(self, parsed_tbl, admitted, signatures, wave):
+        """Arrow-native candidate extraction: signature gating per page, then
+        list_flatten of allowed pages' links — candidate URLs never become
+        Python objects until after dedup."""
+        import pyarrow.compute as pc
+
+        if parsed_tbl is None:
+            return None
+        urls = parsed_tbl.column("url").to_pylist()
+        row_of = {u: i for i, u in enumerate(urls)}
+        allowed_rows = []
+        if self.config.normalize:
+            sigs = parsed_tbl.column("signature").to_pylist()
+            for u in admitted:
+                i = row_of.get(u)
+                if i is None:
+                    continue
+                sig = sigs[i]
+                if sig is not None:
+                    if sig in signatures:
+                        continue  # duplicate content: links NOT expanded
+                    signatures.add(sig)
+                allowed_rows.append(i)
+        else:
+            allowed_rows = [row_of[u] for u in admitted if u in row_of]
+        links_col = parsed_tbl.column("links").combine_chunks()
+        flat = pc.list_flatten(links_col.take(pa.array(allowed_rows, pa.int64())))
+        return flat  # StringArray, in page-admitted × doc order
+
+    def _admit_fast(self, flat_candidates, seen, wave):
+        """Vectorized dedup + canonical ordering + depth filter + seen check.
+
+        Equivalent to order_candidates + admit_wave for simple configs:
+        first-push dedup by candidate order, heap order = sort by
+        (priority desc, url_norm desc), depth = path-segment count.
+        """
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..frontier import score_urls_arrow
+        from ..semantics import depth_distance_for
+
+        if flat_candidates is None or len(flat_candidates) == 0:
+            return []
+        self.frontier_ops += len(flat_candidates)
+        keys = pc.utf8_lower(flat_candidates)
+        # first-push dedup in candidate order (UrlFrontier.push semantics)
+        import pandas as pd
+
+        keys_pd = pd.Index(keys.to_pandas())
+        mask_arr = pa.array(~keys_pd.duplicated(keep="first"))
+        cand = flat_candidates.filter(mask_arr)
+        cand_keys = keys.filter(mask_arr)
+        prio = score_urls_arrow(cand, wave)
+        # canonical heap order: priority desc, url_norm desc
+        tbl = pa.table({"url": cand, "key": cand_keys, "prio": pa.array(prio, pa.int32())})
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("prio", "descending"), ("key", "descending")]
+        )
+        tbl = tbl.take(idx)
+        # depth filter (path-segment count incl. query, website.rs:2010-2028)
+        dd = depth_distance_for(self.config)
+        if dd > 0:
+            pathq = pc.replace_substring_regex(
+                tbl.column("url"), pattern=r"^[^:/?#]+://[^/]*", replacement=""
+            )
+            starts_slash = pc.starts_with(pathq, "/")
+            segs = pc.count_substring(pathq, "/")
+            ok = pc.or_(pc.invert(starts_slash), pc.less_equal(segs, dd))
+            tbl = tbl.filter(ok)
+        order_keys = tbl.column("key").to_pylist()
+        mask = seen.contains_batch(order_keys)
+        urls_py = tbl.column("url").to_pylist()
+        return [u for u, m in zip(urls_py, mask) if not m]
+
     # -- main loop -----------------------------------------------------------
 
     def run(self, resume: bool = False) -> CrawlResult:
@@ -302,37 +394,65 @@ class RayCrawler:
             candidates, deferred = None, []
             wave = 0
 
+        fast = self._simple_config() and not self.ckpt_dir
+
         while True:
+            flat_candidates = None
             if admitted:
                 parsed_tbl = self._fetch_parse_wave(admitted, wave)
                 if self.keep_pages and parsed_tbl is not None:
                     result.pages_tables.append(parsed_tbl)
-                by_url = {}
-                if parsed_tbl is not None:
-                    for u, s, l in zip(
-                        parsed_tbl.column("url").to_pylist(),
-                        parsed_tbl.column("signature").to_pylist(),
-                        parsed_tbl.column("links").to_pylist(),
+                if fast:
+                    flat_candidates = self._candidates_fast(
+                        parsed_tbl, admitted, signatures, wave
+                    )
+                    n_cand = len(flat_candidates) if flat_candidates is not None else 0
+                    result.metrics.append(
+                        {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
+                         "candidates": n_cand}
+                    )
+                    candidates = None
+                else:
+                    by_url = {}
+                    if parsed_tbl is not None:
+                        for u, s, l in zip(
+                            parsed_tbl.column("url").to_pylist(),
+                            parsed_tbl.column("signature").to_pylist(),
+                            parsed_tbl.column("links").to_pylist(),
+                        ):
+                            by_url[u] = (s, l)
+                    pages_in_order = [(u, *by_url.get(u, (None, []))) for u in admitted]
+                    candidates = list(deferred)
+                    deferred = []
+                    dup_sig = 0
+                    depth = wave + 1
+                    for url, allowed, links in gate_links_by_signature(
+                        pages_in_order, signatures, config.normalize
                     ):
-                        by_url[u] = (s, l)
-                pages_in_order = [(u, *by_url.get(u, (None, []))) for u in admitted]
-                candidates = list(deferred)
-                deferred = []
-                dup_sig = 0
-                depth = wave + 1
-                for url, allowed, links in gate_links_by_signature(
-                    pages_in_order, signatures, config.normalize
-                ):
-                    if allowed:
-                        candidates.extend((link, score_url(link, depth)) for link in links)
-                    else:
-                        dup_sig += 1
-                result.metrics.append(
-                    {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
-                     "dup_signature": dup_sig, "candidates": len(candidates)}
-                )
+                        if allowed:
+                            candidates.extend((link, score_url(link, depth)) for link in links)
+                        else:
+                            dup_sig += 1
+                    result.metrics.append(
+                        {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
+                         "dup_signature": dup_sig, "candidates": len(candidates)}
+                    )
             elif candidates is None:
                 candidates = []
+
+            if fast:
+                if flat_candidates is None or len(flat_candidates) == 0 or wave + 1 >= config.max_waves:
+                    break
+                admitted = self._admit_fast(flat_candidates, seen, wave + 1)
+                wave += 1
+                seen.insert_batch([u.lower() for u in admitted])
+                result.visited.extend(admitted)
+                result.admitted_order.extend(
+                    (wave, seq, url) for seq, url in enumerate(admitted)
+                )
+                if not admitted:
+                    break
+                continue
 
             self._ckpt_wave(wave, candidates, deferred, budget, signatures, seen, result.metrics)
 

@@ -16,9 +16,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..config import CrawlConfig, CrawlJob
-from ..htmlparse import extract_links_and_meta, hash_html
 from ..oracle import ScopeRouter
-from ..textextract import extract_text
+from ..parsepage import parse_page
 from ..urlnorm import url_host
 
 PARSED_SCHEMA = pa.schema(
@@ -60,15 +59,22 @@ class ParsePages:
             host = url_host(url)
             sel, root = self.router.for_host(host)
             text_html = html.decode("utf-8", "replace") if html else ""
-            ex = extract_links_and_meta(
-                text_html, url, root, sel, cfg.external_domains, cfg.full_resources
+            ex = parse_page(
+                text_html,
+                url,
+                root,
+                sel,
+                cfg.external_domains,
+                cfg.full_resources,
+                want_signature=cfg.normalize,
+                want_text=True,
             )
             hosts.append(host)
-            sigs.append(hash_html(text_html) if cfg.normalize else None)
+            sigs.append(ex.signature if cfg.normalize else None)
             titles.append(ex.title)
             descs.append(ex.description)
             ogs.append(ex.og_image)
-            texts.append(extract_text(text_html))
+            texts.append(ex.text)
             links_col.append(ex.links)
         return pa.table(
             {

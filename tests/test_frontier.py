@@ -74,3 +74,26 @@ def test_heap_tiebreak_is_url_descending():
 def test_canonical_wave_order_deterministic():
     urls = [("https://a.com/x", 100), ("https://b.com/y", 100), ("https://a.com/z", 50)]
     assert canonical_wave_order(urls) == canonical_wave_order(list(reversed(urls)))
+
+
+def test_score_urls_arrow_matches_scalar():
+    import pyarrow as pa
+
+    from spider_ray.frontier import score_urls_arrow
+
+    urls = [
+        "https://shop.com/product/widget",
+        "https://shop.com/legal/privacy",
+        "https://shop.com/deep",
+        "https://x.com/product/article/item/page",
+        "https://x.com/legal",
+        "https://e.com/PAGE/Item?product=1#frag",
+        "https://e.com",
+        "no-scheme/product",
+        "https://product.example/plain",  # term in HOST must not score
+        "",
+    ]
+    for depth in (0, 3, 15, 20):
+        vec = score_urls_arrow(pa.array(urls, pa.string()), depth)
+        for u, v in zip(urls, vec):
+            assert int(v) == score_url(u, depth), (u, depth)
