@@ -370,7 +370,7 @@ def corpus_as_dict(rows: list[dict]) -> dict[str, tuple[int, bytes]]:
 
 
 def write_corpus_parquet(
-    rows: list[dict], out_dir: str, n_buckets: int = 16, row_group_size: int = 4096
+    rows: list[dict], out_dir: str, n_buckets: int = 16, row_group_size: int = 512
 ) -> str:
     """Write ``web_pages`` bucketed by ``hash(host) % n_buckets``; rows inside
     a bucket sorted by url so row-group pruning on url predicates works."""

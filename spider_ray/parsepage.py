@@ -75,8 +75,11 @@ def parse_page(
 
     def flush():
         if buf:
-            joined = _WS_RE.sub(" ", _htmllib.unescape("".join(buf))).strip()
+            joined = "".join(buf)
             buf.clear()
+            if "&" in joined:
+                joined = _htmllib.unescape(joined)
+            joined = _WS_RE.sub(" ", joined).strip()
             if joined:
                 blocks.append(joined)
 
@@ -133,19 +136,22 @@ def parse_page(
                     if tag not in _RAW_TEXT and not self_closing and tag != "base":
                         norm_skip += 1
                 elif not norm_skip:
-                    if attrs is None:
-                        attrs = parse_attrs(attrs_str or "")
-                    kept = [
-                        (n, v)
-                        for n, v in attrs
-                        if not (tag == "a" and n == "href")
-                        and (n.startswith("data-") or n in ("id", "class"))
-                    ]
-                    attrs_out = "".join(
-                        f' {n}="{_htmllib.escape(v, quote=True)}"' if v is not None else f" {n}"
-                        for n, v in kept
-                    )
-                    norm_out.append(f"<{tag}{attrs_out}>")
+                    if not attrs_str or attrs_str.isspace():
+                        norm_out.append(f"<{tag}>")
+                    else:
+                        if attrs is None:
+                            attrs = parse_attrs(attrs_str)
+                        kept = [
+                            (n, v)
+                            for n, v in attrs
+                            if not (tag == "a" and n == "href")
+                            and (n.startswith("data-") or n in ("id", "class"))
+                        ]
+                        attrs_out = "".join(
+                            f' {n}="{_htmllib.escape(v, quote=True)}"' if v is not None else f" {n}"
+                            for n, v in kept
+                        )
+                        norm_out.append(f"<{tag}{attrs_out}>")
             # ---- text ----
             if want_text:
                 if tag in _SKIP_SUBTREE:

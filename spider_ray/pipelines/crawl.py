@@ -99,6 +99,7 @@ class RayCrawler:
         self.parse_concurrency = parse_concurrency
         self.keep_pages = keep_pages
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
+        self._index = None  # CorpusIndex, built lazily at first wave
 
     # -- corpus-side helpers -------------------------------------------------
 
@@ -220,10 +221,15 @@ class RayCrawler:
         table (url, host, status_code, signature, title, …, links)."""
         import ray
 
-        ds, _ = fetch_wave(admitted, self.corpus_dir)
+        from ..stages.fetch import CorpusIndex, fetch_wave_indexed
+
+        if self._index is None:
+            self._index = CorpusIndex(self.corpus_dir)
+        ds, missing_known = fetch_wave_indexed(admitted, self._index)
         tables: list[pa.Table] = []
         if ds is not None:
-            parse_kwargs = dict(batch_format="pyarrow", batch_size=self.parse_batch_size)
+            # batch_size=None: task per fetched block (one corpus descriptor)
+            parse_kwargs = dict(batch_format="pyarrow", batch_size=None)
             if self.parse_concurrency:
                 parsed_ds = ds.map_batches(
                     ParsePages,
@@ -237,15 +243,16 @@ class RayCrawler:
             if self.out_dir:
                 parsed_ds = parsed_ds.materialize()
                 parsed_ds.write_parquet(os.path.join(self.out_dir, f"wave_{wave:05d}"))
+            if not self.keep_pages:
+                # only the frontier-relevant columns travel to the driver —
+                # text/title/html-derived payload stays in the workers
+                parsed_ds = parsed_ds.select_columns(["url", "signature", "links", "wave"])
             tables = [
                 t
                 for t in (ray.get(ref) for ref in parsed_ds.to_arrow_refs())
                 if t.num_rows > 0 and "url" in t.schema.names
             ]
-        found: set[str] = set()
-        for t in tables:
-            found.update(t.column("url").to_pylist())
-        missing = [u for u in admitted if u not in found]
+        missing = missing_known
         if missing:
             miss_tbl = missing_rows(missing, wave)
             if self.config.normalize:
@@ -264,7 +271,7 @@ class RayCrawler:
                 pq.write_table(miss_tbl, os.path.join(wdir, "missing.parquet"))
         if not tables:
             return None
-        names = [f.name for f in tables[-1].schema]
+        names = [f.name for f in tables[0].schema]
         return pa.concat_tables([t.select(names) for t in tables])
 
     # -- vectorized fast path ------------------------------------------------

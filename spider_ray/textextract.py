@@ -47,8 +47,11 @@ def extract_text(html: bytes | str) -> str:
 
     def flush():
         if buf:
-            joined = _WS_RE.sub(" ", _htmllib.unescape("".join(buf))).strip()
+            joined = "".join(buf)
             buf.clear()
+            if "&" in joined:
+                joined = _htmllib.unescape(joined)
+            joined = _WS_RE.sub(" ", joined).strip()
             if joined:
                 blocks.append(joined)
 
