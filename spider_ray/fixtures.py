@@ -232,8 +232,14 @@ def _build_host_rows(
             html, text = p.render()
             add(url, html, text, lang=("fr" if idx % 17 == 5 else "ja" if idx % 23 == 7 else "en"))
 
-        # sitemap.xml (urlset)
-        locs = "".join(f"<url><loc>{root}{t.lstrip('/')}</loc></url>" for t in sections)
+        # sitemap.xml (urlset) — includes an ORPHAN page reachable only via
+        # the sitemap chain (sitemap_crawl scenario)
+        orphan = f"{root}orphan/sm{k}"
+        h_orph, t_orph = _mini_page(orphan, f"orphan page {k}", [f"Only the sitemap links here ({k})."])
+        add(orphan, h_orph, t_orph)
+        locs = "".join(
+            f"<url><loc>{root}{t.lstrip('/')}</loc></url>" for t in sections
+        ) + f"<url><loc>{orphan}</loc></url>"
         sitemap = f'<?xml version="1.0" encoding="UTF-8"?><urlset>{locs}</urlset>'
         rows.append({"url": root + "sitemap.xml", "html": sitemap.encode(), "text": "", "lang": "en"})
         statuses[root + "sitemap.xml"] = 200
@@ -431,7 +437,7 @@ SCALE_PARAMS = {
     # scales only; correctness scales stay light so oracle runs are fast)
     "sf0.001": (4, 30, 8, 1),
     "sf0.01": (8, 120, 16, 1),
-    "sf0.1": (48, 1200, 64, 16),
+    "sf0.1": (96, 2400, 128, 16),
     "unit": (8, 50, 16, 1),
 }
 

@@ -199,4 +199,46 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleR
         if not admitted and not deferred:
             break
 
+    # --- sitemap chain (website.rs:6975, 12408+): fetch sitemap-discovered
+    # pages through the normal admission chain; links NOT expanded ---
+    if not config.ignore_sitemap:
+        from .semantics import is_over_depth
+        from .sources.sitemap import collect_sitemap_urls
+
+        sm_wave = wave + 1
+        seq = 0
+        for _, root in router.entries:
+            if root is None:
+                continue
+            for url in collect_sitemap_urls(corpus_get, root):
+                key = url.lower()
+                if key in visited:
+                    continue
+                if not is_allowed_default(url, config, robots_for(url)):
+                    continue
+                if is_over_depth(url, config):
+                    continue
+                if budget.is_over(url):
+                    continue
+                visited.add(key)
+                result.visited.append(url)
+                result.admitted_order.append((sm_wave, seq, url))
+                seq += 1
+                status, body = corpus_get(url)
+                host = url_host(url)
+                sel, sroot = router.for_host(host)
+                html = _as_text(body) if body is not None else ""
+                ex = parse_page(
+                    html, url, sroot, sel, config.external_domains, config.full_resources,
+                    want_signature=config.normalize, want_text=True,
+                )
+                result.pages.append(
+                    {
+                        "url": url, "wave": sm_wave, "status_code": status,
+                        "signature": ex.signature if config.normalize else None,
+                        "title": ex.title, "description": ex.description,
+                        "og_image": ex.og_image, "text": ex.text, "links": ex.links,
+                    }
+                )
+
     return result

@@ -100,6 +100,7 @@ class RayCrawler:
         self.keep_pages = keep_pages
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
         self._index = None  # CorpusIndex, built lazily at first wave
+        self._pending_inserts: list = []
 
     # -- corpus-side helpers -------------------------------------------------
 
@@ -361,10 +362,27 @@ class RayCrawler:
             segs = pc.count_substring(pathq, "/")
             ok = pc.or_(pc.invert(starts_slash), pc.less_equal(segs, dd))
             tbl = tbl.filter(ok)
+        # host of each candidate (vectorized) — the single partitioning key
+        # shared with corpus buckets and the politeness scheduler
+        h1 = pc.replace_substring_regex(
+            tbl.column("key"), pattern=r"^[a-z0-9+.\-]+://", replacement=""
+        )
+        hosts_arr = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
         order_keys = tbl.column("key").to_pylist()
-        mask = seen.contains_batch(order_keys)
+        hosts_py = hosts_arr.to_pylist()
+        if self._pending_inserts:
+            import ray
+
+            ray.get(self._pending_inserts)
+            self._pending_inserts = []
+        mask = seen.contains_batch(order_keys, hosts_py)
         urls_py = tbl.column("url").to_pylist()
-        return [u for u, m in zip(urls_py, mask) if not m]
+        admitted, admitted_hosts = [], []
+        for u, h, m in zip(urls_py, hosts_py, mask):
+            if not m:
+                admitted.append(u)
+                admitted_hosts.append(h)
+        return admitted, admitted_hosts
 
     # -- main loop -----------------------------------------------------------
 
@@ -385,6 +403,7 @@ class RayCrawler:
             return robots_delays.get(host, config.delay_ms)
 
         resume_wave = self._find_resume_wave() if resume else None
+        fast = self._simple_config() and not self.ckpt_dir
 
         if resume_wave is not None:
             candidates, deferred = self._restore(resume_wave, seen, budget, signatures, result)
@@ -394,14 +413,15 @@ class RayCrawler:
             # wave 0: seed establish (shared with the oracle)
             visited_seed: set[str] = set()
             admitted = _oracle.admit_seeds(self.job, config, robots_for, visited_seed)
-            seen.insert_batch([u.lower() for u in admitted])
+            seen.insert_batch(
+                [u.lower() for u in admitted],
+                [url_host(u) for u in admitted] if fast else None,
+            )
             for seq, url in enumerate(admitted):
                 result.visited.append(url)
                 result.admitted_order.append((0, seq, url))
             candidates, deferred = None, []
             wave = 0
-
-        fast = self._simple_config() and not self.ckpt_dir
 
         while True:
             flat_candidates = None
@@ -450,9 +470,14 @@ class RayCrawler:
             if fast:
                 if flat_candidates is None or len(flat_candidates) == 0 or wave + 1 >= config.max_waves:
                     break
-                admitted = self._admit_fast(flat_candidates, seen, wave + 1)
+                admitted, admitted_hosts = self._admit_fast(flat_candidates, seen, wave + 1)
                 wave += 1
-                seen.insert_batch([u.lower() for u in admitted])
+                # fire-and-overlap: the insert round-trip completes while the
+                # wave's fetch+parse pipeline runs (awaited before the next
+                # contains_batch)
+                self._pending_inserts = seen.insert_batch_async(
+                    [u.lower() for u in admitted], admitted_hosts
+                )
                 result.visited.extend(admitted)
                 result.admitted_order.extend(
                     (wave, seq, url) for seq, url in enumerate(admitted)
@@ -490,9 +515,83 @@ class RayCrawler:
                 self._ckpt_wave(wave, [], [], budget, signatures, seen, result.metrics)
                 break
 
+        if self._pending_inserts:
+            import ray
+
+            ray.get(self._pending_inserts)
+            self._pending_inserts = []
+
+        # --- sitemap chain (website.rs:6975): admitted through the normal
+        # chain, fetched+parsed distributed, links NOT expanded ---
+        if not config.ignore_sitemap:
+            self._sitemap_chain(result, seen, budget, robots_for, wave + 1)
+
         result.seen_keys = seen.dump()
         seen.shutdown()
         return result
+
+    def _sitemap_chain(self, result, seen, budget, robots_for, sm_wave):
+        from ..semantics import is_over_depth
+        from ..sources.sitemap import collect_sitemap_urls
+        from ..stages.fetch import CorpusIndex
+
+        config = self.config
+        if self._index is None:
+            self._index = CorpusIndex(self.corpus_dir)
+        index = self._index
+
+        def corpus_get(url):
+            hit = index.lookup.get(url)
+            if hit is None:
+                return (404, None)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            fi, rg = hit
+            tbl = pq.ParquetFile(index.paths[fi]).read_row_group(rg, columns=["url", "html", "status"])
+            mask = pa.compute.equal(tbl.column("url"), url)
+            row = tbl.filter(mask)
+            if row.num_rows == 0:
+                return (404, None)
+            return (row.column("status")[0].as_py(), row.column("html")[0].as_py())
+
+        fast = self._simple_config() and not self.ckpt_dir
+        candidates = []
+        for _, root in _oracle.ScopeRouter(self.job).entries:
+            if root is None:
+                continue
+            candidates.extend(collect_sitemap_urls(corpus_get, root))
+        cand_hosts = [url_host(u) for u in candidates] if fast else None
+        existing = seen.contains_batch([u.lower() for u in candidates], cand_hosts)
+        admitted, seq = [], 0
+        local_seen = set()
+        for url, present in zip(candidates, existing):
+            key = url.lower()
+            if present or key in local_seen:
+                continue
+            if not _oracle.is_allowed_default(url, config, robots_for(url)):
+                continue
+            if is_over_depth(url, config):
+                continue
+            if budget.is_over(url):
+                continue
+            local_seen.add(key)
+            admitted.append(url)
+            result.visited.append(url)
+            result.admitted_order.append((sm_wave, seq, url))
+            seq += 1
+        if admitted:
+            seen.insert_batch(
+                [u.lower() for u in admitted],
+                [url_host(u) for u in admitted] if fast else None,
+            )
+            parsed_tbl = self._fetch_parse_wave(admitted, sm_wave)
+            if self.keep_pages and parsed_tbl is not None:
+                result.pages_tables.append(parsed_tbl)
+            result.metrics.append(
+                {"wave": sm_wave, "admitted": len(admitted), "fetched": len(admitted),
+                 "sitemap": True, "candidates": 0}
+            )
 
 
 def crawl(job: CrawlJob, corpus_dir: str, **kwargs) -> CrawlResult:

@@ -76,14 +76,26 @@ class UrlSeen:
             for i in range(num_shards)
         ]
 
-    def _route(self, keys: list[str]) -> list[list[tuple[int, str]]]:
+    def _route(self, keys: list[str], hosts: list[str] | None = None):
+        """Shard routing.  When ``hosts`` is given, the routing key is the
+        HOST hash — the same partitioning key as the corpus buckets and the
+        politeness scheduler (one key reused across every stage); hashing is
+        then amortized over unique hosts instead of per-URL."""
         buckets: list[list[tuple[int, str]]] = [[] for _ in range(self.num_shards)]
-        for idx, k in enumerate(keys):
-            buckets[stable_hash_str(k) % self.num_shards].append((idx, k))
+        if hosts is not None:
+            shard_of_host: dict[str, int] = {}
+            for idx, (k, h) in enumerate(zip(keys, hosts)):
+                s = shard_of_host.get(h)
+                if s is None:
+                    s = shard_of_host[h] = stable_hash_str(h) % self.num_shards
+                buckets[s].append((idx, k))
+        else:
+            for idx, k in enumerate(keys):
+                buckets[stable_hash_str(k) % self.num_shards].append((idx, k))
         return buckets
 
-    def contains_batch(self, keys: list[str]) -> list[bool]:
-        buckets = self._route(keys)
+    def contains_batch(self, keys: list[str], hosts: list[str] | None = None) -> list[bool]:
+        buckets = self._route(keys, hosts)
         futures = []
         for shard, bucket in zip(self.shards, buckets):
             if bucket:
@@ -94,14 +106,20 @@ class UrlSeen:
                 out[idx] = hit
         return out
 
-    def insert_batch(self, keys: list[str]) -> int:
-        buckets = self._route(keys)
-        futures = [
+    def insert_batch(self, keys: list[str], hosts: list[str] | None = None) -> int:
+        futures = self.insert_batch_async(keys, hosts)
+        return sum(ray.get(futures)) if futures else 0
+
+    def insert_batch_async(self, keys: list[str], hosts: list[str] | None = None):
+        """Fire the inserts and return futures — callers may overlap the wave
+        fetch with the insert round-trip and ray.get before the next
+        contains_batch."""
+        buckets = self._route(keys, hosts)
+        return [
             shard.insert_batch.remote([k for _, k in bucket])
             for shard, bucket in zip(self.shards, buckets)
             if bucket
         ]
-        return sum(ray.get(futures)) if futures else 0
 
     def checkpoint_increments(self) -> list[list[str]]:
         return ray.get([s.take_increment.remote() for s in self.shards])

@@ -32,6 +32,8 @@ SCENARIOS = {
     "politeness": (CrawlConfig(delay_ms=100, round_robin=True), list(range(4))),
     "full_resources": (CrawlConfig(full_resources=True), [0]),
     "external": (CrawlConfig(external_domains=frozenset({"off-domain.example"})), [0]),
+    "sitemap": (CrawlConfig(ignore_sitemap=False), [0]),
+    "sitemap_budget": (CrawlConfig(ignore_sitemap=False).with_limit(30), [0]),
 }
 
 

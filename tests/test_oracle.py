@@ -158,3 +158,29 @@ def test_text_matches_golden(corpus):
         status, body = corpus.get(p["url"], (404, None))
         if body is None:
             assert p["text"] == ""
+
+
+def test_sitemap_chain(corpus):
+    res = crawl(corpus, CrawlConfig(ignore_sitemap=False))
+    assert "https://www.site0.example/orphan/sm0" in res.visited_set
+    plain = crawl(corpus)
+    assert "https://www.site0.example/orphan/sm0" not in plain.visited_set
+    # sitemap pages carry the sitemap wave and did not expand links
+    sm_wave = max(w for w, _, _ in res.admitted_order)
+    sm_pages = [u for w, _, u in res.admitted_order if w == sm_wave]
+    assert "https://www.site0.example/orphan/sm0" in sm_pages
+
+
+def test_parse_sitemap():
+    from spider_ray.sources.sitemap import parse_sitemap
+
+    urls, children = parse_sitemap(
+        '<?xml version="1.0"?><urlset><url><loc>https://a/x</loc></url>'
+        "<url><loc> https://a/y </loc></url></urlset>"
+    )
+    assert urls == ["https://a/x", "https://a/y"] and children == []
+    urls, children = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a/sm2.xml</loc></sitemap></sitemapindex>"
+    )
+    assert urls == [] and children == ["https://a/sm1.xml", "https://a/sm2.xml"]
