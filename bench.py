@@ -62,8 +62,7 @@ def run_bench() -> dict:
     # --- headline: full crawl of every host at once -------------------------
     job = CrawlJob(tuple(seed_of(k) for k in range(n_hosts)), CrawlConfig(normalize=True))
     t0 = time.perf_counter()
-    crawler = RayCrawler(job, corpus, keep_pages=False,
-                         parse_batch_size=256)
+    crawler = RayCrawler(job, corpus, keep_pages=False, collect_seen=False)
     res = crawler.run()
     crawl_sec = time.perf_counter() - t0
     pages = len(res.visited)

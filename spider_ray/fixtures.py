@@ -376,7 +376,8 @@ def corpus_as_dict(rows: list[dict]) -> dict[str, tuple[int, bytes]]:
 
 
 def write_corpus_parquet(
-    rows: list[dict], out_dir: str, n_buckets: int = 16, row_group_size: int = 512
+    rows: list[dict], out_dir: str, n_buckets: int = 16, row_group_size: int = 128,
+    params: dict | None = None,
 ) -> str:
     """Write ``web_pages`` bucketed by ``hash(host) % n_buckets``; rows inside
     a bucket sorted by url so row-group pruning on url predicates works."""
@@ -405,7 +406,7 @@ def write_corpus_parquet(
         bdir = os.path.join(out_dir, f"bucket={b:04d}")
         os.makedirs(bdir, exist_ok=True)
         pq.write_table(table, os.path.join(bdir, "part-0.parquet"), row_group_size=row_group_size)
-    manifest = {"n_buckets": n_buckets, "rows": len(rows)}
+    manifest = {"n_buckets": n_buckets, "rows": len(rows), "params": params}
     with open(os.path.join(out_dir, "_corpus_manifest.json"), "w") as f:
         json.dump(manifest, f)
     return out_dir
@@ -423,12 +424,20 @@ def ensure_corpus(
     """Idempotently materialize a corpus at ``{base_dir}/{scale}/web_pages``."""
     out_dir = os.path.join(base_dir, scale, "web_pages")
     marker = os.path.join(out_dir, "_corpus_manifest.json")
+    params = {"n_hosts": n_hosts, "pages_per_host": pages_per_host, "seed": seed,
+              "n_buckets": n_buckets, "page_weight": page_weight}
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            manifest = json.load(f)
+        if manifest.get("params") == params:
+            return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir)  # stale corpus from different params
     rows = build_corpus_parallel(
         n_hosts=n_hosts, pages_per_host=pages_per_host, seed=seed, page_weight=page_weight
     )
-    return write_corpus_parquet(rows, out_dir, n_buckets=n_buckets)
+    return write_corpus_parquet(rows, out_dir, n_buckets=n_buckets, params=params)
 
 
 SCALE_PARAMS = {

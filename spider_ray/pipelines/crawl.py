@@ -88,6 +88,7 @@ class RayCrawler:
         parse_batch_size: int = 128,
         parse_concurrency: int | None = None,
         keep_pages: bool = True,
+        collect_seen: bool = True,
     ) -> None:
         self.job = job
         self.config = job.config
@@ -98,6 +99,7 @@ class RayCrawler:
         self.parse_batch_size = parse_batch_size
         self.parse_concurrency = parse_concurrency
         self.keep_pages = keep_pages
+        self.collect_seen = collect_seen
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
         self._index = None  # CorpusIndex, built lazily at first wave
         self._pending_inserts: list = []
@@ -250,7 +252,7 @@ class RayCrawler:
                 parsed_ds = parsed_ds.select_columns(["url", "signature", "links", "wave"])
             tables = [
                 t
-                for t in (ray.get(ref) for ref in parsed_ds.to_arrow_refs())
+                for t in ray.get(parsed_ds.to_arrow_refs())
                 if t.num_rows > 0 and "url" in t.schema.names
             ]
         missing = missing_known
@@ -293,30 +295,36 @@ class RayCrawler:
         )
 
     def _candidates_fast(self, parsed_tbl, admitted, signatures, wave):
-        """Arrow-native candidate extraction: signature gating per page, then
-        list_flatten of allowed pages' links — candidate URLs never become
-        Python objects until after dedup."""
+        """Arrow-native candidate extraction: vectorized signature gating in
+        admitted order, then list_flatten of allowed pages' links — candidate
+        URLs never become Python objects until after dedup."""
+        import numpy as np
+        import pandas as pd
         import pyarrow.compute as pc
 
         if parsed_tbl is None:
             return None
-        urls = parsed_tbl.column("url").to_pylist()
-        row_of = {u: i for i, u in enumerate(urls)}
-        allowed_rows = []
+        # rows of parsed_tbl in ADMITTED (canonical) order — C-level indexer
+        url_index = pd.Index(parsed_tbl.column("url").to_pandas())
+        indexer = url_index.get_indexer(pd.Index(admitted))
+        indexer = indexer[indexer >= 0]
         if self.config.normalize:
-            sigs = parsed_tbl.column("signature").to_pylist()
-            for u in admitted:
-                i = row_of.get(u)
-                if i is None:
-                    continue
-                sig = sigs[i]
-                if sig is not None:
-                    if sig in signatures:
-                        continue  # duplicate content: links NOT expanded
-                    signatures.add(sig)
-                allowed_rows.append(i)
+            sigs_np = parsed_tbl.column("signature").to_numpy(zero_copy_only=False)
+            sig_in_order = sigs_np[indexer]
+            # first occurrence within the wave AND not in the cross-wave set
+            # (duplicate-content pages do not expand links, website.rs:8673-8683)
+            first = ~pd.Index(sig_in_order).duplicated(keep="first")
+            if signatures:
+                fresh = ~np.isin(
+                    sig_in_order, np.fromiter(signatures, dtype=np.uint64, count=len(signatures))
+                )
+            else:
+                fresh = np.ones(len(sig_in_order), dtype=bool)
+            allowed = first & fresh
+            signatures.update(np.unique(sig_in_order).tolist())
+            allowed_rows = indexer[allowed]
         else:
-            allowed_rows = [row_of[u] for u in admitted if u in row_of]
+            allowed_rows = indexer
         links_col = parsed_tbl.column("links").combine_chunks()
         flat = pc.list_flatten(links_col.take(pa.array(allowed_rows, pa.int64())))
         return flat  # StringArray, in page-admitted × doc order
@@ -526,7 +534,8 @@ class RayCrawler:
         if not config.ignore_sitemap:
             self._sitemap_chain(result, seen, budget, robots_for, wave + 1)
 
-        result.seen_keys = seen.dump()
+        if self.collect_seen:
+            result.seen_keys = seen.dump()
         seen.shutdown()
         return result
 

@@ -101,7 +101,7 @@ class CorpusIndex:
             for rg in sorted(groups):
                 chunk_rgs.append(rg)
                 chunk_urls.extend(groups[rg])
-                if len(chunk_urls) >= 256:
+                if len(chunk_urls) >= 512:
                     descriptors.append({"path": self.paths[fi], "row_groups": chunk_rgs, "urls": chunk_urls})
                     chunk_rgs, chunk_urls = [], []
             if chunk_urls:

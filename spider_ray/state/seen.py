@@ -29,23 +29,28 @@ class UrlSeenShard:
         self.bloom = BloomFilter(capacity=bloom_capacity)
         self._increment: list[str] = []
 
+    # The bloom filter is the negative-cache for the SPILLED backing store
+    # (the in-memory set is authoritative and O(1) — per-key bloom hashing
+    # would only add cost while the shard fits in memory, mirroring
+    # interner.rs where the bloom fronts the disk tier).  It is maintained
+    # only once the shard exceeds ``bloom_activate_threshold``.
+    BLOOM_ACTIVATE = 5_000_000
+
     def contains_batch(self, keys: list[str]) -> list[bool]:
-        """Bloom-fronted membership: a bloom miss is an authoritative NO."""
-        out = []
-        for k in keys:
-            if not self.bloom.might_contain(k):
-                out.append(False)
-            else:
-                out.append(k in self.seen)
-        return out
+        seen = self.seen
+        return [k in seen for k in keys]
 
     def insert_batch(self, keys: list[str]) -> int:
+        seen = self.seen
+        inc = self._increment
         added = 0
+        use_bloom = len(seen) >= self.BLOOM_ACTIVATE
         for k in keys:
-            if k not in self.seen:
-                self.seen.add(k)
-                self.bloom.add(k)
-                self._increment.append(k)
+            if k not in seen:
+                seen.add(k)
+                if use_bloom:
+                    self.bloom.add(k)
+                inc.append(k)
                 added += 1
         return added
 
@@ -60,10 +65,7 @@ class UrlSeenShard:
         return list(self.seen)
 
     def restore(self, keys: list[str]) -> None:
-        for k in keys:
-            if k not in self.seen:
-                self.seen.add(k)
-                self.bloom.add(k)
+        self.seen.update(keys)
 
 
 class UrlSeen:
