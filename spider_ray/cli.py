@@ -1,0 +1,123 @@
+"""CLI entry — the ``spider_cli`` analogue (CRAWL / SCRAPE subcommands,
+``spider_cli/src/options/sub_command.rs:4-41``) over a Parquet corpus.
+
+Usage::
+
+    python -m spider_ray.cli crawl  --corpus DIR --seeds URL [URL…] [--out DIR]
+        [--ckpt DIR] [--resume] [--budget N] [--depth N] [--subdomains] [--tld]
+        [--respect-robots] [--delay-ms N] [--normalize] [--sitemap]
+    python -m spider_ray.cli scrape --corpus DIR --seeds URL --jsonl out.jsonl
+
+``crawl`` writes parsed pages + checkpoints; ``scrape`` additionally emits
+JSONL (url, title, description, text) like the reference CLI's scrape
+output.  Suitable for ``ray job submit -- python -m spider_ray.cli …``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_config(args) -> "CrawlConfig":
+    from .config import CrawlConfig
+
+    cfg = CrawlConfig(
+        subdomains=args.subdomains,
+        tld=args.tld,
+        respect_robots_txt=args.respect_robots,
+        delay_ms=args.delay_ms,
+        depth=args.depth,
+        normalize=args.normalize,
+        ignore_sitemap=not args.sitemap,
+        blacklist=tuple(args.blacklist or ()),
+        whitelist=tuple(args.whitelist or ()),
+    )
+    if args.budget:
+        cfg = cfg.with_limit(args.budget)
+    return cfg
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="spider_ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name in ("crawl", "scrape"):
+        p = sub.add_parser(name)
+        p.add_argument("--corpus", required=True)
+        p.add_argument("--seeds", nargs="+", required=True)
+        p.add_argument("--out")
+        p.add_argument("--ckpt")
+        p.add_argument("--resume", action="store_true")
+        p.add_argument("--budget", type=int)
+        p.add_argument("--depth", type=int, default=25)
+        p.add_argument("--subdomains", action="store_true")
+        p.add_argument("--tld", action="store_true")
+        p.add_argument("--respect-robots", action="store_true")
+        p.add_argument("--delay-ms", type=int, default=0)
+        p.add_argument("--normalize", action="store_true")
+        p.add_argument("--sitemap", action="store_true")
+        p.add_argument("--blacklist", nargs="*")
+        p.add_argument("--whitelist", nargs="*")
+        p.add_argument("--jsonl")
+        p.add_argument("--num-cpus", type=int)
+    args = parser.parse_args(argv)
+
+    import ray
+
+    started_ray = False
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+        started_ray = True
+
+    from .config import CrawlJob
+    from .pipelines.crawl import RayCrawler
+    from .urlnorm import glob_expand_url
+
+    seeds = tuple(u for s in args.seeds for u in glob_expand_url(s))
+    job = CrawlJob(seeds, build_config(args))
+    crawler = RayCrawler(
+        job,
+        args.corpus,
+        out_dir=args.out,
+        ckpt_dir=args.ckpt,
+        keep_pages=args.command == "scrape" or args.jsonl is not None,
+    )
+    result = crawler.run(resume=args.resume)
+
+    if args.command == "scrape" or args.jsonl:
+        out = open(args.jsonl, "w") if args.jsonl else sys.stdout
+        tbl = result.pages_table()
+        if tbl is not None:
+            for i in range(tbl.num_rows):
+                out.write(
+                    json.dumps(
+                        {
+                            "url": tbl.column("url")[i].as_py(),
+                            "title": tbl.column("title")[i].as_py(),
+                            "description": tbl.column("description")[i].as_py(),
+                            "text": tbl.column("text")[i].as_py(),
+                            "status": tbl.column("status_code")[i].as_py(),
+                        }
+                    )
+                    + "\n"
+                )
+        if args.jsonl:
+            out.close()
+
+    summary = {
+        "visited": len(result.visited),
+        "waves": len(result.metrics),
+        "out_dir": result.out_dir,
+    }
+    print(json.dumps(summary), file=sys.stderr)
+    if started_ray:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

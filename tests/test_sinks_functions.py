@@ -1,0 +1,98 @@
+"""WARC sink, CSS-select helper, needs_js classifier, CLI."""
+
+import json
+import subprocess
+import sys
+import tempfile
+
+import pyarrow as pa
+import pytest
+
+
+def test_warc_roundtrip(ray_session):
+    import ray.data
+
+    from spider_ray.fixtures import build_corpus, write_corpus_parquet
+    from spider_ray.sinks.warc import WarcWriter, read_warc_record
+
+    rows = build_corpus(n_hosts=2, pages_per_host=20)
+    cdir = tempfile.mkdtemp()
+    write_corpus_parquet(rows, cdir, n_buckets=4)
+    out = tempfile.mkdtemp()
+    ds = ray.data.read_parquet(cdir, columns=["url", "warc_ts", "html", "status"])
+    manifest = ds.map_batches(WarcWriter(out), batch_format="pyarrow").to_pandas()
+    assert len(manifest) == len(rows)
+    by_url = {r["url"]: r for r in rows}
+    sample = manifest.iloc[0]
+    headers, payload = read_warc_record(sample["warc_path"], sample["offset"], sample["length"])
+    assert headers["WARC-Type"] == "response"
+    assert headers["WARC-Target-URI"] == sample["url"]
+    assert payload == by_url[sample["url"]]["html"]
+
+
+def test_css_select():
+    from spider_ray.functions.select import css_query_select
+
+    html = (
+        '<div class="product"><h2 class="name">Widget A</h2>'
+        '<span id="price">9.99</span></div>'
+        '<div class="product"><h2 class="name">Widget&amp;B</h2></div>'
+        '<a data-x="1">linked</a><p>ignored</p>'
+    )
+    out = css_query_select(
+        html,
+        {"names": "h2.name", "price": "#price", "tagged": "a[data-x=1]", "none": ".missing"},
+    )
+    assert out["names"] == ["Widget A", "Widget&B"]
+    assert out["price"] == ["9.99"]
+    assert out["tagged"] == ["linked"]
+    assert out["none"] == []
+
+
+def test_css_select_stage(ray_session):
+    import ray.data
+
+    from spider_ray.functions.select import CssSelectStage
+
+    tbl = pa.table(
+        {
+            "url": ["https://e.com/1", "https://e.com/2"],
+            "html": [b"<h1>One</h1>", b"<h1>Two</h1><h1>Three</h1>"],
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(CssSelectStage({"h1s": "h1"}), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out.set_index("url").loc["https://e.com/2", "h1s"].tolist() == ["Two", "Three"]
+
+
+def test_needs_js():
+    from spider_ray.functions.needs_js import needs_js
+
+    assert needs_js('<div id="__next">app</div>')
+    assert needs_js("<script>el.innerHTML = x; fetch('/api')</script>")
+    assert not needs_js("<p>static page</p><a href='/x'>link</a>")
+
+
+def test_cli_scrape(ray_session, tmp_path):
+    from spider_ray.fixtures import build_corpus, seed_of, write_corpus_parquet
+
+    rows = build_corpus(n_hosts=2, pages_per_host=20)
+    cdir = tempfile.mkdtemp()
+    write_corpus_parquet(rows, cdir, n_buckets=4)
+    jsonl = tmp_path / "out.jsonl"
+    # run in-process (the session Ray is already up; cli skips ray.init)
+    from spider_ray.cli import main
+
+    rc = main(
+        [
+            "scrape", "--corpus", cdir, "--seeds", seed_of(0),
+            "--budget", "10", "--jsonl", str(jsonl),
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    assert len(lines) == 10
+    assert all("text" in l and "url" in l for l in lines)
