@@ -41,6 +41,9 @@ class CrawlConfig:
     # sitemap — configuration.rs:389-394
     sitemap_url: str | None = None
     ignore_sitemap: bool = True
+    # extra links merged into the first frontier generation —
+    # website.rs:7810-7812 (Website::extra_links); normal admission chain
+    extra_links: tuple[str, ...] = ()
     # engine knobs (ours, documented divergences / wave model)
     round_robin: bool = False  # frontier domain round-robin (frontier.rs:83-121)
     wave_span_ms: int = 1000  # politeness window per wave (SURVEY.md §2.3)

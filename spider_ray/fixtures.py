@@ -391,7 +391,8 @@ def write_corpus_parquet(
     for r in rows:
         b = stable_hash_str(url_host(r["url"])) % n_buckets
         buckets.setdefault(b, []).append(r)
-    for b, brows in sorted(buckets.items()):
+
+    def _write_bucket(b, brows):
         brows.sort(key=lambda r: r["url"])
         table = pa.table(
             {
@@ -406,6 +407,21 @@ def write_corpus_parquet(
         bdir = os.path.join(out_dir, f"bucket={b:04d}")
         os.makedirs(bdir, exist_ok=True)
         pq.write_table(table, os.path.join(bdir, "part-0.parquet"), row_group_size=row_group_size)
+
+    try:
+        import ray
+
+        parallel = ray.is_initialized()
+    except ImportError:
+        parallel = False
+    if parallel:
+        import ray
+
+        w = ray.remote(_write_bucket)
+        ray.get([w.remote(b, brows) for b, brows in sorted(buckets.items())])
+    else:
+        for b, brows in sorted(buckets.items()):
+            _write_bucket(b, brows)
     manifest = {"n_buckets": n_buckets, "rows": len(rows), "params": params}
     with open(os.path.join(out_dir, "_corpus_manifest.json"), "w") as f:
         json.dump(manifest, f)
@@ -446,7 +462,7 @@ SCALE_PARAMS = {
     # scales only; correctness scales stay light so oracle runs are fast)
     "sf0.001": (4, 30, 8, 1),
     "sf0.01": (8, 120, 16, 1),
-    "sf0.1": (96, 2400, 128, 16),
+    "sf0.1": (96, 2400, 128, 40),
     "unit": (8, 50, 16, 1),
 }
 

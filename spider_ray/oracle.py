@@ -138,7 +138,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleR
         result.visited.append(url)
         result.admitted_order.append((0, seq, url))
 
-    deferred: list[tuple[str, int]] = []
+    deferred: list[tuple[str, int]] = [(u, score_url(u, 1)) for u in config.extra_links]
     wave = 0
     while True:
         # fetch + parse admitted pages in admitted order

@@ -292,6 +292,7 @@ class RayCrawler:
             and not c.whitelist
             and not c.blacklist
             and not c.round_robin
+            and not c.extra_links
         )
 
     def _candidates_fast(self, parsed_tbl, admitted, signatures, wave):
@@ -428,7 +429,9 @@ class RayCrawler:
             for seq, url in enumerate(admitted):
                 result.visited.append(url)
                 result.admitted_order.append((0, seq, url))
-            candidates, deferred = None, []
+            candidates, deferred = None, [
+                (u, score_url(u, 1)) for u in config.extra_links
+            ]
             wave = 0
 
         while True:

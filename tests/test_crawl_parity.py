@@ -34,6 +34,7 @@ SCENARIOS = {
     "external": (CrawlConfig(external_domains=frozenset({"off-domain.example"})), [0]),
     "sitemap": (CrawlConfig(ignore_sitemap=False), [0]),
     "sitemap_budget": (CrawlConfig(ignore_sitemap=False).with_limit(30), [0]),
+    "extra_links": (CrawlConfig(extra_links=("https://www.site0.example/orphan/sm0",)), [0]),
 }
 
 

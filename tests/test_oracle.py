@@ -184,3 +184,8 @@ def test_parse_sitemap():
         "<sitemap><loc>https://a/sm2.xml</loc></sitemap></sitemapindex>"
     )
     assert urls == [] and children == ["https://a/sm1.xml", "https://a/sm2.xml"]
+
+
+def test_extra_links(corpus):
+    res = crawl(corpus, CrawlConfig(extra_links=("https://www.site0.example/orphan/sm0",)))
+    assert "https://www.site0.example/orphan/sm0" in res.visited_set
