@@ -183,14 +183,43 @@ class RayCrawler:
             {"wave": wave, "num_seen_shards": self.num_seen_shards},
         )
 
-    def _find_resume_wave(self) -> int | None:
+    def _ckpt_wave_fast(self, wave, flat_candidates, signatures, seen, metrics):
+        """Fast-path checkpoint: frontier as a flat url column (priorities are
+        a deterministic function of the url, recomputed on resume)."""
+        if not self.ckpt_dir:
+            return
+        if self._pending_inserts:
+            import ray
+
+            ray.get(self._pending_inserts)
+            self._pending_inserts = []
+        wdir = os.path.join(self.ckpt_dir, f"wave_{wave:05d}")
+        os.makedirs(os.path.join(wdir, "seen"), exist_ok=True)
+        urls = flat_candidates if flat_candidates is not None else pa.array([], pa.string())
+        pq.write_table(pa.table({"url": urls}), os.path.join(wdir, "frontier.parquet"))
+        for s, inc in enumerate(seen.checkpoint_increments()):
+            pq.write_table(
+                pa.table({"url_norm": inc, "wave": pa.array([wave] * len(inc), pa.int32())}),
+                os.path.join(wdir, "seen", f"shard_{s:03d}.parquet"),
+            )
+        _atomic_write_json(
+            os.path.join(wdir, "budget.json"),
+            {"budget": {"counters": None}, "signatures": sorted(signatures)},
+        )
+        _atomic_write_json(os.path.join(wdir, "metrics.json"), metrics)
+        _atomic_write_json(
+            os.path.join(self.ckpt_dir, "manifest.json"),
+            {"wave": wave, "num_seen_shards": self.num_seen_shards, "mode": "fast"},
+        )
+
+    def _find_resume_manifest(self) -> dict | None:
         if not self.ckpt_dir:
             return None
         mpath = os.path.join(self.ckpt_dir, "manifest.json")
         if not os.path.exists(mpath):
             return None
         with open(mpath) as f:
-            return json.load(f)["wave"]
+            return json.load(f)
 
     def _restore(self, upto_wave: int, seen, budget, signatures, result: CrawlResult):
         """Rebuild state from checkpoints of waves 0..upto_wave."""
@@ -210,11 +239,20 @@ class RayCrawler:
         with open(os.path.join(wdir, "metrics.json")) as f:
             result.metrics.extend(json.load(f))
         cand = pq.read_table(os.path.join(wdir, "frontier.parquet"))
-        deferred = pq.read_table(os.path.join(wdir, "deferred.parquet"))
-        candidates = list(zip(cand.column("url").to_pylist(), cand.column("priority").to_pylist()))
-        deferred_l = list(
-            zip(deferred.column("url").to_pylist(), deferred.column("priority").to_pylist())
+        urls = cand.column("url").to_pylist()
+        prios = (
+            cand.column("priority").to_pylist()
+            if "priority" in cand.column_names
+            else [0] * len(urls)
         )
+        candidates = list(zip(urls, prios))
+        deferred_l: list[tuple[str, int]] = []
+        dpath = os.path.join(wdir, "deferred.parquet")
+        if os.path.exists(dpath):
+            deferred = pq.read_table(dpath)
+            deferred_l = list(
+                zip(deferred.column("url").to_pylist(), deferred.column("priority").to_pylist())
+            )
         return candidates, deferred_l
 
     # -- fetch + parse -------------------------------------------------------
@@ -411,13 +449,21 @@ class RayCrawler:
         def host_delay_ms(host):
             return robots_delays.get(host, config.delay_ms)
 
-        resume_wave = self._find_resume_wave() if resume else None
-        fast = self._simple_config() and not self.ckpt_dir
+        manifest = self._find_resume_manifest() if resume else None
+        resume_wave = manifest["wave"] if manifest else None
+        fast = self._simple_config()
+        resume_flat = None
 
-        if resume_wave is not None:
+        if resume_wave is not None and fast:
             candidates, deferred = self._restore(resume_wave, seen, budget, signatures, result)
+            resume_flat = pa.array([u for u, _ in candidates], pa.string())
+            candidates = None
             wave = resume_wave
             admitted: list[str] = []
+        elif resume_wave is not None:
+            candidates, deferred = self._restore(resume_wave, seen, budget, signatures, result)
+            wave = resume_wave
+            admitted = []
         else:
             # wave 0: seed establish (shared with the oracle)
             visited_seed: set[str] = set()
@@ -435,7 +481,8 @@ class RayCrawler:
             wave = 0
 
         while True:
-            flat_candidates = None
+            flat_candidates = resume_flat
+            resume_flat = None
             if admitted:
                 parsed_tbl = self._fetch_parse_wave(admitted, wave)
                 if self.keep_pages and parsed_tbl is not None:
@@ -479,6 +526,8 @@ class RayCrawler:
                 candidates = []
 
             if fast:
+                if wave != resume_wave:  # never rewrite the restored wave's ckpt
+                    self._ckpt_wave_fast(wave, flat_candidates, signatures, seen, result.metrics)
                 if flat_candidates is None or len(flat_candidates) == 0 or wave + 1 >= config.max_waves:
                     break
                 admitted, admitted_hosts = self._admit_fast(flat_candidates, seen, wave + 1)
@@ -497,7 +546,8 @@ class RayCrawler:
                     break
                 continue
 
-            self._ckpt_wave(wave, candidates, deferred, budget, signatures, seen, result.metrics)
+            if wave != resume_wave:  # never rewrite the restored wave's ckpt
+                self._ckpt_wave(wave, candidates, deferred, budget, signatures, seen, result.metrics)
 
             if not candidates or wave + 1 >= config.max_waves:
                 break

@@ -1,6 +1,7 @@
 """Checkpoint/resume: kill the crawl after wave k, resume from checkpoint,
 and verify the combined outputs equal an uninterrupted run (BASELINE.md
-resumability gate)."""
+resumability gate).  Covers BOTH wave executors: the vectorized fast path
+(simple configs) and the ordered fold (budget/politeness configs)."""
 
 import glob
 import os
@@ -17,7 +18,7 @@ from spider_ray.fixtures import build_corpus, corpus_as_dict, seed_of, write_cor
 def env(ray_session):
     rows = build_corpus()
     cdir = tempfile.mkdtemp(prefix="spider_corpus_")
-    write_corpus_parquet(rows, cdir)
+    write_corpus_parquet(rows, cdir, n_buckets=8)
     return corpus_as_dict(rows), cdir
 
 
@@ -36,53 +37,78 @@ def _pages_urls(out_dir):
     return urls
 
 
-def test_kill_and_resume_matches_uninterrupted(env):
+def _run_kill_resume(env, config, kill_wave=1):
     from spider_ray.pipelines.crawl import RayCrawler
 
     corpus, cdir = env
-    job = CrawlJob((seed_of(0),), CrawlConfig(normalize=True))
+    job = CrawlJob((seed_of(0),), config)
 
-    # uninterrupted reference run
     full_out = tempfile.mkdtemp(prefix="spider_full_out_")
     full = RayCrawler(job, cdir, out_dir=full_out).run()
 
-    # killed-at-wave-1 run: monkeypatch the checkpoint hook to raise after wave 1
     out = tempfile.mkdtemp(prefix="spider_kill_out_")
     ckpt = tempfile.mkdtemp(prefix="spider_ckpt_")
     crawler = RayCrawler(job, cdir, out_dir=out, ckpt_dir=ckpt)
-    orig = crawler._ckpt_wave
+    orig_slow, orig_fast = crawler._ckpt_wave, crawler._ckpt_wave_fast
 
-    def bomb(wave, *a, **kw):
-        orig(wave, *a, **kw)
-        if wave >= 1:
+    def bomb_slow(wave, *a, **kw):
+        orig_slow(wave, *a, **kw)
+        if wave >= kill_wave:
             raise _KillAfterWave()
 
-    crawler._ckpt_wave = bomb
+    def bomb_fast(wave, *a, **kw):
+        orig_fast(wave, *a, **kw)
+        if wave >= kill_wave:
+            raise _KillAfterWave()
+
+    crawler._ckpt_wave = bomb_slow
+    crawler._ckpt_wave_fast = bomb_fast
     with pytest.raises(_KillAfterWave):
         crawler.run()
 
-    # resume from checkpoint
     resumed = RayCrawler(job, cdir, out_dir=out, ckpt_dir=ckpt).run(resume=True)
+    return full, full_out, resumed, out, ckpt, job
 
-    # final URL-seen set identical to uninterrupted run
+
+def test_kill_and_resume_fast_path(env):
+    """normalize-only config → vectorized fast wave executor with ckpt."""
+    full, full_out, resumed, out, ckpt, job = _run_kill_resume(env, CrawlConfig(normalize=True))
     assert resumed.seen_keys == full.seen_keys
-
-    # pages on disk (pre-kill waves + resumed waves) identical: same url set,
-    # byte-identical text, same wave lineage
-    full_pages = _pages_urls(full_out)
-    resumed_pages = _pages_urls(out)
-    assert full_pages == resumed_pages
-
-    # admitted order of resumed waves continues the uninterrupted order
+    assert _pages_urls(full_out) == _pages_urls(out)
     full_tail = [(w, s, u) for (w, s, u) in full.admitted_order if w >= 2]
     assert resumed.admitted_order == full_tail
 
 
-def test_checkpoint_lineage_files(env):
+def test_kill_and_resume_slow_path(env):
+    """budget config → ordered-fold executor with ckpt."""
+    full, full_out, resumed, out, ckpt, job = _run_kill_resume(
+        env, CrawlConfig(budget=(("sec0", 5),)).with_limit(60)
+    )
+    assert resumed.seen_keys == full.seen_keys
+    assert _pages_urls(full_out) == _pages_urls(out)
+
+
+def test_double_resume_preserves_lineage(env):
+    """Resuming must not rewrite the restored wave's seen increments — a
+    second resume still reconstructs the full seen set."""
     from spider_ray.pipelines.crawl import RayCrawler
 
     corpus, cdir = env
-    job = CrawlJob((seed_of(0),), CrawlConfig())
+    full, full_out, resumed, out, ckpt, job = _run_kill_resume(env, CrawlConfig(normalize=True))
+    again = RayCrawler(job, cdir, ckpt_dir=ckpt, keep_pages=False).run(resume=True)
+    # checkpointed seen lineage (all waves) still unions to the full set
+    seen_urls = set()
+    for f in glob.glob(os.path.join(ckpt, "wave_*", "seen", "*.parquet")):
+        seen_urls.update(pq.read_table(f).column("url_norm").to_pylist())
+    assert seen_urls == full.seen_keys
+
+
+def test_checkpoint_lineage_files(env):
+    from spider_ray.oracle import crawl_oracle
+    from spider_ray.pipelines.crawl import RayCrawler
+
+    corpus, cdir = env
+    job = CrawlJob((seed_of(0),), CrawlConfig(delay_ms=50))  # slow path
     ckpt = tempfile.mkdtemp(prefix="spider_ckpt2_")
     RayCrawler(job, cdir, ckpt_dir=ckpt, keep_pages=False).run()
     assert os.path.exists(os.path.join(ckpt, "manifest.json"))
@@ -91,12 +117,8 @@ def test_checkpoint_lineage_files(env):
     for w in waves:
         assert os.path.exists(os.path.join(w, "frontier.parquet"))
         assert os.path.exists(os.path.join(w, "budget.json"))
-        shards = glob.glob(os.path.join(w, "seen", "shard_*.parquet"))
-        assert shards  # per-partition seen lineage
-    # seen increments carry wave lineage and union to the visited set
+        assert glob.glob(os.path.join(w, "seen", "shard_*.parquet"))
     seen_urls = set()
     for f in glob.glob(os.path.join(ckpt, "wave_*", "seen", "*.parquet")):
         seen_urls.update(pq.read_table(f).column("url_norm").to_pylist())
-    from spider_ray.oracle import crawl_oracle
-
     assert seen_urls == crawl_oracle(job, corpus).visited_set
