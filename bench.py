@@ -133,7 +133,7 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = int(os.environ.get("SCALE_LO", "8")), int(os.environ.get("SCALE_HI", "32"))
+    lo, hi = int(os.environ.get("SCALE_LO", "4")), int(os.environ.get("SCALE_HI", "16"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)

@@ -462,7 +462,7 @@ SCALE_PARAMS = {
     # scales only; correctness scales stay light so oracle runs are fast)
     "sf0.001": (4, 30, 8, 1),
     "sf0.01": (8, 120, 16, 1),
-    "sf0.1": (96, 2400, 128, 16),
+    "sf0.1": (96, 9600, 128, 16),
     "unit": (8, 50, 16, 1),
 }
 

@@ -13,6 +13,7 @@ machinery are built once per actor in ``__init__`` and reused per batch
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..config import CrawlConfig, CrawlJob
@@ -93,18 +94,28 @@ class ParsePages:
 
 
 def missing_rows(urls: list[str], wave: int) -> pa.Table:
-    """Synthesized 404 rows for URLs absent from the corpus."""
+    """Synthesized 404 rows for URLs absent from the corpus (vectorized —
+    waves can be missing-heavy when the link graph points at absent URLs)."""
+    import pyarrow.compute as pc
+
+    n = len(urls)
+    url_arr = pa.array(urls, pa.string())
+    # host: strip scheme then authority tail (C-level regex, no per-row python)
+    h1 = pc.replace_substring_regex(url_arr, pattern=r"^[a-zA-Z0-9+.\-]+://", replacement="")
+    hosts = pc.utf8_lower(pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement=""))
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "host": pa.array([url_host(u) for u in urls], pa.string()),
-            "status_code": pa.array([404] * len(urls), pa.int32()),
-            "signature": pa.array([None] * len(urls), pa.uint64()),
-            "title": pa.array([None] * len(urls), pa.string()),
-            "description": pa.array([None] * len(urls), pa.string()),
-            "og_image": pa.array([None] * len(urls), pa.string()),
-            "text": pa.array([""] * len(urls), pa.string()),
-            "links": pa.array([[] for _ in urls], pa.list_(pa.string())),
-            "wave": pa.array([wave] * len(urls), pa.int32()),
+            "url": url_arr,
+            "host": hosts,
+            "status_code": pa.array(np.full(n, 404, dtype=np.int32)),
+            "signature": pa.nulls(n, pa.uint64()),
+            "title": pa.nulls(n, pa.string()),
+            "description": pa.nulls(n, pa.string()),
+            "og_image": pa.nulls(n, pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "links": pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.string())
+            ),
+            "wave": pa.array(np.full(n, wave, dtype=np.int32)),
         }
     )
