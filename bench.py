@@ -68,6 +68,18 @@ def run_bench() -> dict:
     pages = len(res.visited)
     queries["crawl_full"] = round(crawl_sec, 3)
 
+    if os.environ.get("BENCH_CRAWL_ONLY") == "1":
+        result = {
+            "metric": "crawl_full_sec", "value": round(crawl_sec, 3), "unit": "sec",
+            "queries": queries, "sf": sf_name, "num_cpus": num_cpus,
+            "pages_crawled": pages,
+            "pages_per_sec": round(pages / crawl_sec, 1),
+            "frontier_ops": crawler.frontier_ops,
+            "frontier_ops_per_sec": round(crawler.frontier_ops / crawl_sec, 1),
+        }
+        ray.shutdown()
+        return result
+
     # --- parse-only throughput over the entire corpus ----------------------
     import pyarrow as pa
 
@@ -125,7 +137,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

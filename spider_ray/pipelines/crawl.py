@@ -68,6 +68,76 @@ class CrawlResult:
         return pa.concat_tables(self.pages_tables) if self.pages_tables else None
 
 
+def _flatten_block_impl(tbl, local_rows, ranks):
+    """Worker-side candidate flatten: allowed rows' links → (url, key, rank)
+    with local first-push dedup.  rank = (page admitted-rank << 21) | doc
+    position — a total order identical to the sequential first-push walk."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    links = tbl.column("links").combine_chunks().take(pa.array(local_rows, pa.int64()))
+    flat = pc.list_flatten(links)
+    total = len(flat)
+    if total == 0:
+        return None
+    lens = pc.list_value_length(links).to_numpy(zero_copy_only=False).astype(np.int64)
+    page_rank_rep = np.repeat(np.asarray(ranks, dtype=np.int64), lens)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    doc_pos = np.arange(total, dtype=np.int64) - starts
+    rank64 = (page_rank_rep << 21) | np.minimum(doc_pos, (1 << 21) - 1)
+    order = np.argsort(rank64, kind="stable")
+    flat = flat.take(pa.array(order, pa.int64()))
+    rank64 = rank64[order]
+    keys = pc.utf8_lower(flat)
+    import pandas as pd
+
+    dup = pd.Index(keys.to_pandas()).duplicated(keep="first")
+    mask = pa.array(~dup)
+    out = pa.table(
+        {
+            "url": flat.filter(mask),
+            "key": keys.filter(mask),
+            "rank": pa.array(rank64[~dup], pa.int64()),
+        }
+    )
+    return out.append_column("n_raw", pa.array([total] * out.num_rows, pa.int64()))
+
+
+_FLATTEN_REMOTE = None
+
+
+def _flatten_remote():
+    global _FLATTEN_REMOTE
+    if _FLATTEN_REMOTE is None:
+        import ray
+
+        _FLATTEN_REMOTE = ray.remote(_flatten_block_impl)
+    return _FLATTEN_REMOTE
+
+
+from ..htmlparse import hash_html as _hash_html  # noqa: E402
+
+_EMPTY_SIG = _hash_html("")
+
+
+def _small_cols_impl(tbl):
+    if tbl is None or tbl.num_rows == 0 or "url" not in tbl.schema.names:
+        return None
+    return tbl.select(["url", "signature"])
+
+
+_SMALL_REMOTE = None
+
+
+def _small_cols_remote():
+    global _SMALL_REMOTE
+    if _SMALL_REMOTE is None:
+        import ray
+
+        _SMALL_REMOTE = ray.remote(_small_cols_impl)
+    return _SMALL_REMOTE
+
+
 def _atomic_write_json(path: str, obj) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -195,7 +265,12 @@ class RayCrawler:
             self._pending_inserts = []
         wdir = os.path.join(self.ckpt_dir, f"wave_{wave:05d}")
         os.makedirs(os.path.join(wdir, "seen"), exist_ok=True)
-        urls = flat_candidates if flat_candidates is not None else pa.array([], pa.string())
+        if flat_candidates is None:
+            urls = pa.array([], pa.string())
+        elif isinstance(flat_candidates, pa.Table):
+            urls = flat_candidates.column("url")
+        else:
+            urls = flat_candidates
         pq.write_table(pa.table({"url": urls}), os.path.join(wdir, "frontier.parquet"))
         for s, inc in enumerate(seen.checkpoint_increments()):
             pq.write_table(
@@ -333,6 +408,119 @@ class RayCrawler:
             and not c.extra_links
         )
 
+    def _fetch_parse_wave_refs(self, admitted: list[str], wave: int):
+        """Fetch+parse with the heavy columns left in the object store:
+        returns (block_refs, small_tbls) where small_tbls carry only
+        (url, signature) per block — the link payload is flattened remotely
+        by :meth:`_candidates_fast_refs`."""
+        import ray
+
+        from ..stages.fetch import CorpusIndex, fetch_wave_indexed
+
+        if self._index is None:
+            self._index = CorpusIndex(self.corpus_dir)
+        ds, missing = fetch_wave_indexed(admitted, self._index)
+        block_refs: list = []
+        small_tbls: list[pa.Table] = []
+        if ds is not None:
+            parsed_ds = ds.map_batches(
+                ParsePages(self.job, wave), batch_format="pyarrow", batch_size=None
+            ).select_columns(["url", "signature", "links"])
+            refs = parsed_ds.to_arrow_refs()
+
+            small_futs = [_small_cols_remote().remote(r) for r in refs]
+            for ref, small in zip(refs, ray.get(small_futs)):
+                if small is None or small.num_rows == 0:
+                    continue
+                block_refs.append(ref)
+                small_tbls.append(small)
+        if missing:
+            miss_small = pa.table(
+                {
+                    "url": pa.array(missing, pa.string()),
+                    "signature": (
+                        pa.array(
+                            [_EMPTY_SIG] * len(missing), pa.uint64()
+                        )
+                        if self.config.normalize
+                        else pa.nulls(len(missing), pa.uint64())
+                    ),
+                }
+            )
+            block_refs.append(None)  # no links to flatten
+            small_tbls.append(miss_small)
+        return block_refs, small_tbls
+
+    def _candidates_fast_refs(self, block_refs, small_tbls, admitted, signatures):
+        """Distributed candidate extraction: the heavy link columns never
+        reach the driver.  Per parse-output block, a remote task flattens the
+        allowed pages' links, lowercases, and locally first-push-dedups,
+        returning (url, key, rank) where rank = global admitted-rank ×
+        doc-position — so the driver's final keep-first dedup reproduces the
+        EXACT global first-push order regardless of block interleave.
+        """
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        if not block_refs:
+            return None
+        # global gating in admitted order over the small (url, signature) cols
+        urls_all, sig_chunks, counts = [], [], []
+        for t in small_tbls:
+            urls_all.append(t.column("url"))
+            sig_chunks.append(t.column("signature"))
+            counts.append(t.num_rows)
+        url_index = pd.Index(pa.chunked_array(urls_all).to_pandas())
+        indexer = url_index.get_indexer(pd.Index(admitted))
+        indexer = indexer[indexer >= 0]
+        if self.config.normalize:
+            sigs_np = pa.chunked_array(sig_chunks).to_numpy(zero_copy_only=False)
+            sig_in_order = sigs_np[indexer]
+            first = ~pd.Index(sig_in_order).duplicated(keep="first")
+            if signatures:
+                fresh = ~np.isin(
+                    sig_in_order, np.fromiter(signatures, dtype=np.uint64, count=len(signatures))
+                )
+            else:
+                fresh = np.ones(len(sig_in_order), dtype=bool)
+            allowed_global = indexer[first & fresh]
+            signatures.update(np.unique(sig_in_order).tolist())
+        else:
+            allowed_global = indexer
+        # rank = position in admitted order (dense), per allowed global row
+        rank_of_global = np.full(sum(counts), -1, dtype=np.int64)
+        rank_of_global[indexer] = np.arange(len(indexer))
+        # split allowed rows per block
+        offsets = np.cumsum([0] + counts)
+        flat_futs = []
+        for bi, ref in enumerate(block_refs):
+            if ref is None:
+                continue
+            lo, hi = offsets[bi], offsets[bi + 1]
+            in_block = allowed_global[(allowed_global >= lo) & (allowed_global < hi)]
+            if len(in_block) == 0:
+                continue
+            local_rows = (in_block - lo).astype(np.int64)
+            ranks = rank_of_global[in_block]
+            flat_futs.append(_flatten_remote().remote(ref, local_rows, ranks))
+        if not flat_futs:
+            return None
+        parts = [p for p in ray.get(flat_futs) if p is not None and p.num_rows]
+        if not parts:
+            return None
+        merged = pa.concat_tables(parts)
+        self.frontier_ops += int(sum(t.column("n_raw")[0].as_py() for t in parts))
+        # exact global first-push dedup: stable order by rank, keep first key
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(merged, sort_keys=[("rank", "ascending")])
+        merged = merged.take(order)
+        keys_pd = pd.Index(merged.column("key").to_pandas())
+        mask = pa.array(~keys_pd.duplicated(keep="first"))
+        merged = merged.filter(mask)
+        return merged  # columns: url, key, rank, n_raw
+
     def _candidates_fast(self, parsed_tbl, admitted, signatures, wave):
         """Arrow-native candidate extraction: vectorized signature gating in
         admitted order, then list_flatten of allowed pages' links — candidate
@@ -382,16 +570,21 @@ class RayCrawler:
         from ..semantics import depth_distance_for
 
         if flat_candidates is None or len(flat_candidates) == 0:
-            return []
-        self.frontier_ops += len(flat_candidates)
-        keys = pc.utf8_lower(flat_candidates)
-        # first-push dedup in candidate order (UrlFrontier.push semantics)
-        import pandas as pd
+            return [], []
+        if isinstance(flat_candidates, pa.Table):
+            # pre-deduped (url, key) from the distributed flatten path
+            cand = flat_candidates.column("url").combine_chunks()
+            cand_keys = flat_candidates.column("key").combine_chunks()
+        else:
+            self.frontier_ops += len(flat_candidates)
+            keys = pc.utf8_lower(flat_candidates)
+            # first-push dedup in candidate order (UrlFrontier.push semantics)
+            import pandas as pd
 
-        keys_pd = pd.Index(keys.to_pandas())
-        mask_arr = pa.array(~keys_pd.duplicated(keep="first"))
-        cand = flat_candidates.filter(mask_arr)
-        cand_keys = keys.filter(mask_arr)
+            keys_pd = pd.Index(keys.to_pandas())
+            mask_arr = pa.array(~keys_pd.duplicated(keep="first"))
+            cand = flat_candidates.filter(mask_arr)
+            cand_keys = keys.filter(mask_arr)
         prio = score_urls_arrow(cand, wave)
         # canonical heap order: priority desc, url_norm desc
         tbl = pa.table({"url": cand, "key": cand_keys, "prio": pa.array(prio, pa.int32())})
@@ -484,10 +677,22 @@ class RayCrawler:
             flat_candidates = resume_flat
             resume_flat = None
             if admitted:
-                parsed_tbl = self._fetch_parse_wave(admitted, wave)
-                if self.keep_pages and parsed_tbl is not None:
-                    result.pages_tables.append(parsed_tbl)
-                if fast:
+                if fast and not self.keep_pages and not self.out_dir:
+                    # distributed flatten: link payload never reaches the driver
+                    block_refs, small_tbls = self._fetch_parse_wave_refs(admitted, wave)
+                    flat_candidates = self._candidates_fast_refs(
+                        block_refs, small_tbls, admitted, signatures
+                    )
+                    n_cand = flat_candidates.num_rows if flat_candidates is not None else 0
+                    result.metrics.append(
+                        {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
+                         "candidates": n_cand}
+                    )
+                    candidates = None
+                elif fast:
+                    parsed_tbl = self._fetch_parse_wave(admitted, wave)
+                    if self.keep_pages and parsed_tbl is not None:
+                        result.pages_tables.append(parsed_tbl)
                     flat_candidates = self._candidates_fast(
                         parsed_tbl, admitted, signatures, wave
                     )
@@ -498,6 +703,9 @@ class RayCrawler:
                     )
                     candidates = None
                 else:
+                    parsed_tbl = self._fetch_parse_wave(admitted, wave)
+                    if self.keep_pages and parsed_tbl is not None:
+                        result.pages_tables.append(parsed_tbl)
                     by_url = {}
                     if parsed_tbl is not None:
                         for u, s, l in zip(

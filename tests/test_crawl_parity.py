@@ -71,3 +71,19 @@ def test_parity(fixture_env, name):
         assert status == p["status_code"], (name, p["url"])
         assert sig == p["signature"], (name, p["url"])
         assert title == p["title"], (name, p["url"])
+
+
+@pytest.mark.parametrize("name", ["plain", "dedup", "subdomains"])
+def test_parity_distributed_flatten_path(fixture_env, name):
+    """keep_pages=False + no out_dir → the distributed candidate-flatten
+    executor; visited set and admitted order must still match the oracle
+    exactly (links/rank dedup semantics)."""
+    from spider_ray.pipelines.crawl import RayCrawler
+
+    corpus, cdir = fixture_env
+    config, seed_ids = SCENARIOS[name]
+    job = CrawlJob(tuple(seed_of(k) for k in seed_ids), config)
+    o = crawl_oracle(job, corpus)
+    e = RayCrawler(job, cdir, keep_pages=False).run()
+    assert e.visited_set == o.visited_set, name
+    assert e.admitted_order == o.admitted_order, name
