@@ -427,13 +427,14 @@ class RayCrawler:
                 ParsePages(self.job, wave), batch_format="pyarrow", batch_size=None
             ).select_columns(["url", "signature", "links"])
             refs = parsed_ds.to_arrow_refs()
-
-            small_futs = [_small_cols_remote().remote(r) for r in refs]
-            for ref, small in zip(refs, ray.get(small_futs)):
-                if small is None or small.num_rows == 0:
+            # ray.get of same-node Arrow blocks is zero-copy (plasma mmap);
+            # selecting the two small columns costs nothing — the link
+            # payload buffers are never touched on the driver
+            for ref, tbl in zip(refs, ray.get(refs)):
+                if tbl.num_rows == 0 or "url" not in tbl.schema.names:
                     continue
                 block_refs.append(ref)
-                small_tbls.append(small)
+                small_tbls.append(tbl.select(["url", "signature"]))
         if missing:
             miss_small = pa.table(
                 {

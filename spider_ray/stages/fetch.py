@@ -86,7 +86,8 @@ class CorpusIndex:
 
     def split(self, urls: list[str]):
         """→ (descriptors, missing).  Each descriptor: one file + the row
-        groups holding its wanted urls (chunked ~512 urls for even packing)."""
+        groups holding its wanted urls (chunked ~2048 urls: tasks big enough
+        that per-task scheduling overhead stays <2% of task runtime)."""
         missing = []
         by_file: dict[int, dict[int, list[str]]] = {}
         for u in urls:
@@ -101,7 +102,7 @@ class CorpusIndex:
             for rg in sorted(groups):
                 chunk_rgs.append(rg)
                 chunk_urls.extend(groups[rg])
-                if len(chunk_urls) >= 512:
+                if len(chunk_urls) >= 2048:
                     descriptors.append({"path": self.paths[fi], "row_groups": chunk_rgs, "urls": chunk_urls})
                     chunk_rgs, chunk_urls = [], []
             if chunk_urls:
