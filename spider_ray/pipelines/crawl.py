@@ -154,7 +154,7 @@ class RayCrawler:
         corpus_dir: str,
         out_dir: str | None = None,
         ckpt_dir: str | None = None,
-        num_seen_shards: int = 4,
+        num_seen_shards: int = 8,
         parse_batch_size: int = 128,
         parse_concurrency: int | None = None,
         keep_pages: bool = True,
