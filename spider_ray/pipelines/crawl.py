@@ -604,25 +604,37 @@ class RayCrawler:
             ok = pc.or_(pc.invert(starts_slash), pc.less_equal(segs, dd))
             tbl = tbl.filter(ok)
         # host of each candidate (vectorized) — the single partitioning key
-        # shared with corpus buckets and the politeness scheduler
+        # shared with corpus buckets and the politeness scheduler.  Shard
+        # routing hashes only the UNIQUE hosts (dictionary-encoded); key
+        # strings materialize worker-side, never on the driver.
+        from ..hashing import stable_hash_str
+
         h1 = pc.replace_substring_regex(
             tbl.column("key"), pattern=r"^[a-z0-9+.\-]+://", replacement=""
         )
         hosts_arr = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
-        order_keys = tbl.column("key").to_pylist()
-        hosts_py = hosts_arr.to_pylist()
+        dict_arr = pc.dictionary_encode(hosts_arr).combine_chunks()
+        uniques = dict_arr.dictionary.to_pylist()
+        shard_of_unique = np.fromiter(
+            (stable_hash_str(h) % seen.num_shards for h in uniques),
+            dtype=np.int64,
+            count=len(uniques),
+        )
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        shard_idx = shard_of_unique[codes]
         if self._pending_inserts:
             import ray
 
             ray.get(self._pending_inserts)
             self._pending_inserts = []
-        mask = seen.contains_batch(order_keys, hosts_py)
-        urls_py = tbl.column("url").to_pylist()
-        admitted, admitted_hosts = [], []
-        for u, h, m in zip(urls_py, hosts_py, mask):
-            if not m:
-                admitted.append(u)
-                admitted_hosts.append(h)
+        keys_arr = tbl.column("key").combine_chunks()
+        mask = seen.contains_arrow(keys_arr, shard_idx)  # True = already seen
+        keep = pa.array(~mask)
+        admitted_tbl = tbl.filter(keep)
+        admitted_keys = admitted_tbl.column("key").combine_chunks()
+        self._pending_inserts = seen.insert_arrow_async(admitted_keys, shard_idx[~mask])
+        admitted = admitted_tbl.column("url").to_pylist()
+        admitted_hosts = hosts_arr.filter(keep).to_pylist()
         return admitted, admitted_hosts
 
     # -- main loop -----------------------------------------------------------
@@ -739,14 +751,11 @@ class RayCrawler:
                     self._ckpt_wave_fast(wave, flat_candidates, signatures, seen, result.metrics)
                 if flat_candidates is None or len(flat_candidates) == 0 or wave + 1 >= config.max_waves:
                     break
+                # _admit_fast fires the seen inserts itself (fire-and-overlap:
+                # the round-trip completes while the next wave's fetch+parse
+                # pipeline runs; awaited before the next contains)
                 admitted, admitted_hosts = self._admit_fast(flat_candidates, seen, wave + 1)
                 wave += 1
-                # fire-and-overlap: the insert round-trip completes while the
-                # wave's fetch+parse pipeline runs (awaited before the next
-                # contains_batch)
-                self._pending_inserts = seen.insert_batch_async(
-                    [u.lower() for u in admitted], admitted_hosts
-                )
                 result.visited.extend(admitted)
                 result.admitted_order.extend(
                     (wave, seq, url) for seq, url in enumerate(admitted)

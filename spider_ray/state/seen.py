@@ -36,11 +36,20 @@ class UrlSeenShard:
     # only once the shard exceeds ``bloom_activate_threshold``.
     BLOOM_ACTIVATE = 5_000_000
 
-    def contains_batch(self, keys: list[str]) -> list[bool]:
-        seen = self.seen
-        return [k in seen for k in keys]
+    def contains_batch(self, keys) -> "object":
+        """keys: list[str] or pyarrow.Array (worker-side to_pylist keeps the
+        string materialization off the driver).  Returns a numpy bool array.
+        """
+        import numpy as np
 
-    def insert_batch(self, keys: list[str]) -> int:
+        if not isinstance(keys, list):
+            keys = keys.to_pylist()
+        seen = self.seen
+        return np.fromiter((k in seen for k in keys), dtype=bool, count=len(keys))
+
+    def insert_batch(self, keys) -> int:
+        if not isinstance(keys, list):
+            keys = keys.to_pylist()
         seen = self.seen
         inc = self._increment
         added = 0
@@ -122,6 +131,35 @@ class UrlSeen:
             for shard, bucket in zip(self.shards, buckets)
             if bucket
         ]
+
+    def contains_arrow(self, keys_arr, shard_idx):
+        """Arrow fan-out: keys as a pyarrow StringArray + precomputed shard
+        index (numpy).  String materialization happens worker-side."""
+        import numpy as np
+        import pyarrow as pa
+
+        out = np.zeros(len(keys_arr), dtype=bool)
+        futs = []
+        for s in range(self.num_shards):
+            pos = np.nonzero(shard_idx == s)[0]
+            if len(pos):
+                futs.append(
+                    (pos, self.shards[s].contains_batch.remote(keys_arr.take(pa.array(pos))))
+                )
+        for pos, f in futs:
+            out[pos] = ray.get(f)
+        return out
+
+    def insert_arrow_async(self, keys_arr, shard_idx):
+        import numpy as np
+        import pyarrow as pa
+
+        futs = []
+        for s in range(self.num_shards):
+            pos = np.nonzero(shard_idx == s)[0]
+            if len(pos):
+                futs.append(self.shards[s].insert_batch.remote(keys_arr.take(pa.array(pos))))
+        return futs
 
     def checkpoint_increments(self) -> list[list[str]]:
         return ray.get([s.take_increment.remote() for s in self.shards])
