@@ -10,7 +10,8 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...,
    "frontier_ops_per_sec": ...}
 
---scaling: runs the same bench in two fresh processes at num_cpus=8 and 32
+--scaling: runs the same crawl in two fresh processes at num_cpus=N and 4N
+(default 2 and 8 — see BASELINE.md scaling-protocol analysis)
 and reports both throughputs + scaling efficiency (BASELINE.md criterion).
 """
 
@@ -145,7 +146,7 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = int(os.environ.get("SCALE_LO", "4")), int(os.environ.get("SCALE_HI", "16"))
+    lo, hi = int(os.environ.get("SCALE_LO", "2")), int(os.environ.get("SCALE_HI", "8"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
