@@ -44,6 +44,10 @@ class CrawlConfig:
     # extra links merged into the first frontier generation —
     # website.rs:7810-7812 (Website::extra_links); normal admission chain
     extra_links: tuple[str, ...] = ()
+    # hard wall-clock cap on the whole crawl — configuration.rs:355,
+    # run_with_crawl_timeout website.rs:6973-6977 (engine-side only; the
+    # deterministic oracle has no wall clock)
+    crawl_timeout_s: float | None = None
     # engine knobs (ours, documented divergences / wave model)
     round_robin: bool = False  # frontier domain round-robin (frontier.rs:83-121)
     wave_span_ms: int = 1000  # politeness window per wave (SURVEY.md §2.3)

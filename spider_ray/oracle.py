@@ -110,7 +110,7 @@ def admit_seeds(job: CrawlJob, config, robots_for, visited: set[str]) -> list[st
     return admitted
 
 
-def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleResult:
+def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]], queue_provider=None) -> OracleResult:
     """Run the sequential crawl.  ``corpus`` maps url → (status, html bytes);
     missing URLs synthesize status 404 with empty body."""
     config = job.config
@@ -183,11 +183,20 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]]) -> OracleR
              "dup_signature": dup_sig, "candidates": len(candidates)}
         )
 
+        # mid-crawl queue injection (channel_queue, website.rs:7528-7562):
+        # queued links bypass the budget check but not the rest
+        budgetless: frozenset[str] = frozenset()
+        if queue_provider is not None:
+            injected = list(queue_provider(wave) or ())
+            budgetless = frozenset(u.lower() for u in injected)
+            candidates.extend((u, score_url(u, wave + 1)) for u in injected)
+
         if not candidates or wave + 1 >= config.max_waves:
             break
 
         order, prio_of = order_candidates(candidates, config.round_robin)
-        adm = admit_wave(order, prio_of, visited, config, robots_for, host_delay_ms, budget)
+        adm = admit_wave(order, prio_of, visited, config, robots_for, host_delay_ms, budget,
+                         budgetless_keys=budgetless)
         wave += 1
         admitted = adm.admitted
         deferred = adm.deferred

@@ -120,24 +120,6 @@ from ..htmlparse import hash_html as _hash_html  # noqa: E402
 _EMPTY_SIG = _hash_html("")
 
 
-def _small_cols_impl(tbl):
-    if tbl is None or tbl.num_rows == 0 or "url" not in tbl.schema.names:
-        return None
-    return tbl.select(["url", "signature"])
-
-
-_SMALL_REMOTE = None
-
-
-def _small_cols_remote():
-    global _SMALL_REMOTE
-    if _SMALL_REMOTE is None:
-        import ray
-
-        _SMALL_REMOTE = ray.remote(_small_cols_impl)
-    return _SMALL_REMOTE
-
-
 def _atomic_write_json(path: str, obj) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -159,6 +141,7 @@ class RayCrawler:
         parse_concurrency: int | None = None,
         keep_pages: bool = True,
         collect_seen: bool = True,
+        queue_provider=None,
     ) -> None:
         self.job = job
         self.config = job.config
@@ -170,6 +153,7 @@ class RayCrawler:
         self.parse_concurrency = parse_concurrency
         self.keep_pages = keep_pages
         self.collect_seen = collect_seen
+        self.queue_provider = queue_provider
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
         self._index = None  # CorpusIndex, built lazily at first wave
         self._pending_inserts: list = []
@@ -406,6 +390,7 @@ class RayCrawler:
             and not c.blacklist
             and not c.round_robin
             and not c.extra_links
+            and self.queue_provider is None
         )
 
     def _fetch_parse_wave_refs(self, admitted: list[str], wave: int):
@@ -640,8 +625,11 @@ class RayCrawler:
     # -- main loop -----------------------------------------------------------
 
     def run(self, resume: bool = False) -> CrawlResult:
+        import time as _time
+
         from ..state.seen import UrlSeen
 
+        t_start = _time.monotonic()
         config = self.config
         result = CrawlResult(out_dir=self.out_dir)
         seen = UrlSeen(self.num_seen_shards)
@@ -746,10 +734,14 @@ class RayCrawler:
             elif candidates is None:
                 candidates = []
 
+            timed_out = (
+                config.crawl_timeout_s is not None
+                and _time.monotonic() - t_start >= config.crawl_timeout_s
+            )
             if fast:
                 if wave != resume_wave:  # never rewrite the restored wave's ckpt
                     self._ckpt_wave_fast(wave, flat_candidates, signatures, seen, result.metrics)
-                if flat_candidates is None or len(flat_candidates) == 0 or wave + 1 >= config.max_waves:
+                if timed_out or flat_candidates is None or len(flat_candidates) == 0 or wave + 1 >= config.max_waves:
                     break
                 # _admit_fast fires the seen inserts itself (fire-and-overlap:
                 # the round-trip completes while the next wave's fetch+parse
@@ -767,7 +759,14 @@ class RayCrawler:
             if wave != resume_wave:  # never rewrite the restored wave's ckpt
                 self._ckpt_wave(wave, candidates, deferred, budget, signatures, seen, result.metrics)
 
-            if not candidates or wave + 1 >= config.max_waves:
+            # mid-crawl queue injection (channel_queue, website.rs:7528-7562)
+            budgetless: frozenset[str] = frozenset()
+            if self.queue_provider is not None:
+                injected = list(self.queue_provider(wave) or ())
+                budgetless = frozenset(u.lower() for u in injected)
+                candidates.extend((u, score_url(u, wave + 1)) for u in injected)
+
+            if timed_out or not candidates or wave + 1 >= config.max_waves:
                 break
 
             order, prio_of = order_candidates(candidates, config.round_robin)
@@ -776,7 +775,8 @@ class RayCrawler:
             mask = seen.contains_batch([u.lower() for u in order])
             visited_now = {u.lower() for u, m in zip(order, mask) if m}
             adm = admit_wave(
-                order, prio_of, visited_now, config, robots_for, host_delay_ms, budget
+                order, prio_of, visited_now, config, robots_for, host_delay_ms, budget,
+                budgetless_keys=budgetless,
             )
             wave += 1
             admitted = adm.admitted

@@ -49,9 +49,13 @@ def admit_wave(
     robots_for,  # url -> RobotFileParser | None
     host_delay_ms,  # host -> int (robots crawl-delay override already folded)
     budget: Budget,
+    budgetless_keys: frozenset[str] = frozenset(),
 ) -> WaveAdmission:
     """Exact admission chain: visited → whitelist/blacklist → robots → depth
-    → politeness quota (defer) → budget (drop).  Mutates ``budget``."""
+    → politeness quota (defer) → budget (drop).  Mutates ``budget``.
+
+    ``budgetless_keys``: mid-crawl queued links bypass the budget check but
+    not the rest (``is_allowed_budgetless``, website.rs:7545-7560)."""
     res = WaveAdmission()
     quota: dict[str, int] = {}
     for url in order:
@@ -74,7 +78,7 @@ def admit_wave(
                 res.deferred.append((url, prio_of[key]))
                 continue
             quota[host] = used + 1
-        if budget.is_over(url):
+        if key not in budgetless_keys and budget.is_over(url):
             res.dropped_budget += 1
             continue
         res.admitted.append(url)

@@ -87,3 +87,31 @@ def test_parity_distributed_flatten_path(fixture_env, name):
     e = RayCrawler(job, cdir, keep_pages=False).run()
     assert e.visited_set == o.visited_set, name
     assert e.admitted_order == o.admitted_order, name
+
+
+def test_parity_queue_injection(fixture_env):
+    from spider_ray.pipelines.crawl import RayCrawler
+
+    corpus, cdir = fixture_env
+    orphan = "https://www.site0.example/orphan/sm0"
+
+    def provider(wave):
+        return [orphan] if wave == 1 else []
+
+    job = CrawlJob((seed_of(0),), CrawlConfig().with_limit(10))
+    o = crawl_oracle(job, corpus, queue_provider=provider)
+    e = RayCrawler(job, cdir, queue_provider=provider).run()
+    assert e.visited_set == o.visited_set
+    assert e.admitted_order == o.admitted_order
+
+
+def test_crawl_timeout_stops_early(fixture_env):
+    from spider_ray.pipelines.crawl import RayCrawler
+
+    corpus, cdir = fixture_env
+    job = CrawlJob((seed_of(0),), CrawlConfig(crawl_timeout_s=0.0))
+    e = RayCrawler(job, cdir).run()
+    full = RayCrawler(CrawlJob((seed_of(0),), CrawlConfig()), cdir).run()
+    # only the seed wave completed before the wall-clock cap
+    assert len(e.visited) < len(full.visited)
+    assert max(w for w, _, _ in e.admitted_order) == 0

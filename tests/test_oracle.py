@@ -189,3 +189,19 @@ def test_parse_sitemap():
 def test_extra_links(corpus):
     res = crawl(corpus, CrawlConfig(extra_links=("https://www.site0.example/orphan/sm0",)))
     assert "https://www.site0.example/orphan/sm0" in res.visited_set
+
+
+def test_queue_injection_budgetless(corpus):
+    # queued links bypass the budget but not the rest (website.rs:7545-7560)
+    orphan = "https://www.site0.example/orphan/sm0"
+
+    def provider(wave):
+        return [orphan] if wave == 1 else []
+
+    limited = crawl(corpus, CrawlConfig().with_limit(3))
+    assert orphan not in limited.visited_set
+    res = crawl_oracle(
+        CrawlJob((seed_of(0),), CrawlConfig().with_limit(3)), corpus, queue_provider=provider
+    )
+    assert orphan in res.visited_set  # admitted despite exhausted budget
+    assert len([u for u in res.visited if "/orphan/" not in u]) == 3
