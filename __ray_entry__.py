@@ -211,6 +211,34 @@ def q_events_by_type(sf_dir: str):
     )
 
 
+def q_docs_by_source(sf_dir: str):
+    ds = _docs(sf_dir).groupby("source").count()
+    return ds.map_batches(
+        lambda b: pa.table({"source": b.column("source"), "n_docs": pc.cast(b.column("count()"), pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_per_day(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(batch.column("ts"), unit="day")})
+
+    out = ds.map_batches(day_of, batch_format="pyarrow").groupby("day").count()
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "day": pc.cast(b.column("day"), pa.timestamp("us")),
+                "n_events": pc.cast(b.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_top_k_similarity(sf_dir: str):
     from spider_ray.ops.similarity import brute_force_top_k
 
@@ -309,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,
         "events_by_type": q_events_by_type,
+        "docs_by_source": q_docs_by_source,
+        "events_per_day": q_events_per_day,
         "top_k_similarity": q_top_k_similarity,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -341,6 +371,11 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": (
             "SELECT event_type, count(*)::BIGINT AS n_events, max(user_id)::BIGINT AS max_user_id "
             "FROM events GROUP BY event_type"
+        ),
+        "docs_by_source": "SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source",
+        "events_per_day": (
+            "SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events "
+            "FROM events GROUP BY 1"
         ),
         "top_k_similarity": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings "

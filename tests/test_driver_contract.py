@@ -80,6 +80,8 @@ def test_all_queries_run(contract):
         "docs_by_lang",
         "events_by_type",
         "top_k_similarity",
+        "docs_by_source",
+        "events_per_day",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
