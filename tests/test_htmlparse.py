@@ -165,3 +165,54 @@ def test_extract_text_inline_does_not_split():
 def test_extract_text_empty():
     assert extract_text("") == ""
     assert extract_text("<head><title>only head</title></head>") == ""
+
+
+# --- metadata edge cases ported from page.rs:9732-10070 ---
+
+
+def test_metadata_special_characters():
+    html = (
+        "<!DOCTYPE html><html><head>"
+        "<title>Title with &amp; special &lt;characters&gt;</title>"
+        "<meta name=\"description\" content=\"Description with &quot;quotes&quot; and 'apostrophes'\">"
+        '<meta property="og:image" content="https://example.com/image?param=value&amp;other=1">'
+        "</head><body></body></html>"
+    )
+    ex = extract_links_and_meta(html, "https://site0.example/", ROOT, SEL)
+    assert ex.title is not None
+    # attribute values are entity-decoded (lol_html semantics)
+    assert ex.description == "Description with \"quotes\" and 'apostrophes'"
+    assert ex.og_image == "https://example.com/image?param=value&other=1"
+
+
+def test_metadata_unicode():
+    html = (
+        "<head><title>日本語タイトル</title>"
+        '<meta name="description" content="Описание на русском"></head>'
+    )
+    ex = extract_links_and_meta(html, "https://site0.example/", ROOT, SEL)
+    assert ex.title == "日本語タイトル"
+    assert ex.description == "Описание на русском"
+
+
+def test_metadata_partial_only_description():
+    ex = extract_links_and_meta(
+        '<head><meta name="description" content="only desc"></head>',
+        "https://site0.example/", ROOT, SEL,
+    )
+    assert ex.title is None and ex.description == "only desc" and ex.og_image is None
+
+
+def test_metadata_empty_html():
+    ex = extract_links_and_meta("", "https://site0.example/", ROOT, SEL)
+    assert ex.title is None and ex.description is None and ex.og_image is None
+
+
+def test_metadata_empty_content_ignored():
+    # empty content does not overwrite (handlers skip empty values)
+    html = (
+        '<head><meta name="description" content="real">'
+        '<meta name="description" content=""></head>'
+    )
+    ex = extract_links_and_meta(html, "https://site0.example/", ROOT, SEL)
+    assert ex.description == "real"
