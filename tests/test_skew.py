@@ -1,0 +1,68 @@
+"""Hot-host skew containment (BASELINE.json north rule: "groupby-host
+repartitioning ... to contain hot-host skew").
+
+The corpus is host-hash bucketed, so one mega-host lands in ONE bucket file —
+the skew hazard.  The fetch layer must still parallelize it: the CorpusIndex
+splits a bucket's wanted row groups into bounded-size descriptors, so a
+hot host's wave fans out across many tasks instead of one straggler."""
+
+import tempfile
+
+import pytest
+
+from spider_ray.config import CrawlConfig, CrawlJob
+from spider_ray.fixtures import build_corpus, corpus_as_dict, seed_of, write_corpus_parquet
+from spider_ray.oracle import crawl_oracle
+
+
+@pytest.fixture(scope="module")
+def skew_env(ray_session):
+    # host 0 is the mega-host: ~10x the pages of every other host
+    rows = build_corpus(n_hosts=1, pages_per_host=4000, seed=99, stressors=False)
+    small = build_corpus(n_hosts=4, pages_per_host=30, seed=99, stressors=False)
+    # merge: big host is site0; small hosts re-keyed are sites 1-3 already distinct
+    combined = rows + [r for r in small if "site0.example" not in r["url"]]
+    cdir = tempfile.mkdtemp(prefix="spider_skew_")
+    write_corpus_parquet(combined, cdir, n_buckets=16)
+    return corpus_as_dict(combined), cdir
+
+
+def test_hot_host_descriptor_fanout(skew_env):
+    from spider_ray.stages.fetch import CorpusIndex
+
+    corpus, cdir = skew_env
+    idx = CorpusIndex(cdir)
+    hot_urls = [u for u in idx.lookup if "site0.example" in u]
+    assert len(hot_urls) > 3000
+    descriptors, missing = idx.split(hot_urls)
+    # the mega-host fans out across multiple bounded descriptors (parallel
+    # read+parse tasks), not one straggler covering the whole bucket
+    assert len(descriptors) >= 2
+    assert max(len(d["urls"]) for d in descriptors) <= 4096
+    assert not missing
+
+
+def test_skewed_crawl_parity(skew_env):
+    from spider_ray.pipelines.crawl import crawl
+
+    corpus, cdir = skew_env
+    job = CrawlJob(tuple(seed_of(k) for k in range(4)), CrawlConfig())
+    o = crawl_oracle(job, corpus)
+    e = crawl(job, cdir, keep_pages=False)
+    assert e.visited_set == o.visited_set
+    assert e.admitted_order == o.admitted_order
+    hosts = {u.split("/")[2] for u in e.visited}
+    assert "www.site0.example" in hosts and len(hosts) >= 4
+
+
+def test_politeness_caps_hot_host(skew_env):
+    """With a politeness delay, the mega-host is capped per wave (quota =
+    ceil(wave_span/delay)) while small hosts proceed — per-host fairness."""
+    from collections import Counter
+
+    corpus, cdir = skew_env
+    job = CrawlJob(tuple(seed_of(k) for k in range(4)), CrawlConfig(delay_ms=200))
+    o = crawl_oracle(job, corpus)
+    for wave in {w for w, _, _ in o.admitted_order if w > 0}:
+        per_host = Counter(u.split("/")[2] for w, _, u in o.admitted_order if w == wave)
+        assert per_host.get("www.site0.example", 0) <= 5  # ceil(1000/200)
