@@ -219,7 +219,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]], queue_prov
         for _, root in router.entries:
             if root is None:
                 continue
-            for url in collect_sitemap_urls(corpus_get, root):
+            for url in collect_sitemap_urls(corpus_get, root, sitemap_path=config.sitemap_url):
                 key = url.lower()
                 if key in visited:
                     continue

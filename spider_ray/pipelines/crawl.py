@@ -840,7 +840,7 @@ class RayCrawler:
         for _, root in _oracle.ScopeRouter(self.job).entries:
             if root is None:
                 continue
-            candidates.extend(collect_sitemap_urls(corpus_get, root))
+            candidates.extend(collect_sitemap_urls(corpus_get, root, sitemap_path=config.sitemap_url))
         cand_hosts = [url_host(u) for u in candidates] if fast else None
         existing = seen.contains_batch([u.lower() for u in candidates], cand_hosts)
         admitted, seq = [], 0

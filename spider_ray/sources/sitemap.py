@@ -37,11 +37,15 @@ def parse_sitemap(xml: str | bytes) -> tuple[list[str], list[str]]:
     return urls, child_sitemaps
 
 
-def collect_sitemap_urls(corpus_get, root: str, max_depth: int = 4) -> list[str]:
-    """Fetch ``{root}sitemap.xml`` and recurse into child sitemaps,
-    returning location URLs in document order (dedup, first-seen)."""
+def collect_sitemap_urls(
+    corpus_get, root: str, max_depth: int = 4, sitemap_path: str | None = None
+) -> list[str]:
+    """Fetch ``{root}{sitemap_path or 'sitemap.xml'}`` and recurse into child
+    sitemaps, returning location URLs in document order (dedup, first-seen).
+    ``sitemap_path`` mirrors ``Configuration.sitemap_url``
+    (configuration.rs:389-394)."""
     seen: dict[str, None] = {}
-    queue = [root + "sitemap.xml"]
+    queue = [root + (sitemap_path or "sitemap.xml").lstrip("/")]
     visited_maps: set[str] = set()
     depth = 0
     while queue and depth < max_depth:
