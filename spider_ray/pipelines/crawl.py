@@ -622,6 +622,103 @@ class RayCrawler:
         admitted_hosts = hosts_arr.filter(keep).to_pylist()
         return admitted, admitted_hosts
 
+    # -- streaming admission (HostGate actor-pool frontier) ------------------
+
+    def run_streaming(self) -> CrawlResult:
+        """Streaming-admission crawl: the per-host priority frontier lives in
+        the :class:`~spider_ray.state.hostgate.HostGate` actor pool instead of
+        a driver-side fold — the layout that scales past one driver.
+
+        Supported configs: scope/depth/normalize/politeness (no budget,
+        robots, white/blacklist, round-robin — those need the globally
+        ordered fold).  Produces the same ADMITTED SET and the same per-host
+        admission sequences as the oracle; the cross-host interleave is
+        per-shard deterministic rather than globally canonical
+        (tests/test_hostgate.py)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..frontier import score_urls_arrow
+        from ..semantics import depth_distance_for
+        from ..state.hostgate import HostGate
+        from ..state.seen import UrlSeen
+
+        config = self.config
+        assert config.budget is None and not config.respect_robots_txt
+        assert not config.whitelist and not config.blacklist and not config.round_robin
+
+        result = CrawlResult(out_dir=self.out_dir)
+        seen = UrlSeen(self.num_seen_shards)
+        gate = HostGate(self.num_seen_shards)
+        signatures: set[int] = set()
+
+        visited_seed: set[str] = set()
+        admitted = _oracle.admit_seeds(self.job, config, lambda u: None, visited_seed)
+        admitted_hosts = [url_host(u) for u in admitted]
+        seen.insert_batch([u.lower() for u in admitted], admitted_hosts)
+        for seq, url in enumerate(admitted):
+            result.visited.append(url)
+            result.admitted_order.append((0, seq, url))
+
+        wave = 0
+        push_futs: list = []
+        while admitted:
+            block_refs, small_tbls = self._fetch_parse_wave_refs(admitted, wave)
+            merged = self._candidates_fast_refs(block_refs, small_tbls, admitted, signatures)
+            result.metrics.append(
+                {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
+                 "candidates": merged.num_rows if merged is not None else 0}
+            )
+            if merged is not None and merged.num_rows:
+                tbl = merged
+                dd = depth_distance_for(config)
+                if dd > 0:
+                    pathq = pc.replace_substring_regex(
+                        tbl.column("url"), pattern=r"^[^:/?#]+://[^/]*", replacement=""
+                    )
+                    ok = pc.or_(
+                        pc.invert(pc.starts_with(pathq, "/")),
+                        pc.less_equal(pc.count_substring(pathq, "/"), dd),
+                    )
+                    tbl = tbl.filter(ok)
+                if tbl.num_rows:
+                    h1 = pc.replace_substring_regex(
+                        tbl.column("key"), pattern=r"^[a-z0-9+.\-]+://", replacement=""
+                    )
+                    hosts_arr = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
+                    prios = score_urls_arrow(tbl.column("url").combine_chunks(), wave + 1)
+                    urls_py = tbl.column("url").to_pylist()
+                    hosts_py = hosts_arr.to_pylist()
+                    mask = seen.contains_batch([u.lower() for u in urls_py], hosts_py)
+                    push_urls, push_prios, push_hosts = [], [], []
+                    for u, p, h, m in zip(urls_py, prios.tolist(), hosts_py, mask):
+                        if not m:
+                            push_urls.append(u)
+                            push_prios.append(p)
+                            push_hosts.append(h)
+                    push_futs = gate.push(push_urls, push_prios, push_hosts)
+            if push_futs:
+                import ray
+
+                ray.get(push_futs)
+                push_futs = []
+
+            popped = gate.pop_wave(config.wave_span_ms, config.delay_ms)
+            if not popped:
+                break
+            wave += 1
+            admitted = [u for u, _ in popped]
+            admitted_hosts = [h for _, h in popped]
+            seen.insert_batch([u.lower() for u in admitted], admitted_hosts)
+            for seq, url in enumerate(admitted):
+                result.visited.append(url)
+                result.admitted_order.append((wave, seq, url))
+
+        result.seen_keys = seen.dump() if self.collect_seen else set()
+        gate.shutdown()
+        seen.shutdown()
+        return result
+
     # -- main loop -----------------------------------------------------------
 
     def run(self, resume: bool = False) -> CrawlResult:
