@@ -106,6 +106,18 @@ def q_crawl_dedup(sf_dir: str):
     return _visited_table(_crawl(sf_dir, CrawlConfig(normalize=True)))
 
 
+def q_crawl_streaming(sf_dir: str):
+    """HostGate actor-pool streaming admission (per-host frontier shards)."""
+    from spider_ray.config import CrawlConfig, CrawlJob
+    from spider_ray.fixtures import seed_of
+    from spider_ray.pipelines.crawl import RayCrawler
+
+    corpus = _corpus_for(sf_dir)
+    job = CrawlJob((seed_of(0), seed_of(1)), CrawlConfig(normalize=True))
+    res = RayCrawler(job, corpus, keep_pages=False).run_streaming()
+    return _visited_table(res)
+
+
 def q_crawl_multihost(sf_dir: str):
     from spider_ray.config import CrawlConfig
 
@@ -331,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_robots": q_crawl_robots,
         "crawl_dedup": q_crawl_dedup,
         "crawl_multihost": q_crawl_multihost,
+        "crawl_streaming": q_crawl_streaming,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,
