@@ -145,7 +145,7 @@ def q_extract_text_parity(sf_dir: str):
             {
                 "url": batch.column("url"),
                 "text": pa.array(
-                    [extract_text(h.decode("utf-8", "replace")) for h in batch.column("html").to_pylist()],
+                    [extract_text(h) for h in batch.column("html").to_pylist()],
                     pa.string(),
                 ),
             }

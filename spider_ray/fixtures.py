@@ -156,8 +156,9 @@ def _build_host_rows(
     rows: list[dict] = []
     statuses: dict[str, int] = {}
 
-    def add(url: str, html: str, text: str, lang: str = "en", status: int = 200):
-        rows.append({"url": url, "html": html.encode("utf-8"), "text": text, "lang": lang})
+    def add(url: str, html: str, text: str, lang: str = "en", status: int = 200,
+            encoding: str = "utf-8"):
+        rows.append({"url": url, "html": html.encode(encoding), "text": text, "lang": lang})
         statuses[url] = status
 
     n_sections = max(2, min(8, pages_per_host // 12))
@@ -248,6 +249,7 @@ def _build_host_rows(
             _add_special_hosts(add)
             _add_dup_pages(add, root)
             _add_private_pages(add, root)
+            _add_encoding_page(add, root)
 
     return rows, statuses
 
@@ -305,13 +307,14 @@ def _add_root_stressors(p: _PageBuilder):
         '<li><a href="/dup/b">Dup B</a></li>'
         '<li><a href="/private/secret">Private</a></li>'
         '<li><a href="/public/open">Public</a></li>'
+        '<li><a href="/ja/shiftjis">Japanese</a></li>'
         "</ul>"
     )
     for anchor in [
         "Root absolute", "Fragment stripped", "Query preserved", "Mail", "Tel", "JS",
         "Domain-like path", "Mixed case", "Mixed twin", "Scheme coerce", "Subdomain",
         "TLD variant", "External", "Ported", "Pic", "App", "Hidden", "No slash", "With slash",
-        "Dup A", "Dup B", "Private", "Public",
+        "Dup A", "Dup B", "Private", "Public", "Japanese",
     ]:
         p.blocks.append(anchor)
 
@@ -356,6 +359,19 @@ def _add_dup_pages(add, root: str):
         only_url = f"{root}dup/only-{name}"
         h2, t2 = _mini_page(only_url, "dup leaf", [f"Leaf {name}."])
         add(only_url, h2, t2)
+
+
+def _add_encoding_page(add, root: str):
+    """Shift_JIS-encoded page with a <meta charset> tag — exercises the
+    charset-detection path (page.rs:9384-9394 analogue); golden text is the
+    unicode string, so byte-identical parity REQUIRES correct decoding."""
+    url = root + "ja/shiftjis"
+    p = _PageBuilder(url, "ja encoded page")
+    p.head_extra.append('<meta charset="shift_jis">')
+    p.heading("日本語のページ")
+    p.para("これはシフトJISでエンコードされたページです。")
+    html, text = p.render()
+    add(url, html, text, lang="ja", encoding="shift_jis")
 
 
 def _add_private_pages(add, root: str):

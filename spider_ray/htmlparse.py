@@ -210,7 +210,9 @@ def normalize_html(html: bytes | str) -> bytes:
     """Deterministic re-serialization per ``normalize_html``
     (``utils/mod.rs:9221-9285``) — the dedup-signature preimage."""
     if isinstance(html, bytes):
-        html = html.decode("utf-8", "replace")
+        from .encoding import decode_html
+
+        html = decode_html(html)
     out: list[str] = []
     skip_depth = 0
     for kind, tag, attrs_str, raw in tokenize(html):

@@ -91,7 +91,11 @@ def load_robots(
 
 
 def _as_text(body) -> str:
-    return body.decode("utf-8", "replace") if isinstance(body, (bytes, bytearray)) else body
+    if isinstance(body, (bytes, bytearray)):
+        from .encoding import decode_html
+
+        return decode_html(bytes(body))
+    return body
 
 
 def admit_seeds(job: CrawlJob, config, robots_for, visited: set[str]) -> list[str]:

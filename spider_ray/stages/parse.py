@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import CrawlConfig, CrawlJob
+from ..encoding import decode_html
 from ..oracle import ScopeRouter
 from ..parsepage import parse_page
 from ..urlnorm import url_host
@@ -59,7 +60,7 @@ class ParsePages:
         for url, html, status in zip(urls, htmls, statuses):
             host = url_host(url)
             sel, root = self.router.for_host(host)
-            text_html = html.decode("utf-8", "replace") if html else ""
+            text_html = decode_html(html)
             ex = parse_page(
                 text_html,
                 url,

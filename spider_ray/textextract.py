@@ -40,7 +40,9 @@ _WS_RE = re.compile(r"\s+")
 
 def extract_text(html: bytes | str) -> str:
     if isinstance(html, bytes):
-        html = html.decode("utf-8", "replace")
+        from .encoding import decode_html
+
+        html = decode_html(html)
     blocks: list[str] = []
     buf: list[str] = []
     skip_depth = 0

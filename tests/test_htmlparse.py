@@ -216,3 +216,22 @@ def test_metadata_empty_content_ignored():
     )
     ex = extract_links_and_meta(html, "https://site0.example/", ROOT, SEL)
     assert ex.description == "real"
+
+
+def test_charset_detection_shift_jis():
+    from spider_ray.encoding import decode_html, detect_charset
+
+    body = (
+        '<head><meta charset="shift_jis"><title>x</title></head>'
+        "<body><p>日本語のページ</p></body>"
+    ).encode("shift_jis")
+    assert detect_charset(body) == "shift_jis"
+    assert "日本語のページ" in decode_html(body)
+    assert extract_text(body) == "日本語のページ"
+    # BOM beats meta
+    import codecs
+
+    assert detect_charset(codecs.BOM_UTF8 + b"<p>x</p>") == "utf-8-sig"
+    assert detect_charset(b"<p>plain</p>") == "utf-8"
+    # bogus label falls back
+    assert detect_charset(b'<meta charset="no-such-enc"><p>x</p>') == "utf-8"
