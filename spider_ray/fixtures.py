@@ -457,7 +457,8 @@ def ensure_corpus(
     out_dir = os.path.join(base_dir, scale, "web_pages")
     marker = os.path.join(out_dir, "_corpus_manifest.json")
     params = {"n_hosts": n_hosts, "pages_per_host": pages_per_host, "seed": seed,
-              "n_buckets": n_buckets, "page_weight": page_weight}
+              "n_buckets": n_buckets, "page_weight": page_weight,
+              "gen_version": GENERATOR_VERSION}
     if os.path.exists(marker):
         with open(marker) as f:
             manifest = json.load(f)
@@ -481,6 +482,9 @@ SCALE_PARAMS = {
     "sf0.1": (96, 9600, 128, 16),
     "unit": (8, 50, 16, 1),
 }
+
+# bump when generator output changes so cached corpora auto-invalidate
+GENERATOR_VERSION = 2
 
 FIXTURE_BASE = "/tmp/spider_ray_fixtures"
 
