@@ -43,8 +43,18 @@ class CosineScorer:
         k = min(self.k, len(ids))
         for qi in range(self.q.shape[0]):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
-            for row in top:
+            # deterministic per-batch top-k under the SAME ordering as the
+            # driver fold and SQL oracle: (-round(sim, 9), vec_id asc).  Keep
+            # all boundary ties before the lexsort so none of the ids the
+            # fold would pick is dropped here.
+            r = -np.round(col, 9)
+            if k < len(ids):
+                kth = np.partition(r, k - 1)[k - 1]
+                cand = np.nonzero(r <= kth)[0]
+            else:
+                cand = np.arange(len(ids))
+            order = np.lexsort((ids[cand], r[cand]))
+            for row in cand[order[:k]]:
                 out_q.append(qi)
                 out_id.append(int(ids[row]))
                 out_sim.append(float(col[row]))

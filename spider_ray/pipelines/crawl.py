@@ -234,7 +234,8 @@ class RayCrawler:
         _atomic_write_json(os.path.join(wdir, "metrics.json"), metrics)
         _atomic_write_json(
             os.path.join(self.ckpt_dir, "manifest.json"),
-            {"wave": wave, "num_seen_shards": self.num_seen_shards},
+            {"wave": wave, "num_seen_shards": self.num_seen_shards,
+             "config_hash": self._config_hash()},
         )
 
     def _ckpt_wave_fast(self, wave, flat_candidates, signatures, seen, metrics):
@@ -268,8 +269,18 @@ class RayCrawler:
         _atomic_write_json(os.path.join(wdir, "metrics.json"), metrics)
         _atomic_write_json(
             os.path.join(self.ckpt_dir, "manifest.json"),
-            {"wave": wave, "num_seen_shards": self.num_seen_shards, "mode": "fast"},
+            {"wave": wave, "num_seen_shards": self.num_seen_shards, "mode": "fast",
+             "config_hash": self._config_hash()},
         )
+
+    def _config_hash(self) -> str:
+        """Deterministic hash of everything that shapes checkpoint layout:
+        the job (seeds + frozen config repr), shard count, and fast/non-fast
+        mode (shard-routing scheme + whether frontier priorities are stored)."""
+        import hashlib
+
+        payload = repr((self.job, self.num_seen_shards, self._simple_config()))
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
     def _find_resume_manifest(self) -> dict | None:
         if not self.ckpt_dir:
@@ -278,7 +289,16 @@ class RayCrawler:
         if not os.path.exists(mpath):
             return None
         with open(mpath) as f:
-            return json.load(f)
+            manifest = json.load(f)
+        stored = manifest.get("config_hash")
+        if stored is not None and stored != self._config_hash():
+            raise ValueError(
+                "checkpoint config mismatch: the checkpoint at "
+                f"{self.ckpt_dir} was written under a different config/mode "
+                "(resuming would mix shard-routing schemes); start a fresh "
+                "ckpt_dir or restore the original config"
+            )
+        return manifest
 
     def _restore(self, upto_wave: int, seen, budget, signatures, result: CrawlResult):
         """Rebuild state from checkpoints of waves 0..upto_wave."""
@@ -900,14 +920,14 @@ class RayCrawler:
         # --- sitemap chain (website.rs:6975): admitted through the normal
         # chain, fetched+parsed distributed, links NOT expanded ---
         if not config.ignore_sitemap:
-            self._sitemap_chain(result, seen, budget, robots_for, wave + 1)
+            self._sitemap_chain(result, seen, budget, robots_for, wave + 1, signatures)
 
         if self.collect_seen:
             result.seen_keys = seen.dump()
         seen.shutdown()
         return result
 
-    def _sitemap_chain(self, result, seen, budget, robots_for, sm_wave):
+    def _sitemap_chain(self, result, seen, budget, robots_for, sm_wave, signatures=()):
         from ..semantics import is_over_depth
         from ..sources.sitemap import collect_sitemap_urls
         from ..stages.fetch import CorpusIndex
@@ -932,7 +952,11 @@ class RayCrawler:
                 return (404, None)
             return (row.column("status")[0].as_py(), row.column("html")[0].as_py())
 
-        fast = self._simple_config() and not self.ckpt_dir
+        # MUST match run()'s fast flag exactly: run() inserts seen keys
+        # host-routed whenever _simple_config() holds (ckpt or not), so the
+        # sitemap chain's contains/insert must route the same way or it reads
+        # the wrong shards and re-admits already-crawled URLs.
+        fast = self._simple_config()
         candidates = []
         for _, root in _oracle.ScopeRouter(self.job).entries:
             if root is None:
@@ -969,6 +993,14 @@ class RayCrawler:
                 {"wave": sm_wave, "admitted": len(admitted), "fetched": len(admitted),
                  "sitemap": True, "candidates": 0}
             )
+            # checkpoint the sitemap admissions' seen increments — without
+            # this, a resume after a COMPLETED crawl re-admits and re-fetches
+            # every sitemap-discovered page (duplicate output rows)
+            if self.ckpt_dir:
+                if fast:
+                    self._ckpt_wave_fast(sm_wave, None, signatures, seen, result.metrics)
+                else:
+                    self._ckpt_wave(sm_wave, [], [], budget, signatures, seen, result.metrics)
 
 
 def crawl(job: CrawlJob, corpus_dir: str, **kwargs) -> CrawlResult:

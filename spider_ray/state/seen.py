@@ -28,6 +28,7 @@ class UrlSeenShard:
         self.seen: set[str] = set()
         self.bloom = BloomFilter(capacity=bloom_capacity)
         self._increment: list[str] = []
+        self._bloom_active = False
 
     # The bloom filter is the negative-cache for the SPILLED backing store
     # (the in-memory set is authoritative and O(1) — per-key bloom hashing
@@ -53,7 +54,7 @@ class UrlSeenShard:
         seen = self.seen
         inc = self._increment
         added = 0
-        use_bloom = len(seen) >= self.BLOOM_ACTIVATE
+        use_bloom = self._bloom_active
         for k in keys:
             if k not in seen:
                 seen.add(k)
@@ -61,7 +62,19 @@ class UrlSeenShard:
                     self.bloom.add(k)
                 inc.append(k)
                 added += 1
+        self._maybe_activate_bloom()
         return added
+
+    def _maybe_activate_bloom(self) -> None:
+        """On crossing the activation threshold, backfill the bloom from the
+        full set so keys inserted pre-activation are present (the bloom is the
+        negative cache for a spilled backing store — false negatives there
+        would mean missed dedup)."""
+        if not self._bloom_active and len(self.seen) >= self.BLOOM_ACTIVATE:
+            bloom = self.bloom
+            for k in self.seen:
+                bloom.add(k)
+            self._bloom_active = True
 
     def take_increment(self) -> list[str]:
         inc, self._increment = self._increment, []
@@ -75,6 +88,11 @@ class UrlSeenShard:
 
     def restore(self, keys: list[str]) -> None:
         self.seen.update(keys)
+        if self._bloom_active:
+            for k in keys:
+                self.bloom.add(k)
+        else:
+            self._maybe_activate_bloom()
 
 
 class UrlSeen:

@@ -77,7 +77,45 @@ def _serialize(scheme: str, netloc: str, path: str, query: str) -> str | None:
     netloc_out = host if port is None else f"{host}:{port}"
     if not path:
         path = "/"
+    elif "/." in path or path.startswith("."):
+        # WHATWG/RFC-3986 dot-segment collapse (Rust ``Url::parse`` parity):
+        # absolute hrefs like https://h/a/../b must canonicalize to /b exactly
+        # as relative joins do via urljoin.
+        path = _remove_dot_segments(path)
     return urlunsplit((scheme, netloc_out, path, query, ""))
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    output: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if output:
+                output.pop()
+        elif path == "/..":
+            path = "/"
+            if output:
+                output.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            idx = path.find("/", 1) if path.startswith("/") else path.find("/")
+            if idx == -1:
+                output.append(path)
+                path = ""
+            else:
+                output.append(path[:idx])
+                path = path[idx:]
+    return "".join(output)
 
 
 def _split_netloc(netloc: str) -> tuple[str | None, int | None]:
