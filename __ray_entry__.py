@@ -58,72 +58,72 @@ def _emb(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _crawl(sf_dir: str, config=None, seeds=(0,)):
-    from spider_ray.config import CrawlConfig, CrawlJob
+def _crawl_spec(name: str):
+    """(config, seed indices, result shape) — SHARED with the golden-oracle
+    generator (spider_ray/goldens.py) so the Ray query and its sequential
+    golden always run the identical job."""
+    from spider_ray.goldens import crawl_specs
+
+    return crawl_specs()[name]
+
+
+def _crawl(sf_dir: str, name: str, keep_pages: bool = True):
+    from spider_ray.config import CrawlJob
     from spider_ray.fixtures import seed_of
     from spider_ray.pipelines.crawl import crawl
 
+    config, seed_ks, _ = _crawl_spec(name)
     corpus = _corpus_for(sf_dir)
-    job = CrawlJob(tuple(seed_of(k) for k in seeds), config or CrawlConfig())
-    res = crawl(job, corpus)
-    return res
+    job = CrawlJob(tuple(seed_of(k) for k in seed_ks), config)
+    return crawl(job, corpus, keep_pages=keep_pages)
 
 
 def _visited_table(res) -> pa.Table:
-    return pa.table(
-        {
-            "wave": pa.array([w for w, _, _ in res.admitted_order], pa.int32()),
-            "seq": pa.array([s for _, s, _ in res.admitted_order], pa.int32()),
-            "url": pa.array([u for _, _, u in res.admitted_order], pa.string()),
-        }
-    )
+    from spider_ray.goldens import visited_table
+
+    return visited_table(res.admitted_order)
 
 
 def q_crawl_plain(sf_dir: str):
-    return _visited_table(_crawl(sf_dir))
+    return _visited_table(_crawl(sf_dir, "crawl_plain", keep_pages=False))
 
 
 def q_crawl_pages(sf_dir: str):
-    res = _crawl(sf_dir)
+    res = _crawl(sf_dir, "crawl_pages")
     return res.pages_table().drop_columns(["links"])
 
 
 def q_crawl_budget(sf_dir: str):
-    from spider_ray.config import CrawlConfig
-
-    return _visited_table(_crawl(sf_dir, CrawlConfig().with_limit(50)))
+    return _visited_table(_crawl(sf_dir, "crawl_budget", keep_pages=False))
 
 
 def q_crawl_robots(sf_dir: str):
-    from spider_ray.config import CrawlConfig
-
-    return _visited_table(_crawl(sf_dir, CrawlConfig(respect_robots_txt=True)))
+    return _visited_table(_crawl(sf_dir, "crawl_robots", keep_pages=False))
 
 
 def q_crawl_dedup(sf_dir: str):
-    from spider_ray.config import CrawlConfig
-
-    return _visited_table(_crawl(sf_dir, CrawlConfig(normalize=True)))
+    return _visited_table(_crawl(sf_dir, "crawl_dedup", keep_pages=False))
 
 
 def q_crawl_streaming(sf_dir: str):
-    """HostGate actor-pool streaming admission (per-host frontier shards)."""
-    from spider_ray.config import CrawlConfig, CrawlJob
+    """HostGate actor-pool streaming admission (per-host frontier shards).
+    Result shape: per-host admission sequences — the invariant streaming
+    admission preserves (cross-host interleave is per-shard deterministic,
+    not globally canonical)."""
+    from spider_ray.config import CrawlJob
     from spider_ray.fixtures import seed_of
+    from spider_ray.goldens import perhost_table
     from spider_ray.pipelines.crawl import RayCrawler
 
+    config, seed_ks, _ = _crawl_spec("crawl_streaming")
     corpus = _corpus_for(sf_dir)
-    job = CrawlJob((seed_of(0), seed_of(1)), CrawlConfig(normalize=True))
+    job = CrawlJob(tuple(seed_of(k) for k in seed_ks), config)
     res = RayCrawler(job, corpus, keep_pages=False).run_streaming()
-    return _visited_table(res)
+    return perhost_table(res.admitted_order)
 
 
 def q_crawl_multihost(sf_dir: str):
-    from spider_ray.config import CrawlConfig
-
-    return _visited_table(
-        _crawl(sf_dir, CrawlConfig(delay_ms=100, round_robin=True), seeds=(0, 1, 2, 3))
-    )
+    return _visited_table(_crawl(sf_dir, "crawl_multihost", keep_pages=False))
 
 
 # ---------------------------------------------------------------------------
@@ -334,8 +334,10 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from spider_ray.fixtures import ensure_scale
+    from spider_ray.goldens import ensure_goldens
 
     ensure_scale("sf0.01")  # materialize before any oracle SQL runs
+    ensure_goldens("sf0.01")  # sequential-oracle goldens for the crawl/ops queries
     return {
         "crawl_plain": q_crawl_plain,
         "crawl_pages": q_crawl_pages,
@@ -362,8 +364,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_ray.goldens import ensure_goldens, golden_sql
+
+    ensure_goldens("sf0.01")
     corpus_glob = f"{SF001_CORPUS}/*/*.parquet"
     return {
+        **golden_sql("sf0.01"),
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"

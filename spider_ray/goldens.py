@@ -1,0 +1,397 @@
+"""Golden-parquet oracles for the non-SQL-expressible driver queries.
+
+The driver's correctness gate runs each ``queries()`` entry AND its
+``oracle_sql()`` SQL side-by-side and compares rows+schema+value-hash.
+Crawl pipelines and the sketch/statistics ops are iterative/stateful and not
+directly SQL-expressible, so for each of them this module materializes a
+GOLDEN Parquet computed by an *independent sequential implementation*:
+
+* crawl queries   — the pure-Python reference-semantics oracle
+  (:func:`spider_ray.oracle.crawl_oracle`, sequential, single process; the
+  distributed Ray engine under test never touches this path);
+* minhash/simhash/lang_id/fingerprints — plain-loop sequential
+  recomputations in this file (no Ray, no shared operator code beyond the
+  stable hash + parameter constants that define the algorithm);
+* multimodal_decode — expected metadata recomputed from the fake-codec
+  payload SPEC (generator parameters), not by running the decode stage.
+
+``oracle_sql()`` then exposes ``SELECT … FROM read_parquet(golden)`` so
+DuckDB performs an exact comparison.  Goldens live next to the fixture
+corpus under ``/tmp/spider_ray_fixtures/{sf}/golden`` and are re-derived
+whenever the version marker mismatches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections import Counter, deque
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .hashing import stable_hash_str
+
+GOLDEN_VERSION = 1
+
+TESTDATA_BASE = "/root/testdata"
+
+
+def golden_dir(sf_name: str) -> str:
+    from .fixtures import FIXTURE_BASE
+
+    return os.path.join(FIXTURE_BASE, sf_name, "golden")
+
+
+def golden_path(sf_name: str, query: str) -> str:
+    return os.path.join(golden_dir(sf_name), f"{query}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl query specs — SHARED with __ray_entry__ so query and golden always
+# run the identical (config, seeds) job
+# ---------------------------------------------------------------------------
+
+
+def crawl_specs() -> dict[str, tuple]:
+    from .config import CrawlConfig
+
+    return {
+        "crawl_plain": (CrawlConfig(), (0,), "visited"),
+        "crawl_pages": (CrawlConfig(), (0,), "pages"),
+        "crawl_budget": (CrawlConfig().with_limit(50), (0,), "visited"),
+        "crawl_robots": (CrawlConfig(respect_robots_txt=True), (0,), "visited"),
+        "crawl_dedup": (CrawlConfig(normalize=True), (0,), "visited"),
+        "crawl_multihost": (
+            CrawlConfig(delay_ms=100, round_robin=True),
+            (0, 1, 2, 3),
+            "visited",
+        ),
+        "crawl_streaming": (CrawlConfig(normalize=True), (0, 1), "perhost"),
+    }
+
+
+def visited_table(admitted_order: list[tuple[int, int, str]]) -> pa.Table:
+    return pa.table(
+        {
+            "wave": pa.array([w for w, _, _ in admitted_order], pa.int32()),
+            "seq": pa.array([s for _, s, _ in admitted_order], pa.int32()),
+            "url": pa.array([u for _, _, u in admitted_order], pa.string()),
+        }
+    )
+
+
+def perhost_table(admitted_order: list[tuple[int, int, str]]) -> pa.Table:
+    """Per-host admission sequences — the invariant the streaming-admission
+    engine preserves (its cross-host interleave is per-shard deterministic,
+    not globally canonical; SURVEY.md §7.3)."""
+    from .urlnorm import url_host
+
+    counters: dict[str, int] = {}
+    hosts, seqs, urls = [], [], []
+    for _, _, u in admitted_order:
+        h = url_host(u)
+        n = counters.get(h, 0)
+        counters[h] = n + 1
+        hosts.append(h)
+        seqs.append(n)
+        urls.append(u)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "host_seq": pa.array(seqs, pa.int32()),
+            "url": pa.array(urls, pa.string()),
+        }
+    )
+
+
+def pages_table_from_oracle(pages: list[dict]) -> pa.Table:
+    from .urlnorm import url_host
+
+    return pa.table(
+        {
+            "url": pa.array([p["url"] for p in pages], pa.string()),
+            "host": pa.array([url_host(p["url"]) for p in pages], pa.string()),
+            "status_code": pa.array([p["status_code"] for p in pages], pa.int32()),
+            "signature": pa.array([p["signature"] for p in pages], pa.uint64()),
+            "title": pa.array([p["title"] for p in pages], pa.string()),
+            "description": pa.array([p["description"] for p in pages], pa.string()),
+            "og_image": pa.array([p["og_image"] for p in pages], pa.string()),
+            "text": pa.array([p["text"] for p in pages], pa.string()),
+            "wave": pa.array([p["wave"] for p in pages], pa.int32()),
+        }
+    )
+
+
+def _build_crawl_goldens(sf_name: str, out: dict[str, pa.Table]) -> None:
+    from .config import CrawlJob
+    from .fixtures import SCALE_PARAMS, build_corpus, corpus_as_dict, seed_of
+    from .oracle import crawl_oracle
+
+    n_hosts, pph, _, page_weight = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])
+    rows = build_corpus(n_hosts=n_hosts, pages_per_host=pph, seed=42, page_weight=page_weight)
+    corpus = corpus_as_dict(rows)
+    for name, (cfg, seed_ks, shape) in crawl_specs().items():
+        job = CrawlJob(tuple(seed_of(k) for k in seed_ks), cfg)
+        res = crawl_oracle(job, corpus)
+        if shape == "visited":
+            out[name] = visited_table(res.admitted_order)
+        elif shape == "perhost":
+            out[name] = perhost_table(res.admitted_order)
+        elif shape == "pages":
+            out[name] = pages_table_from_oracle(res.pages)
+
+
+# ---------------------------------------------------------------------------
+# sequential recomputations of the training-data ops
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 3) -> set[int]:
+    """Word-shingle hash set (the MinHash feature spec: ``k``-word shingles,
+    deduplicated, stable-hashed, masked to the Mersenne field)."""
+    words = _WORD_RE.findall((text or "").lower())
+    if len(words) < k:
+        shings = {" ".join(words)} if words else {""}
+    else:
+        shings = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+    return {stable_hash_str(s) & _MERSENNE for s in shings}
+
+
+def seq_minhash_pairs(
+    ids: list[int],
+    texts: list[str],
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    n_bands: int = 16,
+    shingle_size: int = 3,
+    seed: int = 1337,
+) -> pa.Table:
+    """Sequential MinHash+LSH near-dup pairs: signature → band buckets →
+    candidate pairs → exact-Jaccard verify.  One process, plain dicts."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    rows_per_band = num_perm // n_bands
+    shingle_sets: dict[int, set[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(ids, texts):
+        sh = _shingle_hashes(text, shingle_size)
+        shingle_sets[doc_id] = sh
+        if sh:
+            x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+            sig = ((a[:, None] * x[None, :] + b[:, None]) % _MERSENNE).min(axis=1).astype(np.uint64)
+        else:
+            sig = np.zeros(num_perm, dtype=np.uint64)
+        for band in range(n_bands):
+            band_bytes = sig[band * rows_per_band : (band + 1) * rows_per_band].tobytes()
+            key = (band, stable_hash_str(band_bytes.hex()))
+            buckets.setdefault(key, []).append(doc_id)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    out_a, out_b = [], []
+    for da, db in sorted(cand):
+        sa, sb = shingle_sets[da], shingle_sets[db]
+        jac = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
+        if jac >= threshold:
+            out_a.append(da)
+            out_b.append(db)
+    return pa.table(
+        {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+    )
+
+
+def seq_simhash64(text: str) -> int:
+    """Independent expression of the 64-bit SimHash spec.  Bit layout note:
+    the accumulator index ``i`` corresponds to bit ``8*(i//8) + 7 - i%8`` of
+    the word hash (little-endian bytes unpacked MSB-first)."""
+    words = set(_WORD_RE.findall((text or "").lower()))
+    if not words:
+        return 0
+    acc = [0] * 64
+    for w in words:
+        h = stable_hash_str(w)
+        for i in range(64):
+            byte, j = divmod(i, 8)
+            bit = (h >> (8 * byte + 7 - j)) & 1
+            acc[i] += 1 if bit else -1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def seq_lang_counts(texts: list[str]) -> pa.Table:
+    from .ops.textstats import STOPWORDS
+
+    def predict(text: str) -> str:
+        words = _WORD_RE.findall((text or "").lower())
+        if not words:
+            return "und"
+        best_lang, best = None, 0
+        for lang in sorted(STOPWORDS):
+            s = sum(w in STOPWORDS[lang] for w in words)
+            if s > best:
+                best, best_lang = s, lang
+        return best_lang if best > 0 else "und"
+
+    counts = Counter(predict(t) for t in texts)
+    langs = sorted(counts)
+    return pa.table(
+        {
+            "lang_pred": pa.array(langs, pa.string()),
+            "n": pa.array([counts[lang] for lang in langs], pa.int64()),
+        }
+    )
+
+
+def seq_fingerprint_count(text: str, k: int = 8, window: int = 16) -> int:
+    """Winnowing fingerprint count, sequential with a monotonic deque
+    (O(n) sliding-window minimum; dedup of consecutive equal minima)."""
+    t = text or ""
+    if len(t) < k:
+        return 1 if t else 0
+    grams = [stable_hash_str(t[i : i + k]) for i in range(len(t) - k + 1)]
+    if len(grams) <= window:
+        return 1
+    dq: deque[int] = deque()  # indices, increasing values
+    count, last = 0, None
+    for i, g in enumerate(grams):
+        while dq and grams[dq[-1]] >= g:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - window:
+            dq.popleft()
+        if i >= window - 1:
+            m = grams[dq[0]]
+            if m != last:
+                count += 1
+                last = m
+    return count
+
+
+def seq_fingerprints(ids: list[int], texts: list[str]) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "doc_hash": pa.array([stable_hash_str(t or "") for t in texts], pa.uint64()),
+            "n_fingerprints": pa.array(
+                [seq_fingerprint_count(t) for t in texts], pa.int64()
+            ),
+        }
+    )
+
+
+def seq_multimodal_decode(n_items: int = 64) -> pa.Table:
+    """Expected image metadata straight from the fake-codec payload SPEC
+    (header ``FAKEIMG:{w}x{h}:`` + w*h uint8 pixels from RandomState(id))."""
+    ids, widths, heights, sizes, lumas = [], [], [], [], []
+    for i in range(n_items):
+        w, h = 8 + i % 8, 4 + i % 4
+        px = np.random.RandomState(i).randint(0, 256, size=w * h, dtype=np.uint8)
+        ids.append(i)
+        widths.append(w)
+        heights.append(h)
+        sizes.append(len(f"FAKEIMG:{w}x{h}:".encode()) + w * h)
+        lumas.append(float(px.mean()) if px.size else 0.0)
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "n_bytes": pa.array(sizes, pa.int64()),
+            "mean_luma": pa.array(lumas, pa.float64()),
+        }
+    )
+
+
+def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    out["minhash_pairs"] = seq_minhash_pairs(ids, texts, threshold=0.5)
+    out["simhash"] = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array([seq_simhash64(t) for t in texts], pa.uint64()),
+        }
+    )
+    out["lang_id"] = seq_lang_counts(texts)
+    out["fingerprints"] = seq_fingerprints(ids, texts)
+    out["multimodal_decode"] = seq_multimodal_decode(64)
+
+
+# ---------------------------------------------------------------------------
+# materialization
+# ---------------------------------------------------------------------------
+
+GOLDEN_QUERIES = (
+    "crawl_plain",
+    "crawl_pages",
+    "crawl_budget",
+    "crawl_robots",
+    "crawl_dedup",
+    "crawl_multihost",
+    "crawl_streaming",
+    "minhash_pairs",
+    "simhash",
+    "lang_id",
+    "fingerprints",
+    "multimodal_decode",
+)
+
+
+def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
+    """Idempotently materialize every golden for ``sf_name``; returns the
+    golden directory.  ``sf_dir`` is the testdata dir holding
+    ``documents.parquet`` (defaults to ``/root/testdata/{sf_name}``)."""
+    from .fixtures import GENERATOR_VERSION
+
+    if sf_dir is None:
+        sf_dir = os.path.join(TESTDATA_BASE, sf_name)
+    gdir = golden_dir(sf_name)
+    marker = os.path.join(gdir, "_golden_manifest.json")
+    stamp = {
+        "golden_version": GOLDEN_VERSION,
+        "gen_version": GENERATOR_VERSION,
+        "sf": sf_name,
+        "sf_dir": sf_dir,
+    }
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == stamp:
+                return gdir
+    os.makedirs(gdir, exist_ok=True)
+    tables: dict[str, pa.Table] = {}
+    _build_crawl_goldens(sf_name, tables)
+    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        _build_ops_goldens(sf_dir, tables)
+    else:  # no documents table at this scale — multimodal is still derivable
+        tables["multimodal_decode"] = seq_multimodal_decode(64)
+    for name, tbl in tables.items():
+        pq.write_table(tbl, golden_path(sf_name, name))
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stamp, f)
+    os.replace(tmp, marker)
+    return gdir
+
+
+def golden_sql(sf_name: str) -> dict[str, str]:
+    """DuckDB oracle SQL for every goldened query."""
+    out = {}
+    for name in GOLDEN_QUERIES:
+        out[name] = f"SELECT * FROM read_parquet('{golden_path(sf_name, name)}')"
+    return out

@@ -1,0 +1,66 @@
+"""Driver-contract pre-flight for the golden-parquet oracles.
+
+Replicates what the grading driver does for every goldened query: run the
+Ray pipeline from ``__ray_entry__.queries()`` at sf0.01 AND the DuckDB SQL
+from ``oracle_sql()`` (a ``read_parquet`` of the sequential-oracle golden),
+sort columns by name and rows by value, and require exact equality of
+row-count, schema and values.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck(entry_mod):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "events", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        return res
+    return res.to_pandas()  # ray.data.Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols).reset_index(drop=True)
+
+
+from spider_ray.goldens import GOLDEN_QUERIES  # noqa: E402
+
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+def test_golden_query_matches_oracle(entry_mod, duck, name):
+    ray_result = _canon(_to_pandas(entry_mod.queries()[name](SF_DIR)))
+    oracle = _canon(duck.execute(entry_mod.oracle_sql()[name]).fetchdf())
+    assert len(ray_result) == len(oracle), (len(ray_result), len(oracle))
+    assert list(ray_result.columns) == list(oracle.columns)
+    pd.testing.assert_frame_equal(ray_result, oracle, check_dtype=False)
