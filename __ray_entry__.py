@@ -74,7 +74,7 @@ def _crawl(sf_dir: str, name: str, keep_pages: bool = True):
 
     config, seed_ks, _ = _crawl_spec(name)
     corpus = _corpus_for(sf_dir)
-    job = CrawlJob(tuple(seed_of(k) for k in seed_ks), config)
+    job = CrawlJob(tuple(seed_of(k) if isinstance(k, int) else k for k in seed_ks), config)
     return crawl(job, corpus, keep_pages=keep_pages)
 
 
@@ -124,6 +124,21 @@ def q_crawl_streaming(sf_dir: str):
 
 def q_crawl_multihost(sf_dir: str):
     return _visited_table(_crawl(sf_dir, "crawl_multihost", keep_pages=False))
+
+
+def q_crawl_redirect_strict(sf_dir: str):
+    """Strict redirect policy: off-host redirects stop (3xx page row);
+    same-host chains follow under the default-policy cap."""
+    res = _crawl(sf_dir, "crawl_redirect_strict")
+    return res.pages_table().drop_columns(["links"])
+
+
+def q_crawl_seed_redirect(sf_dir: str):
+    """Cross-host 301 of the SEED: selectors rebuilt for the target host
+    (modify_selectors) with the original host kept in scope — pages on BOTH
+    hosts must appear."""
+    res = _crawl(sf_dir, "crawl_seed_redirect")
+    return res.pages_table().drop_columns(["links"])
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_dedup": q_crawl_dedup,
         "crawl_multihost": q_crawl_multihost,
         "crawl_streaming": q_crawl_streaming,
+        "crawl_redirect_strict": q_crawl_redirect_strict,
+        "crawl_seed_redirect": q_crawl_seed_redirect,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,

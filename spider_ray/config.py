@@ -38,6 +38,10 @@ class CrawlConfig:
     normalize: bool = False
     # assets — configuration.rs:445: also extract script[src]/link[href]
     full_resources: bool = False
+    # redirects — configuration.rs:37-60,396-398 (policy default Loose,
+    # limit default 7); semantics in spider_ray/redirect.py
+    redirect_policy: str = "loose"  # "loose" | "strict" | "none"
+    redirect_limit: int = 7
     # sitemap — configuration.rs:389-394
     sitemap_url: str | None = None
     ignore_sitemap: bool = True
@@ -62,22 +66,47 @@ class CrawlConfig:
 
 @dataclass(frozen=True)
 class CrawlJob:
-    """One crawl = seeds + config + derived scope selectors."""
+    """One crawl = seeds + config + derived scope selectors.
+
+    ``seed_redirects`` records cross-host redirects of seeds discovered at
+    establish time (``modify_selectors``, utils/mod.rs:9121-9139): the scope
+    selectors for such a seed are rebuilt for the redirect target with the
+    ORIGINAL host kept in scope via ``base_input_domain``.
+    """
 
     seeds: tuple[str, ...]
     config: CrawlConfig = field(default_factory=CrawlConfig)
+    seed_redirects: tuple[tuple[str, str], ...] = ()  # (seed, final_url)
 
     @staticmethod
     def from_seed(seed: str, config: CrawlConfig | None = None) -> "CrawlJob":
         return CrawlJob(tuple(glob_expand_url(seed)), config or CrawlConfig())
 
+    def with_seed_redirects(self, redirects: tuple[tuple[str, str], ...]) -> "CrawlJob":
+        return replace(self, seed_redirects=redirects)
+
+    def _redirect_target(self, seed: str) -> str | None:
+        for s, target in self.seed_redirects:
+            if s == seed:
+                return target
+        return None
+
     def selectors_for(self, seed: str) -> Selectors:
+        target = self._redirect_target(seed)
+        if target is not None:
+            from dataclasses import replace as _rep
+
+            from .urlnorm import url_host
+
+            sel = get_page_selectors(target, self.config.subdomains, self.config.tld)
+            return _rep(sel, base_input_domain=url_host(seed))
         return get_page_selectors(seed, self.config.subdomains, self.config.tld)
 
     def crawl_root_for(self, seed: str) -> str | None:
         """``domain_parsed`` — the root URL used as join base for
         non-relative hrefs (website.rs:1487, page.rs:4751-4755)."""
-        return parse_absolute_url(seed)
+        target = self._redirect_target(seed)
+        return parse_absolute_url(target if target is not None else seed)
 
 
 def url_in_list(url: str, patterns: tuple[str, ...]) -> bool:

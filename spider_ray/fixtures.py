@@ -140,6 +140,7 @@ def _finalize(rows: list[dict], statuses: dict[str, int]) -> list[dict]:
                 "text": r["text"],
                 "lang": r["lang"],
                 "status": statuses.get(r["url"], 200),
+                "location": r.get("location"),
             }
         )
     return out
@@ -157,8 +158,9 @@ def _build_host_rows(
     statuses: dict[str, int] = {}
 
     def add(url: str, html: str, text: str, lang: str = "en", status: int = 200,
-            encoding: str = "utf-8"):
-        rows.append({"url": url, "html": html.encode(encoding), "text": text, "lang": lang})
+            encoding: str = "utf-8", location: str | None = None):
+        rows.append({"url": url, "html": html.encode(encoding), "text": text, "lang": lang,
+                     "location": location})
         statuses[url] = status
 
     n_sections = max(2, min(8, pages_per_host // 12))
@@ -250,6 +252,8 @@ def _build_host_rows(
             _add_dup_pages(add, root)
             _add_private_pages(add, root)
             _add_encoding_page(add, root)
+            _add_redirect_pages(add, root)
+            _add_seed_redirect_hosts(add)
 
     return rows, statuses
 
@@ -308,6 +312,14 @@ def _add_root_stressors(p: _PageBuilder):
         '<li><a href="/private/secret">Private</a></li>'
         '<li><a href="/public/open">Public</a></li>'
         '<li><a href="/ja/shiftjis">Japanese</a></li>'
+        '<li><a href="/r/one">Redir one</a></li>'
+        '<li><a href="/r/rel">Redir rel</a></li>'
+        '<li><a href="/r/chain/0">Redir chain</a></li>'
+        '<li><a href="/r/loop">Redir loop</a></li>'
+        '<li><a href="/r/off">Redir off</a></li>'
+        '<li><a href="/r/ssrf">Redir ssrf</a></li>'
+        '<li><a href="/r/local">Redir local</a></li>'
+        '<li><a href="/r/gone">Redir gone</a></li>'
         "</ul>"
     )
     for anchor in [
@@ -315,6 +327,8 @@ def _add_root_stressors(p: _PageBuilder):
         "Domain-like path", "Mixed case", "Mixed twin", "Scheme coerce", "Subdomain",
         "TLD variant", "External", "Ported", "Pic", "App", "Hidden", "No slash", "With slash",
         "Dup A", "Dup B", "Private", "Public", "Japanese",
+        "Redir one", "Redir rel", "Redir chain", "Redir loop", "Redir off",
+        "Redir ssrf", "Redir local", "Redir gone",
     ]:
         p.blocks.append(anchor)
 
@@ -374,6 +388,51 @@ def _add_encoding_page(add, root: str):
     add(url, html, text, lang="ja", encoding="shift_jis")
 
 
+def _add_redirect_pages(add, root: str):
+    """FIXTURES §redirects — one row per redirect-semantics class
+    (policy Loose/Strict/None, hop limit 7, SSRF guard; redirect.py):
+
+    * ``/r/one``      — single 301 to a real same-host page
+    * ``/r/rel``      — 302 with a RELATIVE Location (resolved vs current url)
+    * ``/r/chain/0..8`` — 9-hop chain: exceeds limit 7 → aborted fetch
+    * ``/r/loop``     — 2-cycle: exceeds limit → aborted
+    * ``/r/off``      — 302 to an off-scope host (Loose follows, Strict stops)
+    * ``/r/ssrf``     — 302 to the cloud metadata IP → blocked (all policies)
+    * ``/r/local``    — 302 to 127.0.0.1 → blocked
+    * ``/r/gone``     — 301 to a URL absent from the corpus → 404 final
+    """
+    add(root + "r/one", "", "", status=301, location=root + "sec0/")
+    add(root + "r/rel", "", "", status=302, location="../sec1/")
+    for i in range(9):
+        add(root + f"r/chain/{i}", "", "", status=301,
+            location=(root + f"r/chain/{i+1}") if i < 8 else root + "sec1/")
+    add(root + "r/loop", "", "", status=302, location=root + "r/loop2")
+    add(root + "r/loop2", "", "", status=302, location=root + "r/loop")
+    add(root + "r/off", "", "", status=302, location="https://off-domain.example/x")
+    add(root + "r/ssrf", "", "", status=302, location="http://169.254.169.254/latest/meta-data/")
+    add(root + "r/local", "", "", status=302, location="http://127.0.0.1/admin")
+    add(root + "r/gone", "", "", status=301, location=root + "r/nowhere")
+
+
+def _add_seed_redirect_hosts(add):
+    """Seed-redirect scenario (``modify_selectors``): the redirseed root 301s
+    cross-host to redirtarget; after the rebuild BOTH hosts stay in scope, so
+    the back-link to the original host must be crawled."""
+    old_root = "https://www.redirseed.example/"
+    new_root = "https://www.redirtarget.example/"
+    add(old_root, "", "", status=301, location=new_root)
+    h, t = _mini_page(
+        new_root, "redirect target home",
+        ["Landed here via a seed redirect."],
+        links=[("/t1", "Target leaf"), (old_root + "back", "Back to origin")],
+    )
+    add(new_root, h, t)
+    h, t = _mini_page(new_root + "t1", "target leaf", ["Leaf on the new host."])
+    add(new_root + "t1", h, t)
+    h, t = _mini_page(old_root + "back", "origin back page", ["Still-in-scope page on the original host."])
+    add(old_root + "back", h, t)
+
+
 def _add_private_pages(add, root: str):
     html, text = _mini_page(root + "private/secret", "private page", ["Robots-blocked content."])
     add(root + "private/secret", html, text)
@@ -381,9 +440,14 @@ def _add_private_pages(add, root: str):
     add(root + "public/open", h2, t2)
 
 
-def corpus_as_dict(rows: list[dict]) -> dict[str, tuple[int, bytes]]:
-    """Oracle-side corpus mapping url → (status, html bytes)."""
-    return {r["url"]: (r["status"], r["html"]) for r in rows}
+def corpus_as_dict(rows: list[dict]) -> dict[str, tuple[int, bytes, str | None]]:
+    """Oracle-side corpus mapping url → (status, html bytes, location)."""
+    return {r["url"]: (r["status"], r["html"], r.get("location")) for r in rows}
+
+
+def redirseed_seed() -> str:
+    """Seed whose root 301s cross-host (the modify_selectors scenario)."""
+    return "https://www.redirseed.example/"
 
 
 # ---------------------------------------------------------------------------
@@ -418,6 +482,7 @@ def write_corpus_parquet(
                 "text": [r["text"] for r in brows],
                 "lang": [r["lang"] for r in brows],
                 "status": pa.array([r["status"] for r in brows], pa.int32()),
+                "location": pa.array([r.get("location") for r in brows], pa.string()),
             }
         )
         bdir = os.path.join(out_dir, f"bucket={b:04d}")
@@ -484,7 +549,7 @@ SCALE_PARAMS = {
 }
 
 # bump when generator output changes so cached corpora auto-invalidate
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 FIXTURE_BASE = "/tmp/spider_ray_fixtures"
 

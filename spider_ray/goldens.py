@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 1
+GOLDEN_VERSION = 2
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -56,7 +56,10 @@ def golden_path(sf_name: str, query: str) -> str:
 
 
 def crawl_specs() -> dict[str, tuple]:
+    """Seed entries are either ints (``fixtures.seed_of`` hosts) or literal
+    seed URLs (the seed-redirect scenario host)."""
     from .config import CrawlConfig
+    from .fixtures import redirseed_seed
 
     return {
         "crawl_plain": (CrawlConfig(), (0,), "visited"),
@@ -70,6 +73,15 @@ def crawl_specs() -> dict[str, tuple]:
             "visited",
         ),
         "crawl_streaming": (CrawlConfig(normalize=True), (0, 1), "perhost"),
+        # redirect semantics (redirect.py): default Loose follows the
+        # fixture's chain/loop/off-scope/SSRF rows; Strict stops off-host;
+        # the redirseed crawl exercises the seed-redirect selector rebuild
+        "crawl_redirect_strict": (
+            CrawlConfig(redirect_policy="strict"),
+            (0,),
+            "pages",
+        ),
+        "crawl_seed_redirect": (CrawlConfig(), (redirseed_seed(),), "pages"),
     }
 
 
@@ -120,6 +132,9 @@ def pages_table_from_oracle(pages: list[dict]) -> pa.Table:
             "description": pa.array([p["description"] for p in pages], pa.string()),
             "og_image": pa.array([p["og_image"] for p in pages], pa.string()),
             "text": pa.array([p["text"] for p in pages], pa.string()),
+            "final_redirect_destination": pa.array(
+                [p.get("final_redirect_destination") for p in pages], pa.string()
+            ),
             "wave": pa.array([p["wave"] for p in pages], pa.int32()),
         }
     )
@@ -134,7 +149,9 @@ def _build_crawl_goldens(sf_name: str, out: dict[str, pa.Table]) -> None:
     rows = build_corpus(n_hosts=n_hosts, pages_per_host=pph, seed=42, page_weight=page_weight)
     corpus = corpus_as_dict(rows)
     for name, (cfg, seed_ks, shape) in crawl_specs().items():
-        job = CrawlJob(tuple(seed_of(k) for k in seed_ks), cfg)
+        job = CrawlJob(
+            tuple(seed_of(k) if isinstance(k, int) else k for k in seed_ks), cfg
+        )
         res = crawl_oracle(job, corpus)
         if shape == "visited":
             out[name] = visited_table(res.admitted_order)
@@ -345,6 +362,8 @@ GOLDEN_QUERIES = (
     "crawl_dedup",
     "crawl_multihost",
     "crawl_streaming",
+    "crawl_redirect_strict",
+    "crawl_seed_redirect",
     "minhash_pairs",
     "simhash",
     "lang_id",

@@ -81,7 +81,7 @@ def load_robots(
         if host in robots:
             continue
         parser = RobotFileParser()
-        status, body = corpus_get(root + "robots.txt")
+        status, body = corpus_get(root + "robots.txt")[:2]
         parser.read_status(status, body if body is None else _as_text(body))
         robots[host] = parser
         delay = parser.get_crawl_delay(config.user_agent)
@@ -114,15 +114,25 @@ def admit_seeds(job: CrawlJob, config, robots_for, visited: set[str]) -> list[st
     return admitted
 
 
-def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]], queue_provider=None) -> OracleResult:
-    """Run the sequential crawl.  ``corpus`` maps url → (status, html bytes);
-    missing URLs synthesize status 404 with empty body."""
+def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -> OracleResult:
+    """Run the sequential crawl.  ``corpus`` maps url → (status, html bytes,
+    location); missing URLs synthesize status 404 with empty body."""
+    from .redirect import REDIRECT_ERROR_STATUS, RedirectResolver
+
     config = job.config
     result = OracleResult()
 
     def corpus_get(url: str):
-        return corpus.get(url, (404, None))
+        row = corpus.get(url)
+        if row is None:
+            return (404, None, None)
+        return row if len(row) == 3 else (*row, None)
 
+    def meta_get(url: str):
+        status, _, location = corpus_get(url)
+        return status, location
+
+    resolver = RedirectResolver(config)
     router = ScopeRouter(job)
     crawl_roots = [root for _, root in router.entries]
     robots_by_host, robots_delays = load_robots(corpus_get, config, crawl_roots)
@@ -137,6 +147,32 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]], queue_prov
     def host_delay_ms(host: str) -> int:
         return robots_delays.get(host, config.delay_ms)
 
+    job_live = job
+
+    def fetch_resolved(url: str, wave: int):
+        """Resolve the redirect chain, re-fetch the terminal row, and (seed
+        establish only) rebuild the scope selectors on a cross-host redirect
+        of a seed (modify_selectors, utils/mod.rs:9121-9139)."""
+        nonlocal router, job_live
+        sel, root = router.for_host(url_host(url))
+        crawl_host = url_host(root) if root else url_host(url)
+        res = resolver.resolve(url, meta_get, crawl_host)
+        if res.error:
+            return res, REDIRECT_ERROR_STATUS, ""
+        status, body, _ = corpus_get(res.final_url)
+        if (
+            wave == 0
+            and url in job_live.seeds
+            and res.destination is not None
+            and url_host(res.final_url) != url_host(url)
+        ):
+            job_live = job_live.with_seed_redirects(
+                job_live.seed_redirects + ((url, res.final_url),)
+            )
+            router = ScopeRouter(job_live)
+        html = _as_text(body) if body is not None else ""
+        return res, status, html
+
     admitted = admit_seeds(job, config, robots_for, visited)
     for seq, url in enumerate(admitted):
         result.visited.append(url)
@@ -150,12 +186,12 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]], queue_prov
         deferred = []
         parsed = []
         for url in admitted:
-            status, body = corpus_get(url)
+            res, status, html = fetch_resolved(url, wave)
             host = url_host(url)
             sel, root = router.for_host(host)
-            html = _as_text(body) if body is not None else ""
+            page_url = res.final_url if not res.error else url
             ex = parse_page(
-                html, url, root, sel, config.external_domains, config.full_resources,
+                html, page_url, root, sel, config.external_domains, config.full_resources,
                 want_signature=config.normalize, want_text=True,
             )
             sig = ex.signature if config.normalize else None
@@ -170,6 +206,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]], queue_prov
                     "og_image": ex.og_image,
                     "text": ex.text,
                     "links": ex.links,
+                    "final_redirect_destination": res.destination,
                 }
             )
             parsed.append((url, sig, ex.links))
@@ -237,12 +274,12 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]], queue_prov
                 result.visited.append(url)
                 result.admitted_order.append((sm_wave, seq, url))
                 seq += 1
-                status, body = corpus_get(url)
+                res, status, html = fetch_resolved(url, sm_wave)
                 host = url_host(url)
                 sel, sroot = router.for_host(host)
-                html = _as_text(body) if body is not None else ""
+                page_url = res.final_url if not res.error else url
                 ex = parse_page(
-                    html, url, sroot, sel, config.external_domains, config.full_resources,
+                    html, page_url, sroot, sel, config.external_domains, config.full_resources,
                     want_signature=config.normalize, want_text=True,
                 )
                 result.pages.append(
@@ -251,6 +288,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple[int, bytes]], queue_prov
                         "signature": ex.signature if config.normalize else None,
                         "title": ex.title, "description": ex.description,
                         "og_image": ex.og_image, "text": ex.text, "links": ex.links,
+                        "final_redirect_destination": res.destination,
                     }
                 )
 

@@ -157,6 +157,67 @@ class RayCrawler:
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
         self._index = None  # CorpusIndex, built lazily at first wave
         self._pending_inserts: list = []
+        # redirect state: crawl-global resolver (Strict initial allowance) +
+        # the live job (gains seed_redirects after a cross-host seed redirect)
+        from ..redirect import RedirectResolver
+
+        self._resolver = RedirectResolver(self.config)
+        self._live_job = job
+        self._router_cache = None
+
+    def _router(self):
+        if self._router_cache is None:
+            self._router_cache = _oracle.ScopeRouter(self._live_job)
+        return self._router_cache
+
+    def _resolve_wave(self, admitted: list[str], wave: int):
+        """Driver-side redirect resolution for one wave (metadata-only, zero
+        row-group I/O — CorpusIndex.meta_get).  Returns
+        (fetch_urls, backmap, targets_only, synth) where synth entries are
+        (requested_url, status, final_redirect_destination) rows with no
+        fetchable content (aborted chains / chains onto missing targets)."""
+        from ..redirect import REDIRECT_ERROR_STATUS
+
+        index = self._index
+        loc_of = index.location_of
+        if not loc_of or self._resolver.policy == "none":
+            return admitted, {}, frozenset(), []
+        router = self._router()
+        fetch: list[str] = []
+        backmap: dict[str, list[str]] = {}
+        synth: list[tuple[str, int, str | None]] = []
+        seed_redirs: list[tuple[str, str]] = []
+        for u in admitted:
+            if u not in loc_of:
+                fetch.append(u)
+                continue
+            _, root = router.for_host(url_host(u))
+            crawl_host = url_host(root) if root else url_host(u)
+            res = self._resolver.resolve(u, index.meta_get, crawl_host)
+            if res.error:
+                synth.append((u, REDIRECT_ERROR_STATUS, None))
+                continue
+            final = res.final_url
+            if (
+                wave == 0
+                and u in self._live_job.seeds
+                and res.destination is not None
+                and url_host(final) != url_host(u)
+            ):
+                seed_redirs.append((u, final))
+            if final == u:
+                fetch.append(u)
+            elif final in index.lookup:
+                backmap.setdefault(final, []).append(u)
+            else:
+                synth.append((u, index.meta_get(final)[0], final))
+        if seed_redirs:
+            self._live_job = self._live_job.with_seed_redirects(
+                self._live_job.seed_redirects + tuple(seed_redirs)
+            )
+            self._router_cache = None
+        targets_only = frozenset(set(backmap) - set(fetch))
+        return fetch, backmap, targets_only, synth
 
     # -- corpus-side helpers -------------------------------------------------
 
@@ -345,20 +406,24 @@ class RayCrawler:
 
         if self._index is None:
             self._index = CorpusIndex(self.corpus_dir)
-        ds, missing_known = fetch_wave_indexed(admitted, self._index)
+        fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave)
+        ds, missing_known = fetch_wave_indexed(
+            fetch_urls + list(backmap.keys() - set(fetch_urls)), self._index
+        )
         tables: list[pa.Table] = []
         if ds is not None:
             # batch_size=None: task per fetched block (one corpus descriptor)
             parse_kwargs = dict(batch_format="pyarrow", batch_size=None)
+            parse_args = (self._live_job, wave, backmap, targets_only)
             if self.parse_concurrency:
                 parsed_ds = ds.map_batches(
                     ParsePages,
-                    fn_constructor_args=(self.job, wave),
+                    fn_constructor_args=parse_args,
                     concurrency=self.parse_concurrency,
                     **parse_kwargs,
                 )
             else:
-                parser = ParsePages(self.job, wave)
+                parser = ParsePages(*parse_args)
                 parsed_ds = ds.map_batches(parser, **parse_kwargs)
             if self.out_dir:
                 parsed_ds = parsed_ds.materialize()
@@ -372,18 +437,22 @@ class RayCrawler:
                 for t in ray.get(parsed_ds.to_arrow_refs())
                 if t.num_rows > 0 and "url" in t.schema.names
             ]
-        missing = missing_known
-        if missing:
-            miss_tbl = missing_rows(missing, wave)
+        synth_all = [(u, 404, None) for u in missing_known] + synth
+        if synth_all:
+            miss_tbl = missing_rows(
+                [u for u, _, _ in synth_all],
+                wave,
+                statuses=[s for _, s, _ in synth_all],
+                destinations=[d for _, _, d in synth_all],
+            )
             if self.config.normalize:
-                from ..htmlparse import hash_html
-
-                empty_sig = hash_html("")
                 miss_tbl = miss_tbl.set_column(
                     miss_tbl.schema.get_field_index("signature"),
                     "signature",
-                    pa.array([empty_sig] * len(missing), pa.uint64()),
+                    pa.array([_EMPTY_SIG] * len(synth_all), pa.uint64()),
                 )
+            if not self.keep_pages:
+                miss_tbl = miss_tbl.select(["url", "signature", "links", "wave"])
             tables.append(miss_tbl)
             if self.out_dir:
                 wdir = os.path.join(self.out_dir, f"wave_{wave:05d}")
@@ -424,12 +493,17 @@ class RayCrawler:
 
         if self._index is None:
             self._index = CorpusIndex(self.corpus_dir)
-        ds, missing = fetch_wave_indexed(admitted, self._index)
+        fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave)
+        ds, missing = fetch_wave_indexed(
+            fetch_urls + list(backmap.keys() - set(fetch_urls)), self._index
+        )
         block_refs: list = []
         small_tbls: list[pa.Table] = []
         if ds is not None:
             parsed_ds = ds.map_batches(
-                ParsePages(self.job, wave), batch_format="pyarrow", batch_size=None
+                ParsePages(self._live_job, wave, backmap, targets_only),
+                batch_format="pyarrow",
+                batch_size=None,
             ).select_columns(["url", "signature", "links"])
             refs = parsed_ds.to_arrow_refs()
             # ray.get of same-node Arrow blocks is zero-copy (plasma mmap);
@@ -440,16 +514,17 @@ class RayCrawler:
                     continue
                 block_refs.append(ref)
                 small_tbls.append(tbl.select(["url", "signature"]))
-        if missing:
+        synth_urls = missing + [u for u, _, _ in synth]
+        if synth_urls:
             miss_small = pa.table(
                 {
-                    "url": pa.array(missing, pa.string()),
+                    "url": pa.array(synth_urls, pa.string()),
                     "signature": (
                         pa.array(
-                            [_EMPTY_SIG] * len(missing), pa.uint64()
+                            [_EMPTY_SIG] * len(synth_urls), pa.uint64()
                         )
                         if self.config.normalize
-                        else pa.nulls(len(missing), pa.uint64())
+                        else pa.nulls(len(synth_urls), pa.uint64())
                     ),
                 }
             )

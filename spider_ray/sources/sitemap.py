@@ -54,7 +54,7 @@ def collect_sitemap_urls(
             if sm_url in visited_maps:
                 continue
             visited_maps.add(sm_url)
-            status, body = corpus_get(sm_url)
+            status, body = corpus_get(sm_url)[:2]
             if body is None or status != 200:
                 continue
             urls, children = parse_sitemap(body)

@@ -72,17 +72,44 @@ class CorpusIndex:
         @ray.remote
         def _load(path):
             f = pq.ParquetFile(path)
+            has_meta = "location" in f.schema_arrow.names
             out = []
+            nonok = []  # (url, status, location) for rows with status != 200
             for rg in range(f.metadata.num_row_groups):
-                out.append(f.read_row_group(rg, columns=["url"]).column("url").to_pylist())
-            return out
+                cols = ["url", "status", "location"] if has_meta else ["url"]
+                tbl = f.read_row_group(rg, columns=cols)
+                urls = tbl.column("url").to_pylist()
+                out.append(urls)
+                if has_meta:
+                    for u, s, loc in zip(
+                        urls, tbl.column("status").to_pylist(), tbl.column("location").to_pylist()
+                    ):
+                        if s != 200:
+                            nonok.append((u, s, loc))
+            return out, nonok
 
         per_file = ray.get([_load.remote(p) for p in self.paths])
         self.lookup: dict[str, tuple[int, int]] = {}
-        for fi, groups in enumerate(per_file):
+        # redirect/error metadata: tiny (only non-200 rows) — consulted by the
+        # driver's chain resolution with zero row-group I/O per hop.  At 10¹⁰
+        # scale this shards with the index (same host-hash routing).
+        self.status_of: dict[str, int] = {}
+        self.location_of: dict[str, str] = {}
+        for fi, (groups, nonok) in enumerate(per_file):
             for rg, urls in enumerate(groups):
                 for u in urls:
                     self.lookup[u] = (fi, rg)
+            for u, s, loc in nonok:
+                self.status_of[u] = s
+                if loc is not None:
+                    self.location_of[u] = loc
+
+    def meta_get(self, url: str) -> tuple[int, str | None]:
+        """(status, location) with zero I/O — redirect-resolution lookup."""
+        status = self.status_of.get(url)
+        if status is None:
+            status = 200 if url in self.lookup else 404
+        return status, self.location_of.get(url)
 
     def split(self, urls: list[str]):
         """→ (descriptors, missing).  Each descriptor: one file + the row

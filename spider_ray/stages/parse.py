@@ -33,19 +33,37 @@ PARSED_SCHEMA = pa.schema(
         ("og_image", pa.string()),
         ("text", pa.string()),
         ("links", pa.list_(pa.string())),
+        ("final_redirect_destination", pa.string()),
     ]
 )
 
 
 class ParsePages:
     """``map_batches`` UDF (pyarrow in / pyarrow out).  ``wave`` is stamped
-    on every output row (per-partition lineage for checkpoint/resume)."""
+    on every output row (per-partition lineage for checkpoint/resume).
 
-    def __init__(self, job: CrawlJob, wave: int = 0):
+    Redirect support: the driver resolves chains pre-fetch, so a fetched row
+    may be consumed by several REQUESTED urls (``redirect_backmap``:
+    final url → requested urls).  Each consumer gets its own output row with
+    ``url`` = requested, ``final_redirect_destination`` = final, links/scope
+    parsed under the requested url's crawl scope with the FINAL url as join
+    base (``page.rs``: links resolve against the response URL).  Finals
+    fetched only on behalf of a redirect (``redirect_targets_only``) emit no
+    row of their own."""
+
+    def __init__(
+        self,
+        job: CrawlJob,
+        wave: int = 0,
+        redirect_backmap: dict[str, list[str]] | None = None,
+        redirect_targets_only: frozenset[str] = frozenset(),
+    ):
         self.job = job
         self.wave = wave
         self.config: CrawlConfig = job.config
         self.router = ScopeRouter(job)
+        self.backmap = redirect_backmap or {}
+        self.targets_only = redirect_targets_only
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -56,47 +74,62 @@ class ParsePages:
             else [200] * len(urls)
         )
         cfg = self.config
+        out_urls, out_status, out_dest = [], [], []
         hosts, sigs, titles, descs, ogs, texts, links_col = [], [], [], [], [], [], []
         for url, html, status in zip(urls, htmls, statuses):
-            host = url_host(url)
-            sel, root = self.router.for_host(host)
-            text_html = decode_html(html)
-            ex = parse_page(
-                text_html,
-                url,
-                root,
-                sel,
-                cfg.external_domains,
-                cfg.full_resources,
-                want_signature=cfg.normalize,
-                want_text=True,
-            )
-            hosts.append(host)
-            sigs.append(ex.signature if cfg.normalize else None)
-            titles.append(ex.title)
-            descs.append(ex.description)
-            ogs.append(ex.og_image)
-            texts.append(ex.text)
-            links_col.append(ex.links)
+            consumers = [url] if url not in self.targets_only else []
+            consumers += self.backmap.get(url, ())
+            text_html = decode_html(html) if consumers else ""
+            for requested in consumers:
+                host = url_host(requested)
+                sel, root = self.router.for_host(host)
+                ex = parse_page(
+                    text_html,
+                    url,  # join base = response URL
+                    root,
+                    sel,
+                    cfg.external_domains,
+                    cfg.full_resources,
+                    want_signature=cfg.normalize,
+                    want_text=True,
+                )
+                out_urls.append(requested)
+                out_status.append(status)
+                out_dest.append(url if requested != url else None)
+                hosts.append(host)
+                sigs.append(ex.signature if cfg.normalize else None)
+                titles.append(ex.title)
+                descs.append(ex.description)
+                ogs.append(ex.og_image)
+                texts.append(ex.text)
+                links_col.append(ex.links)
         return pa.table(
             {
-                "url": pa.array(urls, pa.string()),
+                "url": pa.array(out_urls, pa.string()),
                 "host": pa.array(hosts, pa.string()),
-                "status_code": pa.array(statuses, pa.int32()),
+                "status_code": pa.array(out_status, pa.int32()),
                 "signature": pa.array(sigs, pa.uint64()),
                 "title": pa.array(titles, pa.string()),
                 "description": pa.array(descs, pa.string()),
                 "og_image": pa.array(ogs, pa.string()),
                 "text": pa.array(texts, pa.string()),
                 "links": pa.array(links_col, pa.list_(pa.string())),
-                "wave": pa.array([self.wave] * len(urls), pa.int32()),
+                "final_redirect_destination": pa.array(out_dest, pa.string()),
+                "wave": pa.array([self.wave] * len(out_urls), pa.int32()),
             }
         )
 
 
-def missing_rows(urls: list[str], wave: int) -> pa.Table:
-    """Synthesized 404 rows for URLs absent from the corpus (vectorized —
-    waves can be missing-heavy when the link graph points at absent URLs)."""
+def missing_rows(
+    urls: list[str],
+    wave: int,
+    statuses: list[int] | None = None,
+    destinations: list[str | None] | None = None,
+) -> pa.Table:
+    """Synthesized rows for URLs with no fetchable content: corpus misses
+    (status 404), aborted redirect chains (status 0), and chains ending on a
+    missing target (404 + ``final_redirect_destination``).  Vectorized —
+    waves can be missing-heavy when the link graph points at absent URLs."""
     import pyarrow.compute as pc
 
     n = len(urls)
@@ -108,7 +141,11 @@ def missing_rows(urls: list[str], wave: int) -> pa.Table:
         {
             "url": url_arr,
             "host": hosts,
-            "status_code": pa.array(np.full(n, 404, dtype=np.int32)),
+            "status_code": (
+                pa.array(np.full(n, 404, dtype=np.int32))
+                if statuses is None
+                else pa.array(statuses, pa.int32())
+            ),
             "signature": pa.nulls(n, pa.uint64()),
             "title": pa.nulls(n, pa.string()),
             "description": pa.nulls(n, pa.string()),
@@ -116,6 +153,11 @@ def missing_rows(urls: list[str], wave: int) -> pa.Table:
             "text": pa.array([""] * n, pa.string()),
             "links": pa.ListArray.from_arrays(
                 pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.string())
+            ),
+            "final_redirect_destination": (
+                pa.nulls(n, pa.string())
+                if destinations is None
+                else pa.array(destinations, pa.string())
             ),
             "wave": pa.array(np.full(n, wave, dtype=np.int32)),
         }

@@ -155,7 +155,7 @@ def test_missing_pages_get_404(corpus):
 def test_text_matches_golden(corpus):
     res = crawl(corpus)
     for p in res.pages:
-        status, body = corpus.get(p["url"], (404, None))
+        status, body = corpus.get(p["url"], (404, None, None))[:2]
         if body is None:
             assert p["text"] == ""
 
