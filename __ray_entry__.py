@@ -166,10 +166,18 @@ def q_extract_text_parity(sf_dir: str):
             }
         )
 
+    def drop_machine_pages(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.or_(
+                pc.ends_with(batch.column("url"), "robots.txt"),
+                pc.ends_with(batch.column("url"), "sitemap.xml"),
+            )
+        )
+        return batch.filter(keep)
+
     ds = ray.data.read_parquet(corpus, columns=["url", "html"])
-    out = ds.map_batches(extract, batch_format="pyarrow")
-    return out.filter(
-        lambda row: not (row["url"].endswith("robots.txt") or row["url"].endswith("sitemap.xml"))
+    return ds.map_batches(drop_machine_pages, batch_format="pyarrow").map_batches(
+        extract, batch_format="pyarrow"
     )
 
 

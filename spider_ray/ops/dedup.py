@@ -162,19 +162,19 @@ def minhash_lsh_candidates(ds, **kwargs):
     """
     band_rows = ds.map_batches(MinHasher(**kwargs), batch_format="pyarrow", batch_size=256)
 
-    def pairs_of_group(df):
-        import pandas as pd
-
-        ids = sorted(set(df["doc_id"].tolist()))
+    def pairs_of_group(tbl: pa.Table) -> pa.Table:
+        ids = sorted(set(tbl.column("doc_id").to_pylist()))
         out_a, out_b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+        )
 
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs_of_group, batch_format="pandas"
+        pairs_of_group, batch_format="pyarrow"
     )
     # distinct pairs (a pair can match in several bands)
     return pairs.groupby(["doc_a", "doc_b"]).count().map_batches(
@@ -195,18 +195,45 @@ def jaccard(text_a: str, text_b: str, shingle_size: int = 3) -> float:
 def minhash_dedup(ds, threshold: float = 0.8, **kwargs):
     """Near-dup groups: LSH candidates verified by exact Jaccard ≥ threshold.
 
-    The verify step joins candidate pairs back to texts via a broadcast
-    lookup (small candidate set); returns (doc_a, doc_b, jaccard) confirmed
-    pairs.
+    The verify step gathers ONLY the candidate docs' texts (candidate set ≪
+    corpus): the candidate doc-id set is broadcast via ``ray.put``, workers
+    filter their blocks against it (vectorized ``np.isin``), and just those
+    (doc_id, text) rows reach the driver/verify actors.  The corpus itself is
+    never materialized — the only driver-side state is O(candidate pairs).
+    Returns (doc_a, doc_b, jaccard) confirmed pairs.
     """
     import ray
 
-    texts = {}
-    for batch in ds.select_columns(["doc_id", "text"]).iter_batches(batch_format="pyarrow"):
-        texts.update(zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()))
-    texts_ref = ray.put(texts)
     shingle_size = kwargs.get("shingle_size", 3)
-    candidates = minhash_lsh_candidates(ds, **kwargs)
+    candidates = minhash_lsh_candidates(ds, **kwargs).materialize()
+    cand_parts = [t for t in ray.get(candidates.to_arrow_refs()) if t.num_rows]
+    cand_ids: set[int] = set()
+    for t in cand_parts:
+        cand_ids.update(t.column("doc_a").to_pylist())
+        cand_ids.update(t.column("doc_b").to_pylist())
+
+    texts: dict[int, str] = {}
+    if cand_ids:
+        ids_ref = ray.put(np.fromiter(cand_ids, dtype=np.int64, count=len(cand_ids)))
+
+        class GatherTexts:
+            def __init__(self):
+                self.ids = ray.get(ids_ref)  # once per actor
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = np.isin(
+                    batch.column("doc_id").to_numpy(zero_copy_only=False), self.ids
+                )
+                return batch.filter(pa.array(mask))
+
+        small = ds.select_columns(["doc_id", "text"]).map_batches(
+            GatherTexts, batch_format="pyarrow", concurrency=2
+        )
+        for batch in small.iter_batches(batch_format="pyarrow"):
+            texts.update(
+                zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+            )
+    texts_ref = ray.put(texts)
 
     class Verify:
         def __init__(self):

@@ -89,18 +89,43 @@ def _flatten_block_impl(tbl, local_rows, ranks):
     flat = flat.take(pa.array(order, pa.int64()))
     rank64 = rank64[order]
     keys = pc.utf8_lower(flat)
-    import pandas as pd
-
-    dup = pd.Index(keys.to_pandas()).duplicated(keep="first")
-    mask = pa.array(~dup)
+    keep = _first_seen_mask(keys)
+    mask = pa.array(keep)
     out = pa.table(
         {
             "url": flat.filter(mask),
             "key": keys.filter(mask),
-            "rank": pa.array(rank64[~dup], pa.int64()),
+            "rank": pa.array(rank64[keep], pa.int64()),
         }
     )
     return out.append_column("n_raw", pa.array([total] * out.num_rows, pa.int64()))
+
+
+def _first_seen_mask_np(arr):
+    """First-occurrence mask over a numpy array (integer keys)."""
+    import numpy as np
+
+    _, first_idx = np.unique(arr, return_index=True)
+    keep = np.zeros(len(arr), dtype=bool)
+    keep[first_idx] = True
+    return keep
+
+
+def _first_seen_mask(keys) -> "object":
+    """First-occurrence boolean mask over a string array (keep=True), pure
+    Arrow+numpy: dictionary-encode (C++ hash table) then first index per
+    code — no pandas hop on the frontier hot path."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    encoded = pc.dictionary_encode(keys)
+    if isinstance(encoded, pa.ChunkedArray):
+        encoded = encoded.combine_chunks()
+    codes = encoded.indices.to_numpy(zero_copy_only=False)
+    _, first_idx = np.unique(codes, return_index=True)
+    keep = np.zeros(len(codes), dtype=bool)
+    keep[first_idx] = True
+    return keep
 
 
 _FLATTEN_REMOTE = None
@@ -399,7 +424,12 @@ class RayCrawler:
 
     def _fetch_parse_wave(self, admitted: list[str], wave: int) -> pa.Table:
         """Distributed fetch-join + parse for one wave; returns the parsed
-        table (url, host, status_code, signature, title, …, links)."""
+        table (url, host, status_code, signature, title, …, links).
+
+        ParsePages runs as a driver-constructed instance by default (tasks,
+        not an actor pool): its state is a few hundred bytes of scope config,
+        and per-wave datasets would pay actor-pool startup EVERY wave.  Set
+        ``parse_concurrency`` to pin an actor pool for long waves instead."""
         import ray
 
         from ..stages.fetch import CorpusIndex, fetch_wave_indexed
@@ -558,7 +588,7 @@ class RayCrawler:
         if self.config.normalize:
             sigs_np = pa.chunked_array(sig_chunks).to_numpy(zero_copy_only=False)
             sig_in_order = sigs_np[indexer]
-            first = ~pd.Index(sig_in_order).duplicated(keep="first")
+            first = _first_seen_mask_np(sig_in_order)
             if signatures:
                 fresh = ~np.isin(
                     sig_in_order, np.fromiter(signatures, dtype=np.uint64, count=len(signatures))
@@ -597,9 +627,7 @@ class RayCrawler:
 
         order = pc.sort_indices(merged, sort_keys=[("rank", "ascending")])
         merged = merged.take(order)
-        keys_pd = pd.Index(merged.column("key").to_pandas())
-        mask = pa.array(~keys_pd.duplicated(keep="first"))
-        merged = merged.filter(mask)
+        merged = merged.filter(pa.array(_first_seen_mask(merged.column("key"))))
         return merged  # columns: url, key, rank, n_raw
 
     def _candidates_fast(self, parsed_tbl, admitted, signatures, wave):
@@ -621,7 +649,7 @@ class RayCrawler:
             sig_in_order = sigs_np[indexer]
             # first occurrence within the wave AND not in the cross-wave set
             # (duplicate-content pages do not expand links, website.rs:8673-8683)
-            first = ~pd.Index(sig_in_order).duplicated(keep="first")
+            first = _first_seen_mask_np(sig_in_order)
             if signatures:
                 fresh = ~np.isin(
                     sig_in_order, np.fromiter(signatures, dtype=np.uint64, count=len(signatures))
@@ -660,10 +688,7 @@ class RayCrawler:
             self.frontier_ops += len(flat_candidates)
             keys = pc.utf8_lower(flat_candidates)
             # first-push dedup in candidate order (UrlFrontier.push semantics)
-            import pandas as pd
-
-            keys_pd = pd.Index(keys.to_pandas())
-            mask_arr = pa.array(~keys_pd.duplicated(keep="first"))
+            mask_arr = pa.array(_first_seen_mask(keys))
             cand = flat_candidates.filter(mask_arr)
             cand_keys = keys.filter(mask_arr)
         prio = score_urls_arrow(cand, wave)
