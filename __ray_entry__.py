@@ -141,6 +141,13 @@ def q_crawl_seed_redirect(sf_dir: str):
     return res.pages_table().drop_columns(["links"])
 
 
+def q_crawl_hooks(sf_dir: str):
+    """on_link_find rewrite at dispatch + on_should_crawl page suppression
+    (blocked_crawl rows kept, links not expanded)."""
+    res = _crawl(sf_dir, "crawl_hooks")
+    return res.pages_table().drop_columns(["links"])
+
+
 # ---------------------------------------------------------------------------
 # corpus-table pipelines with exact SQL oracles
 # ---------------------------------------------------------------------------
@@ -371,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_streaming": q_crawl_streaming,
         "crawl_redirect_strict": q_crawl_redirect_strict,
         "crawl_seed_redirect": q_crawl_seed_redirect,
+        "crawl_hooks": q_crawl_hooks,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,

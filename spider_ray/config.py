@@ -52,6 +52,16 @@ class CrawlConfig:
     # run_with_crawl_timeout website.rs:6973-6977 (engine-side only; the
     # deterministic oracle has no wall clock)
     crawl_timeout_s: float | None = None
+    # user-extension hooks — SURVEY.md §2.11.  Both must be picklable
+    # (module-level functions) — on_should_crawl ships to parse workers.
+    # on_link_find: rewrite a URL at dispatch (website.rs:1157-1162, applied
+    # website.rs:7652-7658): the VISITED set keeps the original link, the
+    # fetch and the page row use the rewritten URL.
+    on_link_find: object | None = None  # Callable[[str], str]
+    # on_should_crawl: drop a fetched page (website.rs:1168-1187, applied
+    # 8033-8040): the page row is kept with blocked_crawl=True, its links
+    # are not expanded, and its signature does not enter the dedup set.
+    on_should_crawl: object | None = None  # Callable[[dict], bool]
     # engine knobs (ours, documented divergences / wave model)
     round_robin: bool = False  # frontier domain round-robin (frontier.rs:83-121)
     wave_span_ms: int = 1000  # politeness window per wave (SURVEY.md §2.3)

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 2
+GOLDEN_VERSION = 3
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -82,7 +82,24 @@ def crawl_specs() -> dict[str, tuple]:
             "pages",
         ),
         "crawl_seed_redirect": (CrawlConfig(), (redirseed_seed(),), "pages"),
+        # user-extension hooks (§2.11): link rewrite at dispatch + post-fetch
+        # page suppression (blocked_crawl, links not expanded)
+        "crawl_hooks": (
+            CrawlConfig(
+                normalize=True,
+                on_link_find=_hooks().rewrite_dup_a_to_leaf,
+                on_should_crawl=_hooks().skip_section3,
+            ),
+            (0,),
+            "pages",
+        ),
     }
+
+
+def _hooks():
+    from .functions import hooks
+
+    return hooks
 
 
 def visited_table(admitted_order: list[tuple[int, int, str]]) -> pa.Table:
@@ -134,6 +151,9 @@ def pages_table_from_oracle(pages: list[dict]) -> pa.Table:
             "text": pa.array([p["text"] for p in pages], pa.string()),
             "final_redirect_destination": pa.array(
                 [p.get("final_redirect_destination") for p in pages], pa.string()
+            ),
+            "blocked_crawl": pa.array(
+                [bool(p.get("blocked_crawl")) for p in pages], pa.bool_()
             ),
             "wave": pa.array([p["wave"] for p in pages], pa.int32()),
         }
@@ -364,6 +384,7 @@ GOLDEN_QUERIES = (
     "crawl_streaming",
     "crawl_redirect_strict",
     "crawl_seed_redirect",
+    "crawl_hooks",
     "minhash_pairs",
     "simhash",
     "lang_id",

@@ -186,30 +186,43 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
         deferred = []
         parsed = []
         for url in admitted:
-            res, status, html = fetch_resolved(url, wave)
-            host = url_host(url)
+            # on_link_find rewrite at dispatch: visited keeps the original,
+            # the fetch and the page row use the rewritten URL
+            fetch_url = config.on_link_find(url) if config.on_link_find else url
+            res, status, html = fetch_resolved(fetch_url, wave)
+            host = url_host(fetch_url)
             sel, root = router.for_host(host)
-            page_url = res.final_url if not res.error else url
+            page_url = res.final_url if not res.error else fetch_url
             ex = parse_page(
                 html, page_url, root, sel, config.external_domains, config.full_resources,
                 want_signature=config.normalize, want_text=True,
             )
             sig = ex.signature if config.normalize else None
-            result.pages.append(
-                {
-                    "url": url,
-                    "wave": wave,
-                    "status_code": status,
-                    "signature": sig,
-                    "title": ex.title,
-                    "description": ex.description,
-                    "og_image": ex.og_image,
-                    "text": ex.text,
-                    "links": ex.links,
-                    "final_redirect_destination": res.destination,
-                }
-            )
-            parsed.append((url, sig, ex.links))
+            page_row = {
+                "url": fetch_url,
+                "wave": wave,
+                "status_code": status,
+                "signature": sig,
+                "title": ex.title,
+                "description": ex.description,
+                "og_image": ex.og_image,
+                "text": ex.text,
+                "links": ex.links,
+                "final_redirect_destination": res.destination,
+                "blocked_crawl": False,
+            }
+            if config.on_should_crawl is not None and not config.on_should_crawl(
+                {k: page_row[k] for k in (
+                    "url", "status_code", "title", "description", "og_image",
+                    "text", "signature", "final_redirect_destination")}
+            ):
+                page_row["blocked_crawl"] = True
+                page_row["links"] = []
+                result.pages.append(page_row)
+                parsed.append((fetch_url, None, []))
+                continue
+            result.pages.append(page_row)
+            parsed.append((fetch_url, sig, ex.links))
 
         dup_sig = 0
         depth = wave + 1
@@ -274,22 +287,31 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
                 result.visited.append(url)
                 result.admitted_order.append((sm_wave, seq, url))
                 seq += 1
-                res, status, html = fetch_resolved(url, sm_wave)
-                host = url_host(url)
+                fetch_url = config.on_link_find(url) if config.on_link_find else url
+                res, status, html = fetch_resolved(fetch_url, sm_wave)
+                host = url_host(fetch_url)
                 sel, sroot = router.for_host(host)
-                page_url = res.final_url if not res.error else url
+                page_url = res.final_url if not res.error else fetch_url
                 ex = parse_page(
                     html, page_url, sroot, sel, config.external_domains, config.full_resources,
                     want_signature=config.normalize, want_text=True,
                 )
-                result.pages.append(
-                    {
-                        "url": url, "wave": sm_wave, "status_code": status,
-                        "signature": ex.signature if config.normalize else None,
-                        "title": ex.title, "description": ex.description,
-                        "og_image": ex.og_image, "text": ex.text, "links": ex.links,
-                        "final_redirect_destination": res.destination,
-                    }
-                )
+                sig = ex.signature if config.normalize else None
+                page_row = {
+                    "url": fetch_url, "wave": sm_wave, "status_code": status,
+                    "signature": sig,
+                    "title": ex.title, "description": ex.description,
+                    "og_image": ex.og_image, "text": ex.text, "links": ex.links,
+                    "final_redirect_destination": res.destination,
+                    "blocked_crawl": False,
+                }
+                if config.on_should_crawl is not None and not config.on_should_crawl(
+                    {k: page_row[k] for k in (
+                        "url", "status_code", "title", "description", "og_image",
+                        "text", "signature", "final_redirect_destination")}
+                ):
+                    page_row["blocked_crawl"] = True
+                    page_row["links"] = []
+                result.pages.append(page_row)
 
     return result

@@ -362,10 +362,21 @@ class RayCrawler:
     def _config_hash(self) -> str:
         """Deterministic hash of everything that shapes checkpoint layout:
         the job (seeds + frozen config repr), shard count, and fast/non-fast
-        mode (shard-routing scheme + whether frontier priorities are stored)."""
+        mode (shard-routing scheme + whether frontier priorities are stored).
+        Hook callables are hashed by qualname (function reprs carry memory
+        addresses that change between runs)."""
         import hashlib
+        from dataclasses import replace as _rep
 
-        payload = repr((self.job, self.num_seen_shards, self._simple_config()))
+        cfg = self.config
+        hook_names = tuple(
+            getattr(h, "__qualname__", repr(type(h))) if h is not None else None
+            for h in (cfg.on_link_find, cfg.on_should_crawl)
+        )
+        sanitized = _rep(cfg, on_link_find=None, on_should_crawl=None)
+        payload = repr(
+            (self.job.seeds, sanitized, hook_names, self.num_seen_shards, self._simple_config())
+        )
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
     def _find_resume_manifest(self) -> dict | None:
@@ -461,7 +472,9 @@ class RayCrawler:
             if not self.keep_pages:
                 # only the frontier-relevant columns travel to the driver —
                 # text/title/html-derived payload stays in the workers
-                parsed_ds = parsed_ds.select_columns(["url", "signature", "links", "wave"])
+                parsed_ds = parsed_ds.select_columns(
+                    ["url", "signature", "links", "blocked_crawl", "wave"]
+                )
             tables = [
                 t
                 for t in ray.get(parsed_ds.to_arrow_refs())
@@ -482,7 +495,7 @@ class RayCrawler:
                     pa.array([_EMPTY_SIG] * len(synth_all), pa.uint64()),
                 )
             if not self.keep_pages:
-                miss_tbl = miss_tbl.select(["url", "signature", "links", "wave"])
+                miss_tbl = miss_tbl.select(["url", "signature", "links", "blocked_crawl", "wave"])
             tables.append(miss_tbl)
             if self.out_dir:
                 wdir = os.path.join(self.out_dir, f"wave_{wave:05d}")
@@ -509,6 +522,8 @@ class RayCrawler:
             and not c.blacklist
             and not c.round_robin
             and not c.extra_links
+            and c.on_link_find is None
+            and c.on_should_crawl is None
             and self.queue_provider is None
         )
 
@@ -921,18 +936,30 @@ class RayCrawler:
                     )
                     candidates = None
                 else:
-                    parsed_tbl = self._fetch_parse_wave(admitted, wave)
+                    # on_link_find rewrite at dispatch (website.rs:7652-7658):
+                    # visited keeps the original, fetch/page use the rewrite
+                    hook = config.on_link_find
+                    dispatch = [hook(u) for u in admitted] if hook else admitted
+                    parsed_tbl = self._fetch_parse_wave(dispatch, wave)
                     if self.keep_pages and parsed_tbl is not None:
                         result.pages_tables.append(parsed_tbl)
                     by_url = {}
                     if parsed_tbl is not None:
-                        for u, s, l in zip(
+                        blocked_col = (
+                            parsed_tbl.column("blocked_crawl").to_pylist()
+                            if "blocked_crawl" in parsed_tbl.column_names
+                            else [False] * parsed_tbl.num_rows
+                        )
+                        for u, s, l, b in zip(
                             parsed_tbl.column("url").to_pylist(),
                             parsed_tbl.column("signature").to_pylist(),
                             parsed_tbl.column("links").to_pylist(),
+                            blocked_col,
                         ):
-                            by_url[u] = (s, l)
-                    pages_in_order = [(u, *by_url.get(u, (None, []))) for u in admitted]
+                            # blocked pages keep their row but contribute no
+                            # links and no signature to the dedup set
+                            by_url[u] = (None, []) if b else (s, l)
+                    pages_in_order = [(du, *by_url.get(du, (None, []))) for du in dispatch]
                     candidates = list(deferred)
                     deferred = []
                     dup_sig = 0
@@ -1086,7 +1113,9 @@ class RayCrawler:
                 [u.lower() for u in admitted],
                 [url_host(u) for u in admitted] if fast else None,
             )
-            parsed_tbl = self._fetch_parse_wave(admitted, sm_wave)
+            hook = config.on_link_find
+            dispatch = [hook(u) for u in admitted] if hook else admitted
+            parsed_tbl = self._fetch_parse_wave(dispatch, sm_wave)
             if self.keep_pages and parsed_tbl is not None:
                 result.pages_tables.append(parsed_tbl)
             result.metrics.append(

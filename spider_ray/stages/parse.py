@@ -34,6 +34,7 @@ PARSED_SCHEMA = pa.schema(
         ("text", pa.string()),
         ("links", pa.list_(pa.string())),
         ("final_redirect_destination", pa.string()),
+        ("blocked_crawl", pa.bool_()),
     ]
 )
 
@@ -74,7 +75,7 @@ class ParsePages:
             else [200] * len(urls)
         )
         cfg = self.config
-        out_urls, out_status, out_dest = [], [], []
+        out_urls, out_status, out_dest, out_blocked = [], [], [], []
         hosts, sigs, titles, descs, ogs, texts, links_col = [], [], [], [], [], [], []
         for url, html, status in zip(urls, htmls, statuses):
             consumers = [url] if url not in self.targets_only else []
@@ -93,16 +94,35 @@ class ParsePages:
                     want_signature=cfg.normalize,
                     want_text=True,
                 )
+                sig = ex.signature if cfg.normalize else None
+                dest = url if requested != url else None
+                blocked = False
+                if cfg.on_should_crawl is not None:
+                    blocked = not cfg.on_should_crawl(
+                        {
+                            "url": requested,
+                            "status_code": status,
+                            "title": ex.title,
+                            "description": ex.description,
+                            "og_image": ex.og_image,
+                            "text": ex.text,
+                            "signature": sig,
+                            "final_redirect_destination": dest,
+                        }
+                    )
                 out_urls.append(requested)
                 out_status.append(status)
-                out_dest.append(url if requested != url else None)
+                out_dest.append(dest)
+                out_blocked.append(blocked)
                 hosts.append(host)
-                sigs.append(ex.signature if cfg.normalize else None)
+                sigs.append(sig)
                 titles.append(ex.title)
                 descs.append(ex.description)
                 ogs.append(ex.og_image)
                 texts.append(ex.text)
-                links_col.append(ex.links)
+                # a blocked page's links are suppressed before they ever
+                # leave the worker (website.rs:8033-8040)
+                links_col.append([] if blocked else ex.links)
         return pa.table(
             {
                 "url": pa.array(out_urls, pa.string()),
@@ -115,6 +135,7 @@ class ParsePages:
                 "text": pa.array(texts, pa.string()),
                 "links": pa.array(links_col, pa.list_(pa.string())),
                 "final_redirect_destination": pa.array(out_dest, pa.string()),
+                "blocked_crawl": pa.array(out_blocked, pa.bool_()),
                 "wave": pa.array([self.wave] * len(out_urls), pa.int32()),
             }
         )
@@ -159,6 +180,7 @@ def missing_rows(
                 if destinations is None
                 else pa.array(destinations, pa.string())
             ),
+            "blocked_crawl": pa.array(np.zeros(n, dtype=bool)),
             "wave": pa.array(np.full(n, wave, dtype=np.int32)),
         }
     )
