@@ -148,6 +148,13 @@ def q_crawl_hooks(sf_dir: str):
     return res.pages_table().drop_columns(["links"])
 
 
+def q_crawl_content_gate(sf_dir: str):
+    """only_html Content-Type gate (pdf/zip bodies dropped) + max_page_bytes
+    truncation (2 KiB cap, truncated flag, links parsed from the prefix)."""
+    res = _crawl(sf_dir, "crawl_content_gate")
+    return res.pages_table().drop_columns(["links"])
+
+
 # ---------------------------------------------------------------------------
 # corpus-table pipelines with exact SQL oracles
 # ---------------------------------------------------------------------------
@@ -379,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_redirect_strict": q_crawl_redirect_strict,
         "crawl_seed_redirect": q_crawl_seed_redirect,
         "crawl_hooks": q_crawl_hooks,
+        "crawl_content_gate": q_crawl_content_gate,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,

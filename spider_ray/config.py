@@ -42,6 +42,14 @@ class CrawlConfig:
     # limit default 7); semantics in spider_ray/redirect.py
     redirect_policy: str = "loose"  # "loose" | "strict" | "none"
     redirect_limit: int = 7
+    # content gates — only_html (configuration.rs:476, default TRUE:
+    # responses with an ignored Content-Type are never streamed,
+    # block_streaming utils/mod.rs:6159-6174) and max_page_bytes
+    # (utils/mod.rs:455-471 MAX_SIZE_BYTES, 0 = disabled): bodies over the
+    # limit keep only the first max_page_bytes bytes with truncated=True
+    # (the streaming-chunk branch, utils/mod.rs:6303-6306)
+    only_html: bool = True
+    max_page_bytes: int = 0
     # sitemap — configuration.rs:389-394
     sitemap_url: str | None = None
     ignore_sitemap: bool = True

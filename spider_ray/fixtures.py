@@ -141,6 +141,7 @@ def _finalize(rows: list[dict], statuses: dict[str, int]) -> list[dict]:
                 "lang": r["lang"],
                 "status": statuses.get(r["url"], 200),
                 "location": r.get("location"),
+                "content_type": r.get("content_type", "text/html"),
             }
         )
     return out
@@ -158,9 +159,10 @@ def _build_host_rows(
     statuses: dict[str, int] = {}
 
     def add(url: str, html: str, text: str, lang: str = "en", status: int = 200,
-            encoding: str = "utf-8", location: str | None = None):
+            encoding: str = "utf-8", location: str | None = None,
+            content_type: str = "text/html"):
         rows.append({"url": url, "html": html.encode(encoding), "text": text, "lang": lang,
-                     "location": location})
+                     "location": location, "content_type": content_type})
         statuses[url] = status
 
     n_sections = max(2, min(8, pages_per_host // 12))
@@ -254,6 +256,7 @@ def _build_host_rows(
             _add_encoding_page(add, root)
             _add_redirect_pages(add, root)
             _add_seed_redirect_hosts(add)
+            _add_nonhtml_pages(add, root)
 
     return rows, statuses
 
@@ -320,6 +323,8 @@ def _add_root_stressors(p: _PageBuilder):
         '<li><a href="/r/ssrf">Redir ssrf</a></li>'
         '<li><a href="/r/local">Redir local</a></li>'
         '<li><a href="/r/gone">Redir gone</a></li>'
+        '<li><a href="/download/report">PDF download</a></li>'
+        '<li><a href="/download/archive">Zip download</a></li>'
         "</ul>"
     )
     for anchor in [
@@ -328,7 +333,7 @@ def _add_root_stressors(p: _PageBuilder):
         "TLD variant", "External", "Ported", "Pic", "App", "Hidden", "No slash", "With slash",
         "Dup A", "Dup B", "Private", "Public", "Japanese",
         "Redir one", "Redir rel", "Redir chain", "Redir loop", "Redir off",
-        "Redir ssrf", "Redir local", "Redir gone",
+        "Redir ssrf", "Redir local", "Redir gone", "PDF download", "Zip download",
     ]:
         p.blocks.append(anchor)
 
@@ -414,6 +419,21 @@ def _add_redirect_pages(add, root: str):
     add(root + "r/gone", "", "", status=301, location=root + "r/nowhere")
 
 
+def _add_nonhtml_pages(add, root: str):
+    """Non-HTML rows for the ``only_html`` Content-Type gate: extension-free
+    URLs (the asset-extension filter would drop ``.pdf`` links before fetch)
+    whose Content-Type is in IGNORE_CONTENT_TYPES — body must be dropped at
+    fetch when only_html is on.  Golden ``text`` is empty (never extracted)."""
+    pdf_body = "%PDF-1.4 fake binary payload for the gate"
+    zip_body = "PK\x03\x04 fake zip payload"
+    # golden text = extractor output on the raw bytes (the roundtrip/parity
+    # checks bypass the crawl gate); the CRAWL drops the body instead
+    add(root + "download/report", pdf_body, extract_text(pdf_body),
+        content_type="application/pdf")
+    add(root + "download/archive", zip_body, extract_text(zip_body),
+        content_type="application/zip")
+
+
 def _add_seed_redirect_hosts(add):
     """Seed-redirect scenario (``modify_selectors``): the redirseed root 301s
     cross-host to redirtarget; after the rebuild BOTH hosts stay in scope, so
@@ -440,9 +460,12 @@ def _add_private_pages(add, root: str):
     add(root + "public/open", h2, t2)
 
 
-def corpus_as_dict(rows: list[dict]) -> dict[str, tuple[int, bytes, str | None]]:
-    """Oracle-side corpus mapping url → (status, html bytes, location)."""
-    return {r["url"]: (r["status"], r["html"], r.get("location")) for r in rows}
+def corpus_as_dict(rows: list[dict]) -> dict[str, tuple]:
+    """Oracle-side corpus: url → (status, html bytes, location, content_type)."""
+    return {
+        r["url"]: (r["status"], r["html"], r.get("location"), r.get("content_type", "text/html"))
+        for r in rows
+    }
 
 
 def redirseed_seed() -> str:
@@ -483,6 +506,9 @@ def write_corpus_parquet(
                 "lang": [r["lang"] for r in brows],
                 "status": pa.array([r["status"] for r in brows], pa.int32()),
                 "location": pa.array([r.get("location") for r in brows], pa.string()),
+                "content_type": pa.array(
+                    [r.get("content_type", "text/html") for r in brows], pa.string()
+                ),
             }
         )
         bdir = os.path.join(out_dir, f"bucket={b:04d}")
@@ -549,7 +575,7 @@ SCALE_PARAMS = {
 }
 
 # bump when generator output changes so cached corpora auto-invalidate
-GENERATOR_VERSION = 3
+GENERATOR_VERSION = 4
 
 FIXTURE_BASE = "/tmp/spider_ray_fixtures"
 

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 3
+GOLDEN_VERSION = 4
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -82,6 +82,15 @@ def crawl_specs() -> dict[str, tuple]:
             "pages",
         ),
         "crawl_seed_redirect": (CrawlConfig(), (redirseed_seed(),), "pages"),
+        # content gates: only_html Content-Type block (default-on; the
+        # fixture's /download/* pdf+zip rows) and max_page_bytes truncation
+        # (2 KiB cap truncates most leaf pages — links parsed from partial
+        # bodies, truncated flag set)
+        "crawl_content_gate": (
+            CrawlConfig(max_page_bytes=2048),
+            (0,),
+            "pages",
+        ),
         # user-extension hooks (§2.11): link rewrite at dispatch + post-fetch
         # page suppression (blocked_crawl, links not expanded)
         "crawl_hooks": (
@@ -155,6 +164,7 @@ def pages_table_from_oracle(pages: list[dict]) -> pa.Table:
             "blocked_crawl": pa.array(
                 [bool(p.get("blocked_crawl")) for p in pages], pa.bool_()
             ),
+            "truncated": pa.array([bool(p.get("truncated")) for p in pages], pa.bool_()),
             "wave": pa.array([p["wave"] for p in pages], pa.int32()),
         }
     )
@@ -385,6 +395,7 @@ GOLDEN_QUERIES = (
     "crawl_redirect_strict",
     "crawl_seed_redirect",
     "crawl_hooks",
+    "crawl_content_gate",
     "minhash_pairs",
     "simhash",
     "lang_id",

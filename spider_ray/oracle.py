@@ -26,7 +26,7 @@ from .frontier import score_url
 from .parsepage import parse_page
 from .robots import RobotFileParser
 from .scope import Selectors, parent_host_match
-from .semantics import Budget, depth_distance_for, is_allowed_default
+from .semantics import Budget, depth_distance_for, gate_content, is_allowed_default
 from .textextract import extract_text
 from .urlnorm import normalize_url, url_host
 from .waves import admit_wave, gate_links_by_signature, order_candidates
@@ -125,12 +125,12 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
     def corpus_get(url: str):
         row = corpus.get(url)
         if row is None:
-            return (404, None, None)
-        return row if len(row) == 3 else (*row, None)
+            return (404, None, None, None)
+        return row + (None,) * (4 - len(row))
 
     def meta_get(url: str):
-        status, _, location = corpus_get(url)
-        return status, location
+        row = corpus_get(url)
+        return row[0], row[2]
 
     resolver = RedirectResolver(config)
     router = ScopeRouter(job)
@@ -158,8 +158,9 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
         crawl_host = url_host(root) if root else url_host(url)
         res = resolver.resolve(url, meta_get, crawl_host)
         if res.error:
-            return res, REDIRECT_ERROR_STATUS, ""
-        status, body, _ = corpus_get(res.final_url)
+            return res, REDIRECT_ERROR_STATUS, "", False
+        status, body, _, ctype = corpus_get(res.final_url)
+        body, truncated = gate_content(body, ctype, config)
         if (
             wave == 0
             and url in job_live.seeds
@@ -171,7 +172,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
             )
             router = ScopeRouter(job_live)
         html = _as_text(body) if body is not None else ""
-        return res, status, html
+        return res, status, html, truncated
 
     admitted = admit_seeds(job, config, robots_for, visited)
     for seq, url in enumerate(admitted):
@@ -189,7 +190,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
             # on_link_find rewrite at dispatch: visited keeps the original,
             # the fetch and the page row use the rewritten URL
             fetch_url = config.on_link_find(url) if config.on_link_find else url
-            res, status, html = fetch_resolved(fetch_url, wave)
+            res, status, html, truncated = fetch_resolved(fetch_url, wave)
             host = url_host(fetch_url)
             sel, root = router.for_host(host)
             page_url = res.final_url if not res.error else fetch_url
@@ -210,6 +211,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
                 "links": ex.links,
                 "final_redirect_destination": res.destination,
                 "blocked_crawl": False,
+                "truncated": truncated,
             }
             if config.on_should_crawl is not None and not config.on_should_crawl(
                 {k: page_row[k] for k in (
@@ -288,7 +290,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
                 result.admitted_order.append((sm_wave, seq, url))
                 seq += 1
                 fetch_url = config.on_link_find(url) if config.on_link_find else url
-                res, status, html = fetch_resolved(fetch_url, sm_wave)
+                res, status, html, truncated = fetch_resolved(fetch_url, sm_wave)
                 host = url_host(fetch_url)
                 sel, sroot = router.for_host(host)
                 page_url = res.final_url if not res.error else fetch_url
@@ -304,6 +306,7 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
                     "og_image": ex.og_image, "text": ex.text, "links": ex.links,
                     "final_redirect_destination": res.destination,
                     "blocked_crawl": False,
+                    "truncated": truncated,
                 }
                 if config.on_should_crawl is not None and not config.on_should_crawl(
                     {k: page_row[k] for k in (

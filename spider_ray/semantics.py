@@ -123,3 +123,58 @@ def is_over_depth(url: str, config: CrawlConfig) -> bool:
     """Step 4 (``is_over_depth``, ``website.rs:2151-2154``)."""
     dd = depth_distance_for(config)
     return dd > 0 and path_segment_count(url) > dd
+
+
+# ---------------------------------------------------------------------------
+# Content gates — only_html Content-Type blocking + max_page_bytes
+# ---------------------------------------------------------------------------
+
+# ``IGNORE_CONTENT_TYPES`` (``utils/mod.rs:176-200``): exact header-value
+# match; when ``only_html`` is set these responses are never streamed.
+IGNORE_CONTENT_TYPES = frozenset(
+    {
+        "application/pdf",
+        "application/zip",
+        "application/x-rar-compressed",
+        "application/x-tar",
+        "image/png",
+        "image/jpeg",
+        "image/gif",
+        "image/bmp",
+        "image/svg+xml",
+        "video/mp4",
+        "video/x-msvideo",
+        "video/x-matroska",
+        "video/webm",
+        "audio/mpeg",
+        "audio/ogg",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        "application/vnd.ms-excel",
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+        "application/vnd.ms-powerpoint",
+        "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+        "application/x-7z-compressed",
+        "application/x-rpm",
+        "application/x-shockwave-flash",
+    }
+)
+
+
+def gate_content(
+    body: bytes | None, content_type: str | None, config: CrawlConfig
+) -> tuple[bytes | None, bool]:
+    """Apply the fetch-time content gates to a response body.
+
+    → (gated body, truncated).  ``only_html`` + ignored Content-Type drops
+    the body entirely (``block_streaming``, utils/mod.rs:6159-6174: headers
+    and status kept, content None).  ``max_page_bytes`` keeps only the first
+    ``max_page_bytes`` bytes with ``truncated=True`` (the streaming-chunk
+    limit branch, utils/mod.rs:6303-6306 — partial data retained)."""
+    if body is None:
+        return None, False
+    if config.only_html and content_type in IGNORE_CONTENT_TYPES:
+        return None, False
+    limit = config.max_page_bytes
+    if limit > 0 and len(body) > limit:
+        return body[:limit], True
+    return body, False

@@ -27,7 +27,7 @@ import pyarrow.dataset as pads
 from ..hashing import stable_hash_str
 from ..urlnorm import url_host
 
-FETCH_COLUMNS = ["url", "warc_ts", "html", "status"]
+FETCH_COLUMNS = ["url", "warc_ts", "html", "status", "content_type"]
 
 
 def corpus_n_buckets(corpus_dir: str) -> int:
@@ -152,7 +152,8 @@ class ReadRowGroups:
         out = []
         for path, rgs, urls in zip(paths, rgs_col, urls_col):
             f = pq.ParquetFile(path)
-            tbl = f.read_row_groups(list(rgs), columns=FETCH_COLUMNS)
+            cols = [c for c in FETCH_COLUMNS if c in f.schema_arrow.names]
+            tbl = f.read_row_groups(list(rgs), columns=cols)
             mask = pc.is_in(tbl.column("url"), value_set=pa.array(urls, pa.string()))
             out.append(tbl.filter(mask))
         return pa.concat_tables(out)

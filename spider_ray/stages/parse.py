@@ -20,6 +20,7 @@ from ..config import CrawlConfig, CrawlJob
 from ..encoding import decode_html
 from ..oracle import ScopeRouter
 from ..parsepage import parse_page
+from ..semantics import gate_content
 from ..urlnorm import url_host
 
 PARSED_SCHEMA = pa.schema(
@@ -35,6 +36,7 @@ PARSED_SCHEMA = pa.schema(
         ("links", pa.list_(pa.string())),
         ("final_redirect_destination", pa.string()),
         ("blocked_crawl", pa.bool_()),
+        ("truncated", pa.bool_()),
     ]
 )
 
@@ -74,13 +76,21 @@ class ParsePages:
             if "status" in batch.column_names
             else [200] * len(urls)
         )
+        ctypes = (
+            batch.column("content_type").to_pylist()
+            if "content_type" in batch.column_names
+            else [None] * len(urls)
+        )
         cfg = self.config
-        out_urls, out_status, out_dest, out_blocked = [], [], [], []
+        out_urls, out_status, out_dest, out_blocked, out_trunc = [], [], [], [], []
         hosts, sigs, titles, descs, ogs, texts, links_col = [], [], [], [], [], [], []
-        for url, html, status in zip(urls, htmls, statuses):
+        for url, html, status, ctype in zip(urls, htmls, statuses, ctypes):
             consumers = [url] if url not in self.targets_only else []
             consumers += self.backmap.get(url, ())
-            text_html = decode_html(html) if consumers else ""
+            # fetch-time content gates: only_html Content-Type block +
+            # max_page_bytes truncation (semantics.gate_content)
+            html, truncated = gate_content(html, ctype, cfg)
+            text_html = decode_html(html) if (consumers and html is not None) else ""
             for requested in consumers:
                 host = url_host(requested)
                 sel, root = self.router.for_host(host)
@@ -114,6 +124,7 @@ class ParsePages:
                 out_status.append(status)
                 out_dest.append(dest)
                 out_blocked.append(blocked)
+                out_trunc.append(truncated)
                 hosts.append(host)
                 sigs.append(sig)
                 titles.append(ex.title)
@@ -136,6 +147,7 @@ class ParsePages:
                 "links": pa.array(links_col, pa.list_(pa.string())),
                 "final_redirect_destination": pa.array(out_dest, pa.string()),
                 "blocked_crawl": pa.array(out_blocked, pa.bool_()),
+                "truncated": pa.array(out_trunc, pa.bool_()),
                 "wave": pa.array([self.wave] * len(out_urls), pa.int32()),
             }
         )
@@ -181,6 +193,7 @@ def missing_rows(
                 else pa.array(destinations, pa.string())
             ),
             "blocked_crawl": pa.array(np.zeros(n, dtype=bool)),
+            "truncated": pa.array(np.zeros(n, dtype=bool)),
             "wave": pa.array(np.full(n, wave, dtype=np.int32)),
         }
     )
