@@ -167,6 +167,7 @@ class RayCrawler:
         keep_pages: bool = True,
         collect_seen: bool = True,
         queue_provider=None,
+        adaptive_politeness: bool = False,
     ) -> None:
         self.job = job
         self.config = job.config
@@ -179,6 +180,11 @@ class RayCrawler:
         self.keep_pages = keep_pages
         self.collect_seen = collect_seen
         self.queue_provider = queue_provider
+        # streaming mode only: latency-EMA auto-throttle + 429 token-bucket
+        # penalties inside the HostGate shards (state/throttle.py).  Off by
+        # default — wall-clock dependent, outside the deterministic parity
+        # contract.
+        self.adaptive_politeness = adaptive_politeness
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
         self._index = None  # CorpusIndex, built lazily at first wave
         self._pending_inserts: list = []
@@ -782,9 +788,11 @@ class RayCrawler:
         assert config.budget is None and not config.respect_robots_txt
         assert not config.whitelist and not config.blacklist and not config.round_robin
 
+        import time as _time
+
         result = CrawlResult(out_dir=self.out_dir)
         seen = UrlSeen(self.num_seen_shards)
-        gate = HostGate(self.num_seen_shards)
+        gate = HostGate(self.num_seen_shards, adaptive=self.adaptive_politeness)
         signatures: set[int] = set()
 
         visited_seed: set[str] = set()
@@ -798,8 +806,12 @@ class RayCrawler:
         wave = 0
         push_futs: list = []
         while admitted:
+            t_wave = _time.monotonic()
             block_refs, small_tbls = self._fetch_parse_wave_refs(admitted, wave)
             merged = self._candidates_fast_refs(block_refs, small_tbls, admitted, signatures)
+            if self.adaptive_politeness:
+                per_url = (_time.monotonic() - t_wave) / max(1, len(admitted))
+                gate.record_latency(admitted_hosts, [per_url] * len(admitted_hosts))
             result.metrics.append(
                 {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
                  "candidates": merged.num_rows if merged is not None else 0}

@@ -28,14 +28,34 @@ from ..hashing import stable_hash_str
 
 @ray.remote
 class HostGateShard:
-    def __init__(self, shard_id: int) -> None:
+    def __init__(self, shard_id: int, adaptive: bool = False) -> None:
+        from .throttle import AutoThrottle, AutoThrottleConfig, DomainRateLimiter
+
         self.shard_id = shard_id
         self.heaps: dict[str, list] = {}  # host -> [(-prio, _NegStr(key), url)]
         self.enqueued: set[str] = set()  # frontier dedup (url_norm)
         self.delays: dict[str, int] = {}  # robots crawl-delay overrides (ms)
+        # adaptive politeness (opt-in; wall-clock dependent, so outside the
+        # deterministic parity contract): latency-EMA auto-throttle widens
+        # the per-host delay, a 429 token-bucket penalty caps the quota
+        self.adaptive = adaptive
+        self.throttle = AutoThrottle(AutoThrottleConfig())
+        self.limiter = DomainRateLimiter(default_rate=1_000_000.0, default_burst=10_000)
+        self.penalized: set[str] = set()
 
     def set_delays(self, delays: dict[str, int]) -> None:
         self.delays.update(delays)
+
+    def record_latency(self, hosts: list[str], secs: list[float]) -> None:
+        """Feed fetch+parse latencies into the per-host EMA (auto_throttle)."""
+        for h, s in zip(hosts, secs):
+            self.throttle.record_latency(h, s)
+
+    def penalize(self, host: str, retry_after_s: float = 1.0) -> None:
+        """HTTP-429 analogue: drain the host's token bucket so subsequent
+        waves admit at most ~1 URL per retry_after period."""
+        self.limiter.throttle(host, retry_after_s)
+        self.penalized.add(host)
 
     def push(self, urls: list[str], prios: list[int], hosts: list[str]) -> int:
         added = 0
@@ -60,8 +80,17 @@ class HostGateShard:
             if not heap:
                 continue
             delay = self.delays.get(host, default_delay_ms)
+            if self.adaptive:
+                delay = max(delay, self.throttle.delay_for_ms(host))
             quota = len(heap) if delay <= 0 else max(1, -(-wave_span_ms // delay))
-            for _ in range(min(quota, len(heap))):
+            quota = min(quota, len(heap))
+            if host in self.penalized:
+                # token-bucket cap: pop only as many as tokens are available
+                allowed = 0
+                while allowed < quota and self.limiter.acquire(host) == 0.0:
+                    allowed += 1
+                quota = max(allowed, 0)
+            for _ in range(quota):
                 _, _, url = heapq.heappop(heap)
                 out.append((url, host))
             if not heap:
@@ -75,13 +104,27 @@ class HostGateShard:
 class HostGate:
     """Driver facade: batch route by host, pop a wave across all shards."""
 
-    def __init__(self, num_shards: int = 8) -> None:
+    def __init__(self, num_shards: int = 8, adaptive: bool = False) -> None:
         self.num_shards = num_shards
-        self.shards = [HostGateShard.remote(i) for i in range(num_shards)]
+        self.shards = [HostGateShard.remote(i, adaptive) for i in range(num_shards)]
 
     def set_delays(self, delays: dict[str, int]) -> None:
         if delays:
             ray.get([s.set_delays.remote(delays) for s in self.shards])
+
+    def _shard_for(self, host: str):
+        return self.shards[stable_hash_str(host) % self.num_shards]
+
+    def record_latency(self, hosts: list[str], secs: list[float]) -> None:
+        by_shard: dict[int, tuple[list, list]] = {}
+        for h, s in zip(hosts, secs):
+            b = by_shard.setdefault(stable_hash_str(h) % self.num_shards, ([], []))
+            b[0].append(h)
+            b[1].append(s)
+        ray.get([self.shards[i].record_latency.remote(hs, ss) for i, (hs, ss) in by_shard.items()])
+
+    def penalize(self, host: str, retry_after_s: float = 1.0) -> None:
+        ray.get(self._shard_for(host).penalize.remote(host, retry_after_s))
 
     def push(self, urls: list[str], prios: list[int], hosts: list[str]):
         buckets: dict[int, tuple[list, list, list]] = {}
