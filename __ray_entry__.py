@@ -148,6 +148,12 @@ def q_crawl_hooks(sf_dir: str):
     return res.pages_table().drop_columns(["links"])
 
 
+def q_crawl_regex_filters(sf_dir: str):
+    """Regex blacklist mode (RegexSet.is_match semantics): /sec1/, /sec2/
+    and /dup/ URLs blocked at admission."""
+    return _visited_table(_crawl(sf_dir, "crawl_regex_filters", keep_pages=False))
+
+
 def q_crawl_content_gate(sf_dir: str):
     """only_html Content-Type gate (pdf/zip bodies dropped) + max_page_bytes
     truncation (2 KiB cap, truncated flag, links parsed from the prefix)."""
@@ -387,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_seed_redirect": q_crawl_seed_redirect,
         "crawl_hooks": q_crawl_hooks,
         "crawl_content_gate": q_crawl_content_gate,
+        "crawl_regex_filters": q_crawl_regex_filters,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,

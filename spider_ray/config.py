@@ -19,10 +19,13 @@ class CrawlConfig:
     subdomains: bool = False
     tld: bool = False
     external_domains: frozenset[str] = frozenset()
-    # filters — configuration.rs:359,361 (exact full-URL membership,
-    # lib.rs:441-449 non-regex build; whitelist checked first, both blocking)
+    # filters — configuration.rs:359,361.  filter_mode "exact" = the
+    # non-regex build's full-URL membership (lib.rs:441-449); "regex" = the
+    # regex build's RegexSet.is_match unanchored search (lib.rs:431-439).
+    # Whitelist checked first, both blocking.
     blacklist: tuple[str, ...] = ()
     whitelist: tuple[str, ...] = ()
+    filter_mode: str = "exact"  # "exact" | "regex"
     # robots — configuration.rs:349; crawl-delay override website.rs:2503-2531
     respect_robots_txt: bool = False
     user_agent: str | None = None
@@ -127,7 +130,20 @@ class CrawlJob:
         return parse_absolute_url(target if target is not None else seed)
 
 
-def url_in_list(url: str, patterns: tuple[str, ...]) -> bool:
-    """Blacklist/whitelist check: exact membership of the full URL string
-    (non-regex build — ``spider/src/lib.rs:441-449``: slice ``contains``)."""
+def url_in_list(url: str, patterns: tuple[str, ...], mode: str = "exact") -> bool:
+    """Blacklist/whitelist check.
+
+    ``exact``: membership of the full URL string (non-regex build —
+    ``spider/src/lib.rs:441-449``: slice ``contains``).
+    ``regex``: any-pattern unanchored match (regex build —
+    ``lib.rs:431-439``: ``RegexSet::is_match``)."""
+    if mode == "regex":
+        return any(r.search(url) for r in _compiled_patterns(patterns))
     return url in patterns
+
+
+@__import__("functools").lru_cache(maxsize=64)
+def _compiled_patterns(patterns: tuple[str, ...]):
+    import re
+
+    return tuple(re.compile(p) for p in patterns)

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 4
+GOLDEN_VERSION = 5
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -82,6 +82,13 @@ def crawl_specs() -> dict[str, tuple]:
             "pages",
         ),
         "crawl_seed_redirect": (CrawlConfig(), (redirseed_seed(),), "pages"),
+        # regex filter mode (lib.rs:431-439 RegexSet): blacklist patterns
+        # matched unanchored against the full URL
+        "crawl_regex_filters": (
+            CrawlConfig(blacklist=(r"/sec[12]/", r"/dup/"), filter_mode="regex"),
+            (0,),
+            "visited",
+        ),
         # content gates: only_html Content-Type block (default-on; the
         # fixture's /download/* pdf+zip rows) and max_page_bytes truncation
         # (2 KiB cap truncates most leaf pages — links parsed from partial
@@ -396,6 +403,7 @@ GOLDEN_QUERIES = (
     "crawl_seed_redirect",
     "crawl_hooks",
     "crawl_content_gate",
+    "crawl_regex_filters",
     "minhash_pairs",
     "simhash",
     "lang_id",

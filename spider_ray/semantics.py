@@ -109,9 +109,9 @@ def is_allowed_default(
     robots: RobotFileParser | None,
 ) -> bool:
     """Steps 2-3 (``is_allowed_default``, ``website.rs:1966-1990``)."""
-    if config.whitelist and not url_in_list(url, config.whitelist):
+    if config.whitelist and not url_in_list(url, config.whitelist, config.filter_mode):
         return False
-    if config.blacklist and url_in_list(url, config.blacklist):
+    if config.blacklist and url_in_list(url, config.blacklist, config.filter_mode):
         return False
     if config.respect_robots_txt and robots is not None:
         if not robots.can_fetch(config.user_agent or "*", url):
