@@ -363,6 +363,27 @@ def q_multimodal_decode(sf_dir: str):
     return ds.map_batches(ImageDecode(), batch_format="pyarrow", batch_size=16)
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Fake-codec audio metadata extraction (deterministic PCM payloads;
+    real soundfile path used when the library is importable)."""
+    import ray.data
+
+    from spider_ray.ops.multimodal import AudioDecode, fake_audio
+
+    ids = list(range(48))
+    items = pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "data": pa.array(
+                [fake_audio(i, 8000 + (i % 4) * 4000, 1000 + i * 37) for i in ids],
+                pa.binary(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(items)
+    return ds.map_batches(AudioDecode(), batch_format="pyarrow", batch_size=16)
+
+
 def entry() -> Any:
     """Flagship: full crawl of the sf0.001-scale synthetic web corpus."""
     from spider_ray.config import CrawlConfig, CrawlJob
@@ -408,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 

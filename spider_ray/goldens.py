@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 5
+GOLDEN_VERSION = 6
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -346,6 +346,32 @@ def seq_fingerprints(ids: list[int], texts: list[str]) -> pa.Table:
     )
 
 
+def seq_multimodal_audio(n_items: int = 48) -> pa.Table:
+    """Expected audio metadata straight from the fake-codec payload SPEC
+    (``FAKEAUD:{sr}:{n}:`` + int16 PCM from RandomState(id ^ 0xA0D10))."""
+    ids, srs, counts, durs, rms = [], [], [], [], []
+    for i in range(n_items):
+        sr = 8000 + (i % 4) * 4000
+        n = 1000 + i * 37
+        samples = np.random.RandomState(i ^ 0xA0D10).randint(
+            -(1 << 14), 1 << 14, size=n, dtype=np.int16
+        )
+        ids.append(i)
+        srs.append(sr)
+        counts.append(n)
+        durs.append(n / sr)
+        rms.append(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))))
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(counts, pa.int64()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+        }
+    )
+
+
 def seq_multimodal_decode(n_items: int = 64) -> pa.Table:
     """Expected image metadata straight from the fake-codec payload SPEC
     (header ``FAKEIMG:{w}x{h}:`` + w*h uint8 pixels from RandomState(id))."""
@@ -385,6 +411,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     out["lang_id"] = seq_lang_counts(texts)
     out["fingerprints"] = seq_fingerprints(ids, texts)
     out["multimodal_decode"] = seq_multimodal_decode(64)
+    out["multimodal_audio"] = seq_multimodal_audio(48)
 
 
 # ---------------------------------------------------------------------------
@@ -409,6 +436,7 @@ GOLDEN_QUERIES = (
     "lang_id",
     "fingerprints",
     "multimodal_decode",
+    "multimodal_audio",
 )
 
 
@@ -439,6 +467,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
         _build_ops_goldens(sf_dir, tables)
     else:  # no documents table at this scale — multimodal is still derivable
         tables["multimodal_decode"] = seq_multimodal_decode(64)
+        tables["multimodal_audio"] = seq_multimodal_audio(48)
     for name, tbl in tables.items():
         pq.write_table(tbl, golden_path(sf_name, name))
     tmp = marker + ".tmp"

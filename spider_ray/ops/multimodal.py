@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata.
 
-The decode kernels are STUBBED (this container ships no image/audio libs):
-``PIL``/``soundfile`` paths raise ``NotImplementedError`` unless the import
-succeeds, and a deterministic fake codec (``FAKEIMG:<w>x<h>:`` /
-``FAKEAUD:<sr>:<n>:`` headers) exercises the REAL Ray-side plumbing — schema,
-actor-pool signature, batch sizing, output layout — end to end.
+Codec strategy: real decoders (``PIL`` for images, ``soundfile`` for audio)
+are used WHEN IMPORTABLE (this container ships neither); a deterministic
+fake codec (``FAKEIMG:<w>x<h>:`` / ``FAKEAUD:<sr>:<n>:`` headers) is the
+tested oracle path and exercises the REAL Ray-side plumbing — schema,
+actor-pool signature, batch sizing, binary-through-Arrow layout — end to
+end.  Undecodable payloads emit typed zero rows (schema stability over
+failing the block).
 
 Batch-size guidance: large binary payloads ⇒ small ``batch_size`` (32-128) so
 batch × concurrency fits worker heap; keep ``batch_format="pyarrow"`` (binary
@@ -23,6 +25,13 @@ try:  # pragma: no cover - not present in this container
     _HAVE_PIL = True
 except ImportError:
     _HAVE_PIL = False
+
+try:  # pragma: no cover - not present in this container
+    import soundfile  # noqa: F401
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -51,6 +60,21 @@ def _decode_fake(payload: bytes):
     return w, h, np.frombuffer(pixels, dtype=np.uint8)
 
 
+def _decode_real(payload: bytes):
+    """Real codec path (PIL, when importable): decode → grayscale pixel
+    array.  Returns None on undecodable bytes — the stage emits a typed
+    zero row rather than failing the block."""
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        gray = img.convert("L")
+        return img.width, img.height, np.asarray(gray, dtype=np.uint8).ravel()
+    except Exception:
+        return None
+
+
 class ImageDecode:
     """Actor-pool stage: binary → (width, height, n_bytes, mean_luma).
 
@@ -68,13 +92,16 @@ class ImageDecode:
         for p in payloads:
             decoded = _decode_fake(p or b"")
             if decoded is None:
-                if _HAVE_PIL:
-                    raise NotImplementedError("real image decode not wired in this build")
-                widths.append(0)
-                heights.append(0)
-                sizes.append(len(p or b""))
-                lumas.append(0.0)
-                continue
+                real = _decode_real(p or b"") if _HAVE_PIL else None
+                if real is None:
+                    # unknown payload and no codec — typed zero row, the
+                    # batch keeps flowing (schema stability over raising)
+                    widths.append(0)
+                    heights.append(0)
+                    sizes.append(len(p or b""))
+                    lumas.append(0.0)
+                    continue
+                decoded = real
             w, h, px = decoded
             widths.append(w)
             heights.append(h)
@@ -150,5 +177,81 @@ class FrameSampler:
                 "item_id": pa.array(out_ids, pa.int64()),
                 "frame_index": pa.array(out_frames, pa.int32()),
                 "data": pa.array(out_data, pa.binary()),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# audio
+# ---------------------------------------------------------------------------
+
+
+def fake_audio(item_id: int, sample_rate: int, n_samples: int) -> bytes:
+    """Deterministic fake audio payload: ``FAKEAUD:<sr>:<n>:`` + int16 PCM."""
+    rng = np.random.RandomState(item_id ^ 0xA0D10)
+    samples = rng.randint(-(1 << 14), 1 << 14, size=n_samples, dtype=np.int16)
+    return f"FAKEAUD:{sample_rate}:{n_samples}:".encode() + samples.tobytes()
+
+
+def _decode_fake_audio(payload: bytes):
+    if not payload.startswith(b"FAKEAUD:"):
+        return None
+    rest = payload[len(b"FAKEAUD:") :]
+    sr_b, _, rest = rest.partition(b":")
+    n_b, _, pcm = rest.partition(b":")
+    sr, n = int(sr_b), int(n_b)
+    return sr, np.frombuffer(pcm, dtype=np.int16)[:n]
+
+
+def _decode_real_audio(payload: bytes):
+    """Real codec path (soundfile, when importable)."""
+    import io
+
+    try:
+        data, sr = soundfile.read(io.BytesIO(payload), dtype="int16")
+        if data.ndim > 1:
+            data = data.mean(axis=1).astype(np.int16)
+        return sr, data
+    except Exception:
+        return None
+
+
+class AudioDecode:
+    """Actor-pool stage: binary → (sample_rate, n_samples, duration_s, rms).
+
+    Same shape contract as :class:`ImageDecode`: the deterministic fake
+    codec is the tested path; soundfile decodes real payloads when the
+    library is importable; undecodable bytes emit a typed zero row."""
+
+    def __init__(self, binary_column: str = "data", id_column: str = "item_id"):
+        self.binary_column = binary_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        payloads = batch.column(self.binary_column).to_pylist()
+        srs, counts, durs, rms = [], [], [], []
+        for p in payloads:
+            decoded = _decode_fake_audio(p or b"")
+            if decoded is None and _HAVE_SOUNDFILE:
+                decoded = _decode_real_audio(p or b"")
+            if decoded is None:
+                srs.append(0)
+                counts.append(0)
+                durs.append(0.0)
+                rms.append(0.0)
+                continue
+            sr, samples = decoded
+            srs.append(sr)
+            counts.append(int(samples.size))
+            durs.append(samples.size / sr if sr else 0.0)
+            rms.append(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if samples.size else 0.0)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(srs, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "duration_s": pa.array(durs, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
             }
         )
