@@ -140,6 +140,72 @@ def _flatten_remote():
     return _FLATTEN_REMOTE
 
 
+def _flatten_block_sharded_impl(tbl, local_rows, ranks, num_shards):
+    """Sharded candidate flatten: like :func:`_flatten_block_impl`, but the
+    locally-deduped (url, key, rank) rows are split by
+    ``hash(host) % num_shards`` so each part ships STRAIGHT to its
+    AdmissionShard (the driver only ever touches object refs).  Returns
+    ``num_shards`` tables (None when empty) + the raw candidate count."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..hashing import stable_hash_str
+
+    links = tbl.column("links").combine_chunks().take(pa.array(local_rows, pa.int64()))
+    flat = pc.list_flatten(links)
+    total = len(flat)
+    if total == 0:
+        return tuple([None] * num_shards) + (0,)
+    lens = pc.list_value_length(links).to_numpy(zero_copy_only=False).astype(np.int64)
+    page_rank_rep = np.repeat(np.asarray(ranks, dtype=np.int64), lens)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    doc_pos = np.arange(total, dtype=np.int64) - starts
+    rank64 = (page_rank_rep << 21) | np.minimum(doc_pos, (1 << 21) - 1)
+    order = np.argsort(rank64, kind="stable")
+    flat = flat.take(pa.array(order, pa.int64()))
+    rank64 = rank64[order]
+    keys = pc.utf8_lower(flat)
+    keep = _first_seen_mask(keys)
+    mask = pa.array(keep)
+    out = pa.table(
+        {
+            "url": flat.filter(mask),
+            "key": keys.filter(mask),
+            "rank": pa.array(rank64[keep], pa.int64()),
+        }
+    )
+    h1 = pc.replace_substring_regex(
+        out.column("key"), pattern=r"^[a-z0-9+.\-]+://", replacement=""
+    )
+    hosts = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
+    enc = pc.dictionary_encode(hosts)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uniq = enc.dictionary.to_pylist()
+    shard_of_u = np.fromiter(
+        (stable_hash_str(h) % num_shards for h in uniq), dtype=np.int64, count=len(uniq)
+    )
+    shard_idx = shard_of_u[enc.indices.to_numpy(zero_copy_only=False)]
+    parts = []
+    for s in range(num_shards):
+        pos = np.nonzero(shard_idx == s)[0]
+        parts.append(out.take(pa.array(pos, pa.int64())) if len(pos) else None)
+    return (*parts, total)
+
+
+_FLATTEN_SHARDED_REMOTE: dict[int, object] = {}
+
+
+def _flatten_sharded_remote(num_shards: int):
+    if num_shards not in _FLATTEN_SHARDED_REMOTE:
+        import ray
+
+        _FLATTEN_SHARDED_REMOTE[num_shards] = ray.remote(num_returns=num_shards + 1)(
+            _flatten_block_sharded_impl
+        )
+    return _FLATTEN_SHARDED_REMOTE[num_shards]
+
+
 from ..htmlparse import hash_html as _hash_html  # noqa: E402
 
 _EMPTY_SIG = _hash_html("")
@@ -168,6 +234,7 @@ class RayCrawler:
         collect_seen: bool = True,
         queue_provider=None,
         adaptive_politeness: bool = False,
+        index_mode: str = "auto",  # "auto" | "driver" | "pooled"
     ) -> None:
         self.job = job
         self.config = job.config
@@ -185,6 +252,7 @@ class RayCrawler:
         # default — wall-clock dependent, outside the deterministic parity
         # contract.
         self.adaptive_politeness = adaptive_politeness
+        self.index_mode = index_mode
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
         self._index = None  # CorpusIndex, built lazily at first wave
         self._pending_inserts: list = []
@@ -195,26 +263,61 @@ class RayCrawler:
         self._resolver = RedirectResolver(self.config)
         self._live_job = job
         self._router_cache = None
+        self._index_pool = None  # CorpusIndexPool (sharded/streaming paths)
+
+    #: corpora above this row count index through the sharded actor pool
+    #: (driver memory stays flat); below it the driver dict is faster —
+    #: per-wave shard round-trips cost more than the dict saves.
+    POOLED_INDEX_ROWS = 20_000_000
+
+    def _index_pool_get(self):
+        """Scale-adaptive corpus index for the refs paths: a sharded
+        CorpusIndexPool once the corpus outgrows a single driver dict
+        (``index_mode='pooled'`` forces it; ``'driver'`` forces the dict)."""
+        if self._index_pool is not None:
+            return self._index_pool
+        mode = self.index_mode
+        if mode == "auto":
+            rows = 0
+            try:
+                with open(os.path.join(self.corpus_dir, "_corpus_manifest.json")) as f:
+                    rows = json.load(f).get("rows") or 0
+            except OSError:
+                pass
+            mode = "pooled" if rows > self.POOLED_INDEX_ROWS else "driver"
+        if mode == "pooled":
+            from ..stages.fetch import CorpusIndexPool
+
+            self._index_pool = CorpusIndexPool(self.corpus_dir, self.num_seen_shards)
+        else:
+            from ..stages.fetch import CorpusIndex
+
+            if self._index is None:
+                self._index = CorpusIndex(self.corpus_dir)
+            self._index_pool = self._index
+        return self._index_pool
 
     def _router(self):
         if self._router_cache is None:
             self._router_cache = _oracle.ScopeRouter(self._live_job)
         return self._router_cache
 
-    def _resolve_wave(self, admitted: list[str], wave: int):
+    def _resolve_wave(self, admitted: list[str], wave: int, index=None):
         """Driver-side redirect resolution for one wave (metadata-only, zero
-        row-group I/O — CorpusIndex.meta_get).  Returns
+        row-group I/O: chains walk the driver-held non-200 metadata, then
+        ONE batched existence lookup covers every chain terminal).  Returns
         (fetch_urls, backmap, targets_only, synth) where synth entries are
         (requested_url, status, final_redirect_destination) rows with no
         fetchable content (aborted chains / chains onto missing targets)."""
         from ..redirect import REDIRECT_ERROR_STATUS
 
-        index = self._index
+        index = index if index is not None else self._index
         loc_of = index.location_of
         if not loc_of or self._resolver.policy == "none":
             return admitted, {}, frozenset(), []
         router = self._router()
         fetch: list[str] = []
+        pending: list[tuple[str, str]] = []  # (requested, final) awaiting existence
         backmap: dict[str, list[str]] = {}
         synth: list[tuple[str, int, str | None]] = []
         seed_redirs: list[tuple[str, str]] = []
@@ -224,7 +327,7 @@ class RayCrawler:
                 continue
             _, root = router.for_host(url_host(u))
             crawl_host = url_host(root) if root else url_host(u)
-            res = self._resolver.resolve(u, index.meta_get, crawl_host)
+            res = self._resolver.resolve(u, index.meta_get_optimistic, crawl_host)
             if res.error:
                 synth.append((u, REDIRECT_ERROR_STATUS, None))
                 continue
@@ -238,10 +341,15 @@ class RayCrawler:
                 seed_redirs.append((u, final))
             if final == u:
                 fetch.append(u)
-            elif final in index.lookup:
-                backmap.setdefault(final, []).append(u)
             else:
-                synth.append((u, index.meta_get(final)[0], final))
+                pending.append((u, final))
+        if pending:
+            exists = index.contains_batch(sorted({f for _, f in pending}))
+            for u, final in pending:
+                if exists.get(final):
+                    backmap.setdefault(final, []).append(u)
+                else:
+                    synth.append((u, 404, final))
         if seed_redirs:
             self._live_job = self._live_job.with_seed_redirects(
                 self._live_job.seed_redirects + tuple(seed_redirs)
@@ -542,17 +650,16 @@ class RayCrawler:
 
         from ..stages.fetch import CorpusIndex, fetch_wave_indexed
 
-        if self._index is None:
-            self._index = CorpusIndex(self.corpus_dir)
-        fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave)
+        index = self._index_pool_get()
+        fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave, index)
         ds, missing = fetch_wave_indexed(
-            fetch_urls + list(backmap.keys() - set(fetch_urls)), self._index
+            fetch_urls + list(backmap.keys() - set(fetch_urls)), index
         )
         block_refs: list = []
         small_tbls: list[pa.Table] = []
         if ds is not None:
             parsed_ds = ds.map_batches(
-                ParsePages(self._live_job, wave, backmap, targets_only),
+                ParsePages(self._live_job, wave, backmap, targets_only, want_text=False),
                 batch_format="pyarrow",
                 batch_size=None,
             ).select_columns(["url", "signature", "links"])
@@ -583,29 +690,26 @@ class RayCrawler:
             small_tbls.append(miss_small)
         return block_refs, small_tbls
 
-    def _candidates_fast_refs(self, block_refs, small_tbls, admitted, signatures):
-        """Distributed candidate extraction: the heavy link columns never
-        reach the driver.  Per parse-output block, a remote task flattens the
-        allowed pages' links, lowercases, and locally first-push-dedups,
-        returning (url, key, rank) where rank = global admitted-rank ×
-        doc-position — so the driver's final keep-first dedup reproduces the
-        EXACT global first-push order regardless of block interleave.
-        """
+    def _gate_blocks(self, small_tbls, admitted, signatures):
+        """Admitted-order indexer + signature gating over the concatenated
+        small (url, signature) columns → (allowed_global, rank_of_global,
+        row offsets per block).  rank = position in admitted order, so any
+        downstream per-block flatten can reproduce the exact global
+        first-push order regardless of block interleave."""
         import numpy as np
-        import pandas as pd
-        import ray
+        import pyarrow.compute as pc
 
-        if not block_refs:
-            return None
-        # global gating in admitted order over the small (url, signature) cols
         urls_all, sig_chunks, counts = [], [], []
         for t in small_tbls:
             urls_all.append(t.column("url"))
             sig_chunks.append(t.column("signature"))
             counts.append(t.num_rows)
-        url_index = pd.Index(pa.chunked_array(urls_all).to_pandas())
-        indexer = url_index.get_indexer(pd.Index(admitted))
-        indexer = indexer[indexer >= 0]
+        # position of each admitted url among the fetched rows — Arrow C++
+        # hash join (index_in), no pandas Index build
+        indexer = pc.index_in(
+            pa.array(admitted, pa.string()), value_set=pa.chunked_array(urls_all)
+        ).to_numpy(zero_copy_only=False)
+        indexer = indexer[~np.isnan(indexer)].astype(np.int64) if indexer.dtype.kind == "f" else indexer[indexer >= 0]
         if self.config.normalize:
             sigs_np = pa.chunked_array(sig_chunks).to_numpy(zero_copy_only=False)
             sig_in_order = sigs_np[indexer]
@@ -620,11 +724,27 @@ class RayCrawler:
             signatures.update(np.unique(sig_in_order).tolist())
         else:
             allowed_global = indexer
-        # rank = position in admitted order (dense), per allowed global row
         rank_of_global = np.full(sum(counts), -1, dtype=np.int64)
         rank_of_global[indexer] = np.arange(len(indexer))
-        # split allowed rows per block
         offsets = np.cumsum([0] + counts)
+        return allowed_global, rank_of_global, offsets
+
+    def _candidates_fast_refs(self, block_refs, small_tbls, admitted, signatures):
+        """Distributed candidate extraction: the heavy link columns never
+        reach the driver.  Per parse-output block, a remote task flattens the
+        allowed pages' links, lowercases, and locally first-push-dedups,
+        returning (url, key, rank) where rank = global admitted-rank ×
+        doc-position — so the driver's final keep-first dedup reproduces the
+        EXACT global first-push order regardless of block interleave.
+        """
+        import numpy as np
+        import ray
+
+        if not block_refs:
+            return None
+        allowed_global, rank_of_global, offsets = self._gate_blocks(
+            small_tbls, admitted, signatures
+        )
         flat_futs = []
         for bi, ref in enumerate(block_refs):
             if ref is None:
@@ -763,6 +883,135 @@ class RayCrawler:
         admitted_hosts = hosts_arr.filter(keep).to_pylist()
         return admitted, admitted_hosts
 
+    # -- sharded admission (the scale fast path) -----------------------------
+
+    def _wave_sharded(self, admitted, wave, pool, signatures, want_candidates):
+        """One wave through the sharded AdmissionPool: fetch+parse refs →
+        driver signature gating (O(pages), vectorized) → sharded flatten
+        tasks shipping candidate parts straight to their shards →
+        shard-local admit → k-way-merged canonical order.
+
+        → (next_admitted, next_hosts, n_raw_candidates, cand_for_ckpt)."""
+        import numpy as np
+        import ray
+
+        from ..semantics import depth_distance_for
+
+        block_refs, small_tbls = self._fetch_parse_wave_refs(admitted, wave)
+        count_refs = []
+        if block_refs:
+            allowed_global, rank_of_global, offsets = self._gate_blocks(
+                small_tbls, admitted, signatures
+            )
+            n_shards = pool.num_shards
+            for bi, ref in enumerate(block_refs):
+                if ref is None:
+                    continue
+                lo, hi = offsets[bi], offsets[bi + 1]
+                in_block = allowed_global[(allowed_global >= lo) & (allowed_global < hi)]
+                if len(in_block) == 0:
+                    continue
+                local_rows = (in_block - lo).astype(np.int64)
+                ranks = rank_of_global[in_block]
+                refs = _flatten_sharded_remote(n_shards).remote(
+                    ref, local_rows, ranks, n_shards
+                )
+                pool.accept_parts(refs[:-1])
+                count_refs.append(refs[-1])
+        next_admitted, next_hosts, cand = pool.finalize_wave(
+            depth_distance_for(self.config), wave + 1, want_candidates
+        )
+        n_raw = sum(ray.get(count_refs)) if count_refs else 0
+        self.frontier_ops += n_raw
+        return next_admitted, next_hosts, n_raw, cand
+
+    def _run_fast_sharded(self, resume: bool = False) -> CrawlResult:
+        """Fast-path crawl with SHARDED admission: the per-wave candidate
+        sort/dedup/score/seen fold runs inside ``num_seen_shards`` actors
+        that also own the seen-set partitions (zero seen round-trips); the
+        driver's per-wave serial work is only the O(admitted) k-way merge
+        and the fetch descriptor split.  Produces EXACTLY the same admitted
+        order as the driver fold (parity-tested)."""
+        import time as _time
+
+        from ..state.admission import AdmissionPool
+
+        t_start = _time.monotonic()
+        config = self.config
+        result = CrawlResult(out_dir=self.out_dir)
+        pool = AdmissionPool(self.num_seen_shards)
+        signatures: set[int] = set()
+        budget = Budget(config.budget, depth_distance_for(config))
+        want_cand = bool(self.ckpt_dir)
+
+        manifest = self._find_resume_manifest() if resume else None
+        resume_wave = manifest["wave"] if manifest else None
+
+        if resume_wave is not None:
+            candidates, _ = self._restore(resume_wave, pool, budget, signatures, result)
+            wave = resume_wave
+            pool.push_candidates([u for u, _ in candidates])
+            admitted, admitted_hosts, _ = pool.finalize_wave(
+                depth_distance_for(config), wave + 1, False
+            )
+            if admitted and wave + 1 < config.max_waves:
+                wave += 1
+                result.visited.extend(admitted)
+                result.admitted_order.extend(
+                    (wave, seq, url) for seq, url in enumerate(admitted)
+                )
+            else:
+                admitted = []
+        else:
+            visited_seed: set[str] = set()
+            admitted = _oracle.admit_seeds(self.job, config, lambda u: None, visited_seed)
+            pool.insert_batch([u.lower() for u in admitted], [url_host(u) for u in admitted])
+            for seq, url in enumerate(admitted):
+                result.visited.append(url)
+                result.admitted_order.append((0, seq, url))
+            wave = 0
+
+        while admitted:
+            next_admitted, next_hosts, n_raw, cand_ckpt = self._wave_sharded(
+                admitted, wave, pool, signatures, want_cand
+            )
+            result.metrics.append(
+                {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
+                 "candidates": n_raw}
+            )
+            if wave != resume_wave:
+                self._ckpt_wave_fast(
+                    wave,
+                    pa.array(cand_ckpt or [], pa.string()) if want_cand else None,
+                    signatures,
+                    pool,
+                    result.metrics,
+                )
+            timed_out = (
+                config.crawl_timeout_s is not None
+                and _time.monotonic() - t_start >= config.crawl_timeout_s
+            )
+            if timed_out or not next_admitted or wave + 1 >= config.max_waves:
+                break
+            wave += 1
+            admitted = next_admitted
+            result.visited.extend(admitted)
+            result.admitted_order.extend(
+                (wave, seq, url) for seq, url in enumerate(admitted)
+            )
+
+        if not config.ignore_sitemap:
+            self._sitemap_chain(result, pool, budget, lambda u: None, wave + 1, signatures)
+
+        if self.collect_seen:
+            result.seen_keys = pool.dump()
+        pool.shutdown()
+        if self._index_pool is not None:
+            if hasattr(self._index_pool, "shutdown"):
+                self._index_pool.shutdown()
+            self._index_pool = None
+        return result
+
     # -- streaming admission (HostGate actor-pool frontier) ------------------
 
     def run_streaming(self) -> CrawlResult:
@@ -864,11 +1113,20 @@ class RayCrawler:
         result.seen_keys = seen.dump() if self.collect_seen else set()
         gate.shutdown()
         seen.shutdown()
+        if self._index_pool is not None:
+            if hasattr(self._index_pool, "shutdown"):
+                self._index_pool.shutdown()
+            self._index_pool = None
         return result
 
     # -- main loop -----------------------------------------------------------
 
     def run(self, resume: bool = False) -> CrawlResult:
+        # simple configs with no page materialization take the sharded
+        # admission path — the layout that scales past one driver
+        if self._simple_config() and not self.keep_pages and not self.out_dir:
+            return self._run_fast_sharded(resume)
+
         import time as _time
 
         from ..state.seen import UrlSeen
@@ -922,19 +1180,7 @@ class RayCrawler:
             flat_candidates = resume_flat
             resume_flat = None
             if admitted:
-                if fast and not self.keep_pages and not self.out_dir:
-                    # distributed flatten: link payload never reaches the driver
-                    block_refs, small_tbls = self._fetch_parse_wave_refs(admitted, wave)
-                    flat_candidates = self._candidates_fast_refs(
-                        block_refs, small_tbls, admitted, signatures
-                    )
-                    n_cand = flat_candidates.num_rows if flat_candidates is not None else 0
-                    result.metrics.append(
-                        {"wave": wave, "admitted": len(admitted), "fetched": len(admitted),
-                         "candidates": n_cand}
-                    )
-                    candidates = None
-                elif fast:
+                if fast:
                     parsed_tbl = self._fetch_parse_wave(admitted, wave)
                     if self.keep_pages and parsed_tbl is not None:
                         result.pages_tables.append(parsed_tbl)

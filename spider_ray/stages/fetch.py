@@ -29,6 +29,11 @@ from ..urlnorm import url_host
 
 FETCH_COLUMNS = ["url", "warc_ts", "html", "status", "content_type"]
 
+# urls per fetch descriptor: small enough that a wave's tasks pack evenly
+# across the pool (the tail task bounds wave wall-time), big enough that
+# per-task overhead stays <2% of task runtime
+_DESC_CHUNK = int(os.environ.get("SPIDER_RAY_DESC_CHUNK", "2048"))
+
 
 def corpus_n_buckets(corpus_dir: str) -> int:
     with open(os.path.join(corpus_dir, "_corpus_manifest.json")) as f:
@@ -111,6 +116,14 @@ class CorpusIndex:
             status = 200 if url in self.lookup else 404
         return status, self.location_of.get(url)
 
+    def meta_get_optimistic(self, url: str) -> tuple[int, str | None]:
+        """Same contract as :meth:`CorpusIndexPool.meta_get_optimistic`."""
+        return self.status_of.get(url, 200), self.location_of.get(url)
+
+    def contains_batch(self, urls: list[str]) -> dict[str, bool]:
+        lk = self.lookup
+        return {u: u in lk for u in urls}
+
     def split(self, urls: list[str]):
         """→ (descriptors, missing).  Each descriptor: one file + the row
         groups holding its wanted urls (chunked ~2048 urls: tasks big enough
@@ -129,12 +142,235 @@ class CorpusIndex:
             for rg in sorted(groups):
                 chunk_rgs.append(rg)
                 chunk_urls.extend(groups[rg])
-                if len(chunk_urls) >= 2048:
+                if len(chunk_urls) >= _DESC_CHUNK:
                     descriptors.append({"path": self.paths[fi], "row_groups": chunk_rgs, "urls": chunk_urls})
                     chunk_rgs, chunk_urls = [], []
             if chunk_urls:
                 descriptors.append({"path": self.paths[fi], "row_groups": chunk_rgs, "urls": chunk_urls})
         return descriptors, missing
+
+
+def _make_index_shard_cls():
+    import ray
+
+    @ray.remote
+    class CorpusIndexShard:
+        def __init__(self, shard_id: int):
+            self.shard_id = shard_id
+            self.lookup: dict[str, tuple[int, int]] = {}
+
+        def load(self, assignment):
+            fi, runs = assignment
+            for rg, urls in runs:
+                for u in urls:
+                    self.lookup[u] = (fi, rg)
+            return len(self.lookup)
+
+        def contains(self, urls: list[str]) -> list[bool]:
+            lk = self.lookup
+            return [u in lk for u in urls]
+
+        def split(self, urls: list[str], paths: list[str]):
+            missing = []
+            by_file: dict[int, dict[int, list[str]]] = {}
+            for u in urls:
+                hit = self.lookup.get(u)
+                if hit is None:
+                    missing.append(u)
+                else:
+                    by_file.setdefault(hit[0], {}).setdefault(hit[1], []).append(u)
+            descriptors = []
+            for fi, groups in sorted(by_file.items()):
+                chunk_rgs, chunk_urls = [], []
+                for rg in sorted(groups):
+                    chunk_rgs.append(rg)
+                    chunk_urls.extend(groups[rg])
+                    if len(chunk_urls) >= _DESC_CHUNK:
+                        descriptors.append(
+                            {"path": paths[fi], "row_groups": chunk_rgs, "urls": chunk_urls}
+                        )
+                        chunk_rgs, chunk_urls = [], []
+                if chunk_urls:
+                    descriptors.append(
+                        {"path": paths[fi], "row_groups": chunk_rgs, "urls": chunk_urls}
+                    )
+            return descriptors, missing
+
+    return CorpusIndexShard
+
+
+_INDEX_SHARD_CLS = None
+
+
+class CorpusIndexPool:
+    """Sharded corpus index: the ``url → (file, row-group)`` lookup lives in
+    ``num_shards`` actors routed by ``hash(host) % num_shards`` (the same
+    partitioning key as the seen/admission shards) — the driver never holds
+    a dict over the whole corpus.
+
+    Build: one loader task per corpus file reads ONLY the url (+status,
+    location) columns and ships each shard its url runs directly; the tiny
+    non-200 metadata (redirect/error rows — a fraction of a web corpus) is
+    aggregated driver-side for zero-I/O redirect-chain resolution.  At 10¹⁰
+    scale that metadata shards with the pool too.
+
+    Per wave the driver routes the admitted urls to their shards and gets
+    back precise row-group read descriptors + the missing list.
+    """
+
+    def __init__(self, corpus_dir: str, num_shards: int = 8):
+        import ray
+
+        self.corpus_dir = corpus_dir
+        self.num_shards = num_shards
+        self.paths: list[str] = []
+        b = 0
+        while True:
+            p = os.path.join(corpus_dir, f"bucket={b:04d}", "part-0.parquet")
+            if not os.path.exists(p):
+                if b > corpus_n_buckets(corpus_dir):
+                    break
+                b += 1
+                continue
+            self.paths.append(p)
+            b += 1
+        global _INDEX_SHARD_CLS
+        if _INDEX_SHARD_CLS is None:
+            _INDEX_SHARD_CLS = _make_index_shard_cls()
+        self.shards = [_INDEX_SHARD_CLS.remote(i) for i in range(num_shards)]
+
+        @ray.remote(num_returns=num_shards + 1)
+        def _load(fi, path, n_shards):
+            import numpy as np
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            f = pq.ParquetFile(path)
+            has_meta = "location" in f.schema_arrow.names
+            per_shard: list[list[tuple[int, list[str]]]] = [[] for _ in range(n_shards)]
+            nonok = []
+            for rg in range(f.metadata.num_row_groups):
+                cols = ["url", "status", "location"] if has_meta else ["url"]
+                tbl = f.read_row_group(rg, columns=cols)
+                url_arr = tbl.column("url")
+                h1 = pc.replace_substring_regex(
+                    url_arr, pattern=r"^[a-zA-Z0-9+.\-]+://", replacement=""
+                )
+                hosts = pc.utf8_lower(
+                    pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
+                )
+                enc = pc.dictionary_encode(hosts)
+                if hasattr(enc, "combine_chunks"):
+                    enc = enc.combine_chunks()
+                uniq = enc.dictionary.to_pylist()
+                shard_of_u = np.fromiter(
+                    (stable_hash_str(h) % n_shards for h in uniq),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+                shard_idx = shard_of_u[enc.indices.to_numpy(zero_copy_only=False)]
+                urls = url_arr.to_pylist()
+                for s in range(n_shards):
+                    pos = np.nonzero(shard_idx == s)[0]
+                    if len(pos):
+                        per_shard[s].append((rg, [urls[i] for i in pos]))
+                if has_meta:
+                    for u, st, loc in zip(
+                        urls, tbl.column("status").to_pylist(), tbl.column("location").to_pylist()
+                    ):
+                        if st != 200:
+                            nonok.append((u, st, loc))
+            return (*[(fi, ps) for ps in per_shard], nonok)
+
+        accept_futs = []
+        nonok_refs = []
+        for fi, path in enumerate(self.paths):
+            refs = _load.remote(fi, path, num_shards)
+            for s in range(num_shards):
+                accept_futs.append(self.shards[s].load.remote(refs[s]))
+            nonok_refs.append(refs[-1])
+        self.status_of: dict[str, int] = {}
+        self.location_of: dict[str, str] = {}
+        for nonok in ray.get(nonok_refs):
+            for u, s, loc in nonok:
+                self.status_of[u] = s
+                if loc is not None:
+                    self.location_of[u] = loc
+        ray.get(accept_futs)
+
+    def meta_get_optimistic(self, url: str) -> tuple[int, str | None]:
+        """(status, location) from the driver-held non-200 metadata;
+        unknown urls report 200 (existence resolved later by a batched
+        shard lookup — ``contains_batch``)."""
+        return self.status_of.get(url, 200), self.location_of.get(url)
+
+    def _route(self, urls: list[str]):
+        """Vectorized host-hash routing (Arrow regex + dictionary encode —
+        hashing amortized over unique hosts, no per-url python)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not urls:
+            return [[] for _ in range(self.num_shards)]
+        arr = pa.array(urls, pa.string())
+        h1 = pc.replace_substring_regex(arr, pattern=r"^[a-zA-Z0-9+.\-]+://", replacement="")
+        hosts = pc.utf8_lower(pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement=""))
+        enc = pc.dictionary_encode(hosts)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        shard_of_u = np.fromiter(
+            (stable_hash_str(h) % self.num_shards for h in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        shard_idx = shard_of_u[enc.indices.to_numpy(zero_copy_only=False)]
+        buckets: list[list[str]] = []
+        for s in range(self.num_shards):
+            pos = np.nonzero(shard_idx == s)[0]
+            buckets.append([urls[i] for i in pos])
+        return buckets
+
+    def contains_batch(self, urls: list[str]) -> dict[str, bool]:
+        import ray
+
+        buckets = self._route(urls)
+        futs = [
+            (bucket, self.shards[s].contains.remote(bucket))
+            for s, bucket in enumerate(buckets)
+            if bucket
+        ]
+        out: dict[str, bool] = {}
+        for bucket, fut in futs:
+            for u, hit in zip(bucket, ray.get(fut)):
+                out[u] = hit
+        return out
+
+    def split(self, urls: list[str]):
+        """→ (descriptors, missing) — the shards each split their routed
+        subset; the driver concatenates."""
+        import ray
+
+        buckets = self._route(urls)
+        futs = [
+            self.shards[s].split.remote(bucket, self.paths)
+            for s, bucket in enumerate(buckets)
+            if bucket
+        ]
+        descriptors: list[dict] = []
+        missing: list[str] = []
+        for descs, miss in ray.get(futs):
+            descriptors.extend(descs)
+            missing.extend(miss)
+        return descriptors, missing
+
+    def shutdown(self) -> None:
+        import ray
+
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
 
 
 class ReadRowGroups:
@@ -159,8 +395,9 @@ class ReadRowGroups:
         return pa.concat_tables(out)
 
 
-def fetch_wave_indexed(urls: list[str], index: CorpusIndex):
-    """Index-backed fetch: returns (Dataset | None, missing_urls)."""
+def fetch_wave_indexed(urls: list[str], index):
+    """Index-backed fetch (plain CorpusIndex or CorpusIndexPool — both
+    expose ``split``): returns (Dataset | None, missing_urls)."""
     import ray.data
 
     descriptors, missing = index.split(urls)

@@ -60,6 +60,7 @@ class ParsePages:
         wave: int = 0,
         redirect_backmap: dict[str, list[str]] | None = None,
         redirect_targets_only: frozenset[str] = frozenset(),
+        want_text: bool = True,
     ):
         self.job = job
         self.wave = wave
@@ -67,6 +68,9 @@ class ParsePages:
         self.router = ScopeRouter(job)
         self.backmap = redirect_backmap or {}
         self.targets_only = redirect_targets_only
+        # frontier-only crawls (keep_pages=False refs path) skip the text
+        # extraction pass — links/metadata/signature don't need it
+        self.want_text = want_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -102,7 +106,7 @@ class ParsePages:
                     cfg.external_domains,
                     cfg.full_resources,
                     want_signature=cfg.normalize,
-                    want_text=True,
+                    want_text=self.want_text,
                 )
                 sig = ex.signature if cfg.normalize else None
                 dest = url if requested != url else None
