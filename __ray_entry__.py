@@ -148,6 +148,27 @@ def q_crawl_hooks(sf_dir: str):
     return res.pages_table().drop_columns(["links"])
 
 
+def q_crawl_path_budget(sf_dir: str):
+    """Path-prefix budgets: cumulative segment counters + wildcard cap."""
+    return _visited_table(_crawl(sf_dir, "crawl_path_budget", keep_pages=False))
+
+
+def q_crawl_subdomains(sf_dir: str):
+    """subdomains=True scope: sub.site0.example pages stay in scope."""
+    return _visited_table(_crawl(sf_dir, "crawl_subdomains", keep_pages=False))
+
+
+def q_crawl_extra_links(sf_dir: str):
+    """extra_links merged into the first frontier generation."""
+    return _visited_table(_crawl(sf_dir, "crawl_extra_links", keep_pages=False))
+
+
+def q_crawl_sitemap(sf_dir: str):
+    """Sitemap chain: orphan page reachable only via sitemap.xml is crawled,
+    sitemap-discovered links are not expanded."""
+    return _visited_table(_crawl(sf_dir, "crawl_sitemap", keep_pages=False))
+
+
 def q_crawl_regex_filters(sf_dir: str):
     """Regex blacklist mode (RegexSet.is_match semantics): /sec1/, /sec2/
     and /dup/ URLs blocked at admission."""
@@ -415,6 +436,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_hooks": q_crawl_hooks,
         "crawl_content_gate": q_crawl_content_gate,
         "crawl_regex_filters": q_crawl_regex_filters,
+        "crawl_path_budget": q_crawl_path_budget,
+        "crawl_subdomains": q_crawl_subdomains,
+        "crawl_extra_links": q_crawl_extra_links,
+        "crawl_sitemap": q_crawl_sitemap,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,

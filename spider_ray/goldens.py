@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 6
+GOLDEN_VERSION = 7
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -82,6 +82,32 @@ def crawl_specs() -> dict[str, tuple]:
             "pages",
         ),
         "crawl_seed_redirect": (CrawlConfig(), (redirseed_seed(),), "pages"),
+        # path-prefix budgets (website.rs:2051-2121): cumulative segment
+        # counters decremented at admission, plus the wildcard page budget
+        "crawl_path_budget": (
+            CrawlConfig(budget=(("sec0", 5), ("sec1", 3), ("*", 60))),
+            (0,),
+            "visited",
+        ),
+        # subdomain scoping (page.rs:2966-2991): sub.site0.example pages
+        # stay in scope when subdomains=True
+        "crawl_subdomains": (CrawlConfig(subdomains=True), (0,), "visited"),
+        # extra_links merged into the first frontier generation
+        # (website.rs:7810-7812); one real cross-section page + one miss
+        "crawl_extra_links": (
+            CrawlConfig(
+                extra_links=(
+                    "https://www.site0.example/sec1/page0",
+                    "https://www.site0.example/injected/missing",
+                )
+            ),
+            (0,),
+            "visited",
+        ),
+        # sitemap chain (website.rs:6975, 12408+): sitemap-discovered pages
+        # admitted through the normal chain, links NOT expanded — includes
+        # the orphan page reachable only via the sitemap
+        "crawl_sitemap": (CrawlConfig(ignore_sitemap=False), (0,), "visited"),
         # regex filter mode (lib.rs:431-439 RegexSet): blacklist patterns
         # matched unanchored against the full URL
         "crawl_regex_filters": (
@@ -431,6 +457,10 @@ GOLDEN_QUERIES = (
     "crawl_hooks",
     "crawl_content_gate",
     "crawl_regex_filters",
+    "crawl_path_budget",
+    "crawl_subdomains",
+    "crawl_extra_links",
+    "crawl_sitemap",
     "minhash_pairs",
     "simhash",
     "lang_id",
