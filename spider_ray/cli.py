@@ -33,6 +33,11 @@ def build_config(args) -> "CrawlConfig":
         ignore_sitemap=not args.sitemap,
         blacklist=tuple(args.blacklist or ()),
         whitelist=tuple(args.whitelist or ()),
+        filter_mode=args.filter_mode,
+        redirect_policy=args.redirect_policy,
+        redirect_limit=args.redirect_limit,
+        only_html=not args.allow_non_html,
+        max_page_bytes=args.max_page_bytes,
     )
     if args.budget:
         cfg = cfg.with_limit(args.budget)
@@ -59,6 +64,14 @@ def main(argv=None) -> int:
         p.add_argument("--sitemap", action="store_true")
         p.add_argument("--blacklist", nargs="*")
         p.add_argument("--whitelist", nargs="*")
+        p.add_argument("--filter-mode", choices=("exact", "regex"), default="exact")
+        p.add_argument("--redirect-policy", choices=("loose", "strict", "none"), default="loose")
+        p.add_argument("--redirect-limit", type=int, default=7)
+        p.add_argument("--allow-non-html", action="store_true",
+                       help="disable the only_html Content-Type gate")
+        p.add_argument("--max-page-bytes", type=int, default=0,
+                       help="truncate bodies over N bytes (0 = unlimited)")
+        p.add_argument("--index-mode", choices=("auto", "driver", "pooled"), default="auto")
         p.add_argument("--jsonl")
         p.add_argument("--num-cpus", type=int)
     args = parser.parse_args(argv)
@@ -85,6 +98,7 @@ def main(argv=None) -> int:
         out_dir=args.out,
         ckpt_dir=args.ckpt,
         keep_pages=args.command == "scrape" or args.jsonl is not None,
+        index_mode=args.index_mode,
     )
     result = crawler.run(resume=args.resume)
 

@@ -1034,7 +1034,10 @@ class RayCrawler:
         from ..state.seen import UrlSeen
 
         config = self.config
-        assert config.budget is None and not config.respect_robots_txt
+        # budget is a globally-ordered fold (driver path only); robots IS
+        # supported here — per-host rules are host-local, so they filter at
+        # push time and fold their crawl-delay into the shard's politeness
+        assert config.budget is None
         assert not config.whitelist and not config.blacklist and not config.round_robin
 
         import time as _time
@@ -1044,8 +1047,14 @@ class RayCrawler:
         gate = HostGate(self.num_seen_shards, adaptive=self.adaptive_politeness)
         signatures: set[int] = set()
 
+        robots_by_host, robots_delays = self._robots()
+        gate.set_delays(robots_delays)
+
+        def robots_for(url):
+            return robots_by_host.get(url_host(url))
+
         visited_seed: set[str] = set()
-        admitted = _oracle.admit_seeds(self.job, config, lambda u: None, visited_seed)
+        admitted = _oracle.admit_seeds(self.job, config, robots_for, visited_seed)
         admitted_hosts = [url_host(u) for u in admitted]
         seen.insert_batch([u.lower() for u in admitted], admitted_hosts)
         for seq, url in enumerate(admitted):
@@ -1086,12 +1095,18 @@ class RayCrawler:
                     urls_py = tbl.column("url").to_pylist()
                     hosts_py = hosts_arr.to_pylist()
                     mask = seen.contains_batch([u.lower() for u in urls_py], hosts_py)
+                    ua = config.user_agent or "*"
                     push_urls, push_prios, push_hosts = [], [], []
                     for u, p, h, m in zip(urls_py, prios.tolist(), hosts_py, mask):
-                        if not m:
-                            push_urls.append(u)
-                            push_prios.append(p)
-                            push_hosts.append(h)
+                        if m:
+                            continue
+                        if robots_by_host:
+                            rb = robots_by_host.get(h)
+                            if rb is not None and not rb.can_fetch(ua, u):
+                                continue
+                        push_urls.append(u)
+                        push_prios.append(p)
+                        push_hosts.append(h)
                     push_futs = gate.push(push_urls, push_prios, push_hosts)
             if push_futs:
                 import ray

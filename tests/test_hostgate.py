@@ -36,6 +36,10 @@ def _per_host_sequences(admitted_order):
         (CrawlConfig(normalize=True), [0]),
         (CrawlConfig(delay_ms=100), list(range(4))),
         (CrawlConfig(subdomains=True, depth=3), [0]),
+        # robots in streaming mode: per-host rules are host-local — /private/
+        # blocked on site0, robots-absent hosts allow-all
+        (CrawlConfig(respect_robots_txt=True), [0]),
+        (CrawlConfig(respect_robots_txt=True, normalize=True), [0, 1]),
     ],
 )
 def test_streaming_admission_matches_oracle_sets(env, config, seeds):
