@@ -326,6 +326,15 @@ def q_top_k_similarity(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact, recall 1.0): blocked matmul
+    against the broadcast normalized matrix; SQL oracle is the full
+    self-join."""
+    from spider_ray.ops.similarity import cosine_near_dup
+
+    return cosine_near_dup(_emb(sf_dir), threshold=0.4)
+
+
 def q_minhash_pairs(sf_dir: str):
     from spider_ray.ops.dedup import minhash_dedup
 
@@ -449,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_source": q_docs_by_source,
         "events_per_day": q_events_per_day,
         "top_k_similarity": q_top_k_similarity,
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
@@ -490,6 +500,12 @@ def oracle_sql() -> dict[str, str]:
         "events_per_day": (
             "SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events "
             "FROM events GROUP BY 1"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) AS cos_sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 9) >= 0.4"
         ),
         "top_k_similarity": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings "

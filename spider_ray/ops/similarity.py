@@ -169,3 +169,74 @@ def lsh_top_k(
 
     pruned = ds.map_batches(filter_bucket, batch_format="pyarrow")
     return brute_force_top_k(pruned, queries, k, column, id_column)
+
+
+class NearDupScorer:
+    """Actor-pool stage for embedding-cosine near-dup: each batch scores
+    against the broadcast normalized matrix (``ray.put`` once, read per actor
+    in ``__init__``) and emits (vec_a < vec_b, cos_sim) pairs at or above the
+    threshold.  Each unordered pair is emitted exactly once (the a<b filter —
+    a row meets every other row once as "a" and once as a column)."""
+
+    def __init__(self, mat_ids_ref, threshold: float, column: str, id_column: str):
+        import ray
+
+        self.mat, self.ids = ray.get(mat_ids_ref)  # mat already normalized
+        self.threshold = threshold
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.column)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = np.round(m @ self.mat.T, 9)
+        bids = np.asarray(batch.column(self.id_column))
+        ii, jj = np.nonzero(sims >= self.threshold)
+        a, b = bids[ii], self.ids[jj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "cos_sim": pa.array(sims[ii[keep], jj[keep]], pa.float64()),
+            }
+        )
+
+
+def cosine_near_dup(
+    ds,
+    threshold: float = 0.4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    concurrency: int = 2,
+):
+    """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, cos_sim ≥ t).
+
+    Exact (recall 1.0): every batch multiplies against the broadcast
+    normalized matrix — O(n²) dot products as blocked matmuls.  The matrix
+    is assembled in a REMOTE task from the dataset's own block refs and
+    broadcast through the object store — it never lands on the driver.
+    Scale path: beyond ~10⁶ rows swap the broadcast side for block-pair
+    task fan-out, or pre-filter with :class:`HyperplaneLSH` buckets
+    (approximate — recall < 1)."""
+    import ray
+
+    slim = ds.select_columns([id_column, column]).materialize()
+    part_refs = slim.to_arrow_refs()
+
+    @ray.remote
+    def _assemble(*tables):
+        tables = [t for t in tables if t.num_rows]
+        ids = np.concatenate([np.asarray(t.column(id_column)) for t in tables])
+        mat = np.vstack([_batch_matrix(t, column) for t in tables])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return mat, ids
+
+    mat_ids_ref = _assemble.remote(*part_refs)
+    return slim.map_batches(
+        NearDupScorer,
+        fn_constructor_args=(mat_ids_ref, threshold, column, id_column),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )

@@ -56,8 +56,23 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 from spider_ray.goldens import GOLDEN_QUERIES  # noqa: E402
 
+# SQL-expressible queries (non-golden) verified through the same pipeline —
+# together with GOLDEN_QUERIES this covers EVERY oracle-backed driver query
+SQL_QUERIES = (
+    "extract_text_parity",
+    "host_page_counts",
+    "exact_dedup",
+    "token_stats",
+    "docs_by_lang",
+    "events_by_type",
+    "docs_by_source",
+    "events_per_day",
+    "top_k_similarity",
+    "embedding_near_dup",
+)
 
-@pytest.mark.parametrize("name", GOLDEN_QUERIES)
+
+@pytest.mark.parametrize("name", GOLDEN_QUERIES + SQL_QUERIES)
 def test_golden_query_matches_oracle(entry_mod, duck, name):
     ray_result = _canon(_to_pandas(entry_mod.queries()[name](SF_DIR)))
     oracle = _canon(duck.execute(entry_mod.oracle_sql()[name]).fetchdf())
