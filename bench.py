@@ -112,12 +112,33 @@ def run_bench() -> dict:
     minhash_lsh_candidates(docs, num_perm=128, n_bands=16).count()
     queries["minhash_lsh"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.dedup import simhash_signatures
+    from spider_ray.ops.textstats import Fingerprinter, LangId
+
+    t0 = time.perf_counter()
+    simhash_signatures(docs).count()
+    queries["simhash"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    docs.map_batches(LangId(), batch_format="pyarrow").count()
+    queries["lang_id"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    docs.map_batches(Fingerprinter(), batch_format="pyarrow").count()
+    queries["fingerprints"] = round(time.perf_counter() - t0, 3)
+
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvecs = np.array([r["embedding"] for r in emb.sort("vec_id").limit(8).take_all()],
                      dtype=np.float64)
     t0 = time.perf_counter()
     brute_force_top_k(emb, qvecs, k=10)
     queries["top_k_similarity"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.similarity import cosine_near_dup
+
+    t0 = time.perf_counter()
+    cosine_near_dup(emb, threshold=0.4).count()
+    queries["embedding_near_dup"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "crawl_full_sec",

@@ -44,7 +44,7 @@ from ..config import CrawlJob
 from ..frontier import score_url
 from ..oracle import load_robots
 from ..semantics import Budget, depth_distance_for
-from ..stages.fetch import FETCH_COLUMNS, corpus_n_buckets, fetch_wave
+from ..stages.fetch import corpus_n_buckets
 from ..stages.parse import ParsePages, missing_rows
 from ..urlnorm import url_host
 from ..waves import admit_wave, gate_links_by_signature, order_candidates

@@ -409,45 +409,3 @@ def fetch_wave_indexed(urls: list[str], index):
     # one-row descriptor blocks into a single task (serializing the wave)
     pages = ds.map_batches(ReadRowGroups(), batch_format="pyarrow", batch_size=None)
     return pages, missing
-
-
-def fetch_wave(urls: list[str], corpus_dir: str, ray_data: bool = True):
-    """Fetch one wave of admitted URLs from the bucketed corpus.
-
-    Returns (ray.data.Dataset | pyarrow.Table of found rows, missing_urls).
-    The Dataset path streams blocks (one read task per touched bucket); the
-    driver only ever sees which urls were found, never the html.
-    """
-    n_buckets = corpus_n_buckets(corpus_dir)
-    touched: dict[int, list[str]] = {}
-    for u in urls:
-        touched.setdefault(bucket_of(u, n_buckets), []).append(u)
-
-    paths = [
-        os.path.join(corpus_dir, f"bucket={b:04d}", "part-0.parquet")
-        for b in sorted(touched)
-        if os.path.exists(os.path.join(corpus_dir, f"bucket={b:04d}", "part-0.parquet"))
-    ]
-    want = set(urls)
-    if not paths:
-        return None, list(urls)
-
-    filter_expr = pc.field("url").isin(list(want))
-
-    if ray_data:
-        import ray.data
-
-        # enough blocks that the parse stage packs evenly across the pool:
-        # ~256 urls per block, bounded by file count below and 512 above
-        target_blocks = max(len(paths), min(512, len(urls) // 256 + 1))
-        ds = ray.data.read_parquet(
-            paths,
-            columns=FETCH_COLUMNS,
-            filter=filter_expr,
-            override_num_blocks=target_blocks,
-        )
-        return ds, None  # missing urls resolved by the caller after parse
-    dataset = pads.dataset(paths)
-    table = dataset.to_table(columns=FETCH_COLUMNS, filter=filter_expr)
-    found = set(table.column("url").to_pylist())
-    return table, [u for u in urls if u not in found]
