@@ -163,6 +163,13 @@ def q_crawl_extra_links(sf_dir: str):
     return _visited_table(_crawl(sf_dir, "crawl_extra_links", keep_pages=False))
 
 
+def q_crawl_retry(sf_dir: str):
+    """retry=1: the flaky-once row succeeds on its second attempt (its leaf
+    link gets crawled); flaky-always stays 503 with no content."""
+    res = _crawl(sf_dir, "crawl_retry")
+    return res.pages_table().drop_columns(["links"])
+
+
 def q_crawl_sitemap(sf_dir: str):
     """Sitemap chain: orphan page reachable only via sitemap.xml is crawled,
     sitemap-discovered links are not expanded."""
@@ -449,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_subdomains": q_crawl_subdomains,
         "crawl_extra_links": q_crawl_extra_links,
         "crawl_sitemap": q_crawl_sitemap,
+        "crawl_retry": q_crawl_retry,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,

@@ -53,6 +53,12 @@ class CrawlConfig:
     # (the streaming-chunk branch, utils/mod.rs:6303-6306)
     only_html: bool = True
     max_page_bytes: int = 0
+    # retry — configuration.rs:462 (default 0 = no retries); loop semantics
+    # website.rs:4205-4253: up to retry+1 attempts on retryable statuses
+    # (page.rs:1641-1653 classifier).  The corpus models transient failures
+    # via the flaky_until column: attempts 1..flaky_until return 503, so a
+    # row succeeds iff flaky_until <= retry.
+    retry: int = 0
     # sitemap — configuration.rs:389-394
     sitemap_url: str | None = None
     ignore_sitemap: bool = True

@@ -142,6 +142,7 @@ def _finalize(rows: list[dict], statuses: dict[str, int]) -> list[dict]:
                 "status": statuses.get(r["url"], 200),
                 "location": r.get("location"),
                 "content_type": r.get("content_type", "text/html"),
+                "flaky_until": r.get("flaky_until", 0),
             }
         )
     return out
@@ -160,9 +161,10 @@ def _build_host_rows(
 
     def add(url: str, html: str, text: str, lang: str = "en", status: int = 200,
             encoding: str = "utf-8", location: str | None = None,
-            content_type: str = "text/html"):
+            content_type: str = "text/html", flaky_until: int = 0):
         rows.append({"url": url, "html": html.encode(encoding), "text": text, "lang": lang,
-                     "location": location, "content_type": content_type})
+                     "location": location, "content_type": content_type,
+                     "flaky_until": flaky_until})
         statuses[url] = status
 
     n_sections = max(2, min(8, pages_per_host // 12))
@@ -257,6 +259,7 @@ def _build_host_rows(
             _add_redirect_pages(add, root)
             _add_seed_redirect_hosts(add)
             _add_nonhtml_pages(add, root)
+            _add_flaky_pages(add, root)
 
     return rows, statuses
 
@@ -325,6 +328,8 @@ def _add_root_stressors(p: _PageBuilder):
         '<li><a href="/r/gone">Redir gone</a></li>'
         '<li><a href="/download/report">PDF download</a></li>'
         '<li><a href="/download/archive">Zip download</a></li>'
+        '<li><a href="/flaky/once">Flaky once</a></li>'
+        '<li><a href="/flaky/always">Flaky always</a></li>'
         "</ul>"
     )
     for anchor in [
@@ -334,6 +339,7 @@ def _add_root_stressors(p: _PageBuilder):
         "Dup A", "Dup B", "Private", "Public", "Japanese",
         "Redir one", "Redir rel", "Redir chain", "Redir loop", "Redir off",
         "Redir ssrf", "Redir local", "Redir gone", "PDF download", "Zip download",
+        "Flaky once", "Flaky always",
     ]:
         p.blocks.append(anchor)
 
@@ -434,6 +440,23 @@ def _add_nonhtml_pages(add, root: str):
         content_type="application/zip")
 
 
+def _add_flaky_pages(add, root: str):
+    """Transient-failure rows for retry semantics (configuration.rs:462,
+    retry loop website.rs:4205-4253): ``flaky_until`` = number of failing
+    attempts (503, retryable per page.rs:1641-1653) before the real
+    response.  With retry=N the fetcher makes N+1 attempts, so
+    ``/flaky/once`` succeeds from retry>=1 while ``/flaky/always`` stays
+    503 at any realistic retry budget."""
+    h, t = _mini_page(root + "flaky/once", "flaky once page",
+                      ["Succeeds on the second attempt."],
+                      links=[("/flaky/leaf", "Flaky leaf")])
+    add(root + "flaky/once", h, t, flaky_until=1)
+    h, t = _mini_page(root + "flaky/leaf", "flaky leaf", ["Reached only after a retry."])
+    add(root + "flaky/leaf", h, t)
+    h, t = _mini_page(root + "flaky/always", "flaky always page", ["Never served."])
+    add(root + "flaky/always", h, t, flaky_until=99)
+
+
 def _add_seed_redirect_hosts(add):
     """Seed-redirect scenario (``modify_selectors``): the redirseed root 301s
     cross-host to redirtarget; after the rebuild BOTH hosts stay in scope, so
@@ -461,9 +484,13 @@ def _add_private_pages(add, root: str):
 
 
 def corpus_as_dict(rows: list[dict]) -> dict[str, tuple]:
-    """Oracle-side corpus: url → (status, html bytes, location, content_type)."""
+    """Oracle-side corpus: url → (status, html bytes, location, content_type,
+    flaky_until)."""
     return {
-        r["url"]: (r["status"], r["html"], r.get("location"), r.get("content_type", "text/html"))
+        r["url"]: (
+            r["status"], r["html"], r.get("location"),
+            r.get("content_type", "text/html"), r.get("flaky_until", 0),
+        )
         for r in rows
     }
 
@@ -508,6 +535,9 @@ def write_corpus_parquet(
                 "location": pa.array([r.get("location") for r in brows], pa.string()),
                 "content_type": pa.array(
                     [r.get("content_type", "text/html") for r in brows], pa.string()
+                ),
+                "flaky_until": pa.array(
+                    [r.get("flaky_until", 0) for r in brows], pa.int32()
                 ),
             }
         )
@@ -575,7 +605,7 @@ SCALE_PARAMS = {
 }
 
 # bump when generator output changes so cached corpora auto-invalidate
-GENERATOR_VERSION = 4
+GENERATOR_VERSION = 5
 
 FIXTURE_BASE = "/tmp/spider_ray_fixtures"
 

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 7
+GOLDEN_VERSION = 8
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -104,6 +104,10 @@ def crawl_specs() -> dict[str, tuple]:
             (0,),
             "visited",
         ),
+        # retry budget (configuration.rs:462, loop website.rs:4205-4253):
+        # with retry=1 the flaky-once row succeeds on its second attempt
+        # (and exposes its leaf link); flaky-always stays 503
+        "crawl_retry": (CrawlConfig(retry=1), (0,), "pages"),
         # sitemap chain (website.rs:6975, 12408+): sitemap-discovered pages
         # admitted through the normal chain, links NOT expanded — includes
         # the orphan page reachable only via the sitemap
@@ -461,6 +465,7 @@ GOLDEN_QUERIES = (
     "crawl_subdomains",
     "crawl_extra_links",
     "crawl_sitemap",
+    "crawl_retry",
     "minhash_pairs",
     "simhash",
     "lang_id",

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 
 from .config import CrawlConfig, CrawlJob
 from .frontier import score_url
+from .functions.retry import is_retryable_status
 from .parsepage import parse_page
 from .robots import RobotFileParser
 from .scope import Selectors, parent_host_match
@@ -125,8 +126,8 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
     def corpus_get(url: str):
         row = corpus.get(url)
         if row is None:
-            return (404, None, None, None)
-        return row + (None,) * (4 - len(row))
+            return (404, None, None, None, 0)
+        return row + (None,) * (5 - len(row))
 
     def meta_get(url: str):
         row = corpus_get(url)
@@ -159,7 +160,11 @@ def crawl_oracle(job: CrawlJob, corpus: dict[str, tuple], queue_provider=None) -
         res = resolver.resolve(url, meta_get, crawl_host)
         if res.error:
             return res, REDIRECT_ERROR_STATUS, "", False
-        status, body, _, ctype = corpus_get(res.final_url)
+        status, body, _, ctype, flaky = corpus_get(res.final_url)
+        # transient-failure model (flaky_until attempts fail with 503, the
+        # retry loop makes retry+1 attempts — website.rs:4205-4253)
+        if flaky and flaky > config.retry and is_retryable_status(503):
+            return res, 503, "", False
         body, truncated = gate_content(body, ctype, config)
         if (
             wave == 0

@@ -313,7 +313,9 @@ class RayCrawler:
 
         index = index if index is not None else self._index
         loc_of = index.location_of
-        if not loc_of or self._resolver.policy == "none":
+        flaky_of = getattr(index, "flaky_of", {})
+        follow = bool(loc_of) and self._resolver.policy != "none"
+        if not follow and not flaky_of:
             return admitted, {}, frozenset(), []
         router = self._router()
         fetch: list[str] = []
@@ -322,7 +324,7 @@ class RayCrawler:
         synth: list[tuple[str, int, str | None]] = []
         seed_redirs: list[tuple[str, str]] = []
         for u in admitted:
-            if u not in loc_of:
+            if not follow or u not in loc_of:
                 fetch.append(u)
                 continue
             _, root = router.for_host(url_host(u))
@@ -355,6 +357,28 @@ class RayCrawler:
                 self._live_job.seed_redirects + tuple(seed_redirs)
             )
             self._router_cache = None
+        if flaky_of:
+            # transient-failure gate on the terminal fetch urls: flaky_until
+            # failing attempts vs the retry budget of retry+1 attempts
+            # (website.rs:4205-4253; 503 is retryable per page.rs:1641-1653)
+            from ..functions.retry import is_retryable_status
+
+            retry_budget = self.config.retry
+
+            def fails(url: str) -> bool:
+                f = flaky_of.get(url, 0)
+                return f > retry_budget and is_retryable_status(503)
+
+            kept = []
+            for u in fetch:
+                if fails(u):
+                    synth.append((u, 503, None))
+                else:
+                    kept.append(u)
+            fetch = kept
+            for final in [f for f in backmap if fails(f)]:
+                for requested in backmap.pop(final):
+                    synth.append((requested, 503, final))
         targets_only = frozenset(set(backmap) - set(fetch))
         return fetch, backmap, targets_only, synth
 

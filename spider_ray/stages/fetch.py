@@ -77,37 +77,52 @@ class CorpusIndex:
         @ray.remote
         def _load(path):
             f = pq.ParquetFile(path)
-            has_meta = "location" in f.schema_arrow.names
+            names = f.schema_arrow.names
+            has_meta = "location" in names
+            has_flaky = "flaky_until" in names
             out = []
-            nonok = []  # (url, status, location) for rows with status != 200
+            nonok = []  # (url, status, location, flaky) for special rows
             for rg in range(f.metadata.num_row_groups):
-                cols = ["url", "status", "location"] if has_meta else ["url"]
+                cols = ["url"] + (["status", "location"] if has_meta else []) \
+                    + (["flaky_until"] if has_flaky else [])
                 tbl = f.read_row_group(rg, columns=cols)
                 urls = tbl.column("url").to_pylist()
                 out.append(urls)
                 if has_meta:
-                    for u, s, loc in zip(
-                        urls, tbl.column("status").to_pylist(), tbl.column("location").to_pylist()
+                    flakies = (
+                        tbl.column("flaky_until").to_pylist()
+                        if has_flaky
+                        else [0] * len(urls)
+                    )
+                    for u, s, loc, fl in zip(
+                        urls,
+                        tbl.column("status").to_pylist(),
+                        tbl.column("location").to_pylist(),
+                        flakies,
                     ):
-                        if s != 200:
-                            nonok.append((u, s, loc))
+                        if s != 200 or (fl or 0) > 0:
+                            nonok.append((u, s, loc, fl or 0))
             return out, nonok
 
         per_file = ray.get([_load.remote(p) for p in self.paths])
         self.lookup: dict[str, tuple[int, int]] = {}
-        # redirect/error metadata: tiny (only non-200 rows) — consulted by the
-        # driver's chain resolution with zero row-group I/O per hop.  At 10¹⁰
-        # scale this shards with the index (same host-hash routing).
+        # redirect/error/flaky metadata: tiny (only special rows) — consulted
+        # by the driver's chain resolution with zero row-group I/O per hop.
+        # At 10¹⁰ scale this shards with the index (same host-hash routing).
         self.status_of: dict[str, int] = {}
         self.location_of: dict[str, str] = {}
+        self.flaky_of: dict[str, int] = {}
         for fi, (groups, nonok) in enumerate(per_file):
             for rg, urls in enumerate(groups):
                 for u in urls:
                     self.lookup[u] = (fi, rg)
-            for u, s, loc in nonok:
-                self.status_of[u] = s
+            for u, s, loc, fl in nonok:
+                if s != 200:
+                    self.status_of[u] = s
                 if loc is not None:
                     self.location_of[u] = loc
+                if fl:
+                    self.flaky_of[u] = fl
 
     def meta_get(self, url: str) -> tuple[int, str | None]:
         """(status, location) with zero I/O — redirect-resolution lookup."""
@@ -249,8 +264,10 @@ class CorpusIndexPool:
             has_meta = "location" in f.schema_arrow.names
             per_shard: list[list[tuple[int, list[str]]]] = [[] for _ in range(n_shards)]
             nonok = []
+            has_flaky = "flaky_until" in f.schema_arrow.names
             for rg in range(f.metadata.num_row_groups):
-                cols = ["url", "status", "location"] if has_meta else ["url"]
+                cols = ["url"] + (["status", "location"] if has_meta else []) \
+                    + (["flaky_until"] if has_flaky else [])
                 tbl = f.read_row_group(rg, columns=cols)
                 url_arr = tbl.column("url")
                 h1 = pc.replace_substring_regex(
@@ -275,11 +292,19 @@ class CorpusIndexPool:
                     if len(pos):
                         per_shard[s].append((rg, [urls[i] for i in pos]))
                 if has_meta:
-                    for u, st, loc in zip(
-                        urls, tbl.column("status").to_pylist(), tbl.column("location").to_pylist()
+                    flakies = (
+                        tbl.column("flaky_until").to_pylist()
+                        if has_flaky
+                        else [0] * len(urls)
+                    )
+                    for u, st, loc, fl in zip(
+                        urls,
+                        tbl.column("status").to_pylist(),
+                        tbl.column("location").to_pylist(),
+                        flakies,
                     ):
-                        if st != 200:
-                            nonok.append((u, st, loc))
+                        if st != 200 or (fl or 0) > 0:
+                            nonok.append((u, st, loc, fl or 0))
             return (*[(fi, ps) for ps in per_shard], nonok)
 
         accept_futs = []
@@ -291,11 +316,15 @@ class CorpusIndexPool:
             nonok_refs.append(refs[-1])
         self.status_of: dict[str, int] = {}
         self.location_of: dict[str, str] = {}
+        self.flaky_of: dict[str, int] = {}
         for nonok in ray.get(nonok_refs):
-            for u, s, loc in nonok:
-                self.status_of[u] = s
+            for u, s, loc, fl in nonok:
+                if s != 200:
+                    self.status_of[u] = s
                 if loc is not None:
                     self.location_of[u] = loc
+                if fl:
+                    self.flaky_of[u] = fl
         ray.get(accept_futs)
 
     def meta_get_optimistic(self, url: str) -> tuple[int, str | None]:
