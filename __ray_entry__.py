@@ -72,10 +72,12 @@ def _crawl(sf_dir: str, name: str, keep_pages: bool = True):
     from spider_ray.fixtures import seed_of
     from spider_ray.pipelines.crawl import crawl
 
-    config, seed_ks, _ = _crawl_spec(name)
+    spec = _crawl_spec(name)
+    config, seed_ks = spec[0], spec[1]
+    provider = spec[3] if len(spec) > 3 else None
     corpus = _corpus_for(sf_dir)
     job = CrawlJob(tuple(seed_of(k) if isinstance(k, int) else k for k in seed_ks), config)
-    return crawl(job, corpus, keep_pages=keep_pages)
+    return crawl(job, corpus, keep_pages=keep_pages, queue_provider=provider)
 
 
 def _visited_table(res) -> pa.Table:
@@ -115,7 +117,7 @@ def q_crawl_streaming(sf_dir: str):
     from spider_ray.goldens import perhost_table
     from spider_ray.pipelines.crawl import RayCrawler
 
-    config, seed_ks, _ = _crawl_spec("crawl_streaming")
+    config, seed_ks = _crawl_spec("crawl_streaming")[:2]
     corpus = _corpus_for(sf_dir)
     job = CrawlJob(tuple(seed_of(k) for k in seed_ks), config)
     res = RayCrawler(job, corpus, keep_pages=False).run_streaming()
@@ -161,6 +163,13 @@ def q_crawl_subdomains(sf_dir: str):
 def q_crawl_extra_links(sf_dir: str):
     """extra_links merged into the first frontier generation."""
     return _visited_table(_crawl(sf_dir, "crawl_extra_links", keep_pages=False))
+
+
+def q_crawl_queue(sf_dir: str):
+    """Mid-crawl queue injection (channel_queue): the sitemap-orphan page is
+    queued after wave 0, bypassing the wildcard budget but passing the rest
+    of the admission chain."""
+    return _visited_table(_crawl(sf_dir, "crawl_queue", keep_pages=False))
 
 
 def q_crawl_retry(sf_dir: str):
@@ -457,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extra_links": q_crawl_extra_links,
         "crawl_sitemap": q_crawl_sitemap,
         "crawl_retry": q_crawl_retry,
+        "crawl_queue": q_crawl_queue,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,

@@ -20,3 +20,12 @@ def skip_section3(page: dict) -> bool:
     """Drop every page under /sec3/ post-fetch: the page row is kept with
     ``blocked_crawl`` set, its links are not expanded."""
     return "/sec3/" not in page["url"]
+
+
+def queue_site0_orphan(wave: int):
+    """Example mid-crawl queue provider (channel_queue, website.rs:7528-7562):
+    injects the sitemap-orphan page after wave 0 — queued links bypass the
+    budget check but pass the rest of the admission chain."""
+    if wave == 0:
+        return ("https://www.site0.example/orphan/sm0",)
+    return ()

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 8
+GOLDEN_VERSION = 9
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -57,7 +57,8 @@ def golden_path(sf_name: str, query: str) -> str:
 
 def crawl_specs() -> dict[str, tuple]:
     """Seed entries are either ints (``fixtures.seed_of`` hosts) or literal
-    seed URLs (the seed-redirect scenario host)."""
+    seed URLs (the seed-redirect scenario host).  Entries may carry a 4th
+    element: a module-level queue provider (mid-crawl injection)."""
     from .config import CrawlConfig
     from .fixtures import redirseed_seed
 
@@ -103,6 +104,15 @@ def crawl_specs() -> dict[str, tuple]:
             ),
             (0,),
             "visited",
+        ),
+        # mid-crawl queue injection (channel_queue, website.rs:7528-7562):
+        # the sitemap-orphan page injected after wave 0 — budgetless but
+        # through the rest of the admission chain
+        "crawl_queue": (
+            CrawlConfig().with_limit(60),
+            (0,),
+            "visited",
+            _hooks().queue_site0_orphan,
         ),
         # retry budget (configuration.rs:462, loop website.rs:4205-4253):
         # with retry=1 the flaky-once row succeeds on its second attempt
@@ -215,11 +225,13 @@ def _build_crawl_goldens(sf_name: str, out: dict[str, pa.Table]) -> None:
     n_hosts, pph, _, page_weight = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])
     rows = build_corpus(n_hosts=n_hosts, pages_per_host=pph, seed=42, page_weight=page_weight)
     corpus = corpus_as_dict(rows)
-    for name, (cfg, seed_ks, shape) in crawl_specs().items():
+    for name, spec in crawl_specs().items():
+        cfg, seed_ks, shape = spec[:3]
+        provider = spec[3] if len(spec) > 3 else None
         job = CrawlJob(
             tuple(seed_of(k) if isinstance(k, int) else k for k in seed_ks), cfg
         )
-        res = crawl_oracle(job, corpus)
+        res = crawl_oracle(job, corpus, queue_provider=provider)
         if shape == "visited":
             out[name] = visited_table(res.admitted_order)
         elif shape == "perhost":
@@ -466,6 +478,7 @@ GOLDEN_QUERIES = (
     "crawl_extra_links",
     "crawl_sitemap",
     "crawl_retry",
+    "crawl_queue",
     "minhash_pairs",
     "simhash",
     "lang_id",
