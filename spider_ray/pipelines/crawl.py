@@ -235,6 +235,7 @@ class RayCrawler:
         queue_provider=None,
         adaptive_politeness: bool = False,
         index_mode: str = "auto",  # "auto" | "driver" | "pooled"
+        seen_spill_threshold: int | None = None,
     ) -> None:
         self.job = job
         self.config = job.config
@@ -253,6 +254,13 @@ class RayCrawler:
         # contract.
         self.adaptive_politeness = adaptive_politeness
         self.index_mode = index_mode
+        # per-shard in-heap key cap before the seen set spills to sorted
+        # digest runs on disk (state/spillseen.py — the 10¹⁰-URL tier).
+        # Spilled shards cannot dump() original strings, so seen collection
+        # is disabled when a threshold is set.
+        self.seen_spill_threshold = seen_spill_threshold
+        if seen_spill_threshold is not None:
+            self.collect_seen = False
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
         self._index = None  # CorpusIndex, built lazily at first wave
         self._pending_inserts: list = []
@@ -963,7 +971,7 @@ class RayCrawler:
         t_start = _time.monotonic()
         config = self.config
         result = CrawlResult(out_dir=self.out_dir)
-        pool = AdmissionPool(self.num_seen_shards)
+        pool = AdmissionPool(self.num_seen_shards, spill_threshold=self.seen_spill_threshold)
         signatures: set[int] = set()
         budget = Budget(config.budget, depth_distance_for(config))
         want_cand = bool(self.ckpt_dir)
@@ -1067,7 +1075,7 @@ class RayCrawler:
         import time as _time
 
         result = CrawlResult(out_dir=self.out_dir)
-        seen = UrlSeen(self.num_seen_shards)
+        seen = UrlSeen(self.num_seen_shards, spill_threshold=self.seen_spill_threshold)
         gate = HostGate(self.num_seen_shards, adaptive=self.adaptive_politeness)
         signatures: set[int] = set()
 
@@ -1173,7 +1181,7 @@ class RayCrawler:
         t_start = _time.monotonic()
         config = self.config
         result = CrawlResult(out_dir=self.out_dir)
-        seen = UrlSeen(self.num_seen_shards)
+        seen = UrlSeen(self.num_seen_shards, spill_threshold=self.seen_spill_threshold)
         budget = Budget(config.budget, depth_distance_for(config))
         signatures: set[int] = set()
         robots_by_host, robots_delays = self._robots()

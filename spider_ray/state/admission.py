@@ -28,20 +28,27 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..hashing import BloomFilter, stable_hash_str
-
-BLOOM_ACTIVATE = 5_000_000
+from ..hashing import stable_hash_str
 
 
 @ray.remote
 class AdmissionShard:
-    """One admission + seen shard (hosts with ``hash(host) % N == shard_id``)."""
+    """One admission + seen shard (hosts with ``hash(host) % N == shard_id``).
 
-    def __init__(self, shard_id: int, bloom_capacity: int = 1_000_000) -> None:
+    The seen partition is a :class:`SpillableSeenSet` — in-memory set until
+    ``spill_threshold`` keys, then on-disk sorted digest runs + bloom
+    negative cache (state/spillseen.py); None = never spill."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        bloom_capacity: int = 1_000_000,
+        spill_threshold: int | None = None,
+    ) -> None:
+        from .spillseen import SpillableSeenSet
+
         self.shard_id = shard_id
-        self.seen: set[str] = set()
-        self.bloom = BloomFilter(capacity=bloom_capacity)
-        self._bloom_active = False
+        self.seen = SpillableSeenSet(spill_threshold)
         self._increment: list[str] = []
         self._parts: list[pa.Table] = []  # current wave's candidate parts
 
@@ -56,26 +63,14 @@ class AdmissionShard:
     def insert_batch(self, keys) -> int:
         if not isinstance(keys, list):
             keys = keys.to_pylist()
-        seen = self.seen
+        add = self.seen.add
         inc = self._increment
         added = 0
-        use_bloom = self._bloom_active
         for k in keys:
-            if k not in seen:
-                seen.add(k)
-                if use_bloom:
-                    self.bloom.add(k)
+            if add(k):
                 inc.append(k)
                 added += 1
-        self._maybe_activate_bloom()
         return added
-
-    def _maybe_activate_bloom(self) -> None:
-        if not self._bloom_active and len(self.seen) >= BLOOM_ACTIVATE:
-            bloom = self.bloom
-            for k in self.seen:
-                bloom.add(k)
-            self._bloom_active = True
 
     def take_increment(self) -> list[str]:
         inc, self._increment = self._increment, []
@@ -84,12 +79,14 @@ class AdmissionShard:
     def size(self) -> int:
         return len(self.seen)
 
+    def hot_size(self) -> int:
+        return self.seen.hot_size()
+
     def dump(self) -> list[str]:
-        return list(self.seen)
+        return self.seen.dump()
 
     def restore(self, keys: list[str]) -> None:
         self.seen.update(keys)
-        self._maybe_activate_bloom()
 
     # -- wave admission -----------------------------------------------------
 
@@ -150,19 +147,13 @@ class AdmissionShard:
         )
         hosts_arr = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
         key_list = tbl.column("key").to_pylist()
-        seen = self.seen
+        add = self.seen.add
         inc = self._increment
-        use_bloom = self._bloom_active
         keep_rows: list[int] = []
         for i, key in enumerate(key_list):
-            if key in seen:
-                continue
-            seen.add(key)
-            if use_bloom:
-                self.bloom.add(key)
-            inc.append(key)
-            keep_rows.append(i)
-        self._maybe_activate_bloom()
+            if add(key):
+                inc.append(key)
+                keep_rows.append(i)
         take = pa.array(keep_rows, pa.int64())
         admitted = pa.table(
             {
@@ -178,10 +169,16 @@ class AdmissionShard:
 class AdmissionPool:
     """Driver facade: UrlSeen-compatible seen API + the sharded wave fold."""
 
-    def __init__(self, num_shards: int = 8, bloom_capacity: int = 1_000_000) -> None:
+    def __init__(
+        self,
+        num_shards: int = 8,
+        bloom_capacity: int = 1_000_000,
+        spill_threshold: int | None = None,
+    ) -> None:
         self.num_shards = num_shards
         self.shards = [
-            AdmissionShard.remote(i, bloom_capacity) for i in range(num_shards)
+            AdmissionShard.remote(i, bloom_capacity, spill_threshold)
+            for i in range(num_shards)
         ]
         self._accept_futs: list = []
         self._pending_parts: list[list] = [[] for _ in range(num_shards)]

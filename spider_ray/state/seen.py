@@ -18,24 +18,28 @@ from __future__ import annotations
 
 import ray
 
-from ..hashing import BloomFilter, stable_hash_str
+from ..hashing import stable_hash_str
 
 
 @ray.remote
 class UrlSeenShard:
-    def __init__(self, shard_id: int, bloom_capacity: int = 1_000_000) -> None:
-        self.shard_id = shard_id
-        self.seen: set[str] = set()
-        self.bloom = BloomFilter(capacity=bloom_capacity)
-        self._increment: list[str] = []
-        self._bloom_active = False
+    """One seen shard.  The backing store is a :class:`SpillableSeenSet`:
+    a plain in-memory set until ``spill_threshold`` keys, then an on-disk
+    sorted-digest-run tier fronted by a bloom negative cache — spider's
+    memory→SQLite spill (``website.rs:1718-1749``) re-expressed
+    (state/spillseen.py).  ``spill_threshold=None`` never spills."""
 
-    # The bloom filter is the negative-cache for the SPILLED backing store
-    # (the in-memory set is authoritative and O(1) — per-key bloom hashing
-    # would only add cost while the shard fits in memory, mirroring
-    # interner.rs where the bloom fronts the disk tier).  It is maintained
-    # only once the shard exceeds ``bloom_activate_threshold``.
-    BLOOM_ACTIVATE = 5_000_000
+    def __init__(
+        self,
+        shard_id: int,
+        bloom_capacity: int = 1_000_000,
+        spill_threshold: int | None = None,
+    ) -> None:
+        from .spillseen import SpillableSeenSet
+
+        self.shard_id = shard_id
+        self.seen = SpillableSeenSet(spill_threshold)
+        self._increment: list[str] = []
 
     def contains_batch(self, keys) -> "object":
         """keys: list[str] or pyarrow.Array (worker-side to_pylist keeps the
@@ -51,30 +55,14 @@ class UrlSeenShard:
     def insert_batch(self, keys) -> int:
         if not isinstance(keys, list):
             keys = keys.to_pylist()
-        seen = self.seen
+        add = self.seen.add
         inc = self._increment
         added = 0
-        use_bloom = self._bloom_active
         for k in keys:
-            if k not in seen:
-                seen.add(k)
-                if use_bloom:
-                    self.bloom.add(k)
+            if add(k):
                 inc.append(k)
                 added += 1
-        self._maybe_activate_bloom()
         return added
-
-    def _maybe_activate_bloom(self) -> None:
-        """On crossing the activation threshold, backfill the bloom from the
-        full set so keys inserted pre-activation are present (the bloom is the
-        negative cache for a spilled backing store — false negatives there
-        would mean missed dedup)."""
-        if not self._bloom_active and len(self.seen) >= self.BLOOM_ACTIVATE:
-            bloom = self.bloom
-            for k in self.seen:
-                bloom.add(k)
-            self._bloom_active = True
 
     def take_increment(self) -> list[str]:
         inc, self._increment = self._increment, []
@@ -83,25 +71,29 @@ class UrlSeenShard:
     def size(self) -> int:
         return len(self.seen)
 
+    def hot_size(self) -> int:
+        """In-heap entry count (spill-tier diagnostics)."""
+        return self.seen.hot_size()
+
     def dump(self) -> list[str]:
-        return list(self.seen)
+        return self.seen.dump()
 
     def restore(self, keys: list[str]) -> None:
         self.seen.update(keys)
-        if self._bloom_active:
-            for k in keys:
-                self.bloom.add(k)
-        else:
-            self._maybe_activate_bloom()
 
 
 class UrlSeen:
     """Driver-side facade over the shard pool (batch fan-out/fan-in)."""
 
-    def __init__(self, num_shards: int = 8, bloom_capacity: int = 1_000_000) -> None:
+    def __init__(
+        self,
+        num_shards: int = 8,
+        bloom_capacity: int = 1_000_000,
+        spill_threshold: int | None = None,
+    ) -> None:
         self.num_shards = num_shards
         self.shards = [
-            UrlSeenShard.options(name=None).remote(i, bloom_capacity)
+            UrlSeenShard.options(name=None).remote(i, bloom_capacity, spill_threshold)
             for i in range(num_shards)
         ]
 
