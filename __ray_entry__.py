@@ -357,6 +357,33 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup(_docs(sf_dir), threshold=0.5).select_columns(["doc_a", "doc_b"])
 
 
+def q_near_dup_clusters(sf_dir: str):
+    """Connected components over the verified MinHash near-dup pair graph
+    (cluster_id = min doc_id of the component)."""
+    from spider_ray.ops.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(sf_dir), threshold=0.5)
+
+
+def q_quality_scores(sf_dir: str):
+    from spider_ray.ops.textstats import QualityScorer
+
+    return _docs(sf_dir).map_batches(QualityScorer(), batch_format="pyarrow")
+
+
+def q_lsh_ann(sf_dir: str):
+    """Hyperplane-LSH bucketed ANN top-k (approximate scale path; the golden
+    is the independent sequential recompute of the same pinned spec)."""
+    from spider_ray.ops.similarity import lsh_top_k
+
+    emb = _emb(sf_dir)
+    queries = np.array(
+        [r["embedding"] for r in emb.sort("vec_id").limit(5).take_all()], dtype=np.float64
+    )
+    out = lsh_top_k(emb, queries, k=10, n_planes=8)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def q_simhash(sf_dir: str):
     from spider_ray.ops.dedup import simhash_signatures
 
@@ -478,6 +505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "quality_scores": q_quality_scores,
+        "lsh_ann": q_lsh_ann,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 9
+GOLDEN_VERSION = 10
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -388,6 +388,101 @@ def seq_fingerprints(ids: list[int], texts: list[str]) -> pa.Table:
     )
 
 
+_PUNCT_CHARS = frozenset(
+    chr(c) for r in ((33, 47), (58, 64), (91, 96), (123, 126)) for c in range(r[0], r[1] + 1)
+)
+
+
+def seq_quality(ids: list[int], texts: list[str]) -> pa.Table:
+    """Independent quality-metric recompute: punctuation counted by char-set
+    membership (not the regex), stopwords via the en table."""
+    from .ops.textstats import STOPWORDS
+
+    stop_en = STOPWORDS["en"]
+    n_chars, punct, stop, mwl = [], [], [], []
+    for t in texts:
+        t = t or ""
+        n_chars.append(len(t))
+        n_p = sum(c in _PUNCT_CHARS for c in t)
+        punct.append(n_p / max(1, len(t)))
+        words = _WORD_RE.findall(t.lower())
+        stop.append(sum(w in stop_en for w in words) / max(1, len(words)))
+        mwl.append(sum(len(w) for w in words) / max(1, len(words)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "punct_ratio": pa.array(punct, pa.float64()),
+            "stopword_ratio": pa.array(stop, pa.float64()),
+            "mean_word_len": pa.array(mwl, pa.float64()),
+        }
+    )
+
+
+def seq_near_dup_clusters(ids: list[int], texts: list[str], threshold: float = 0.5) -> pa.Table:
+    """Independent connected components: iterative min-label propagation over
+    the sequential pair list until fixpoint (no union-find)."""
+    pairs_tbl = seq_minhash_pairs(ids, texts, threshold=threshold)
+    pairs = list(
+        zip(pairs_tbl.column("doc_a").to_pylist(), pairs_tbl.column("doc_b").to_pylist())
+    )
+    label = {d: d for pair in pairs for d in pair}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    members = sorted(label)
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array([label[m] for m in members], pa.int64()),
+        }
+    )
+
+
+def seq_lsh_ann(sf_dir: str, k: int = 10, n_planes: int = 8, seed: int = 7) -> pa.Table:
+    """Independent LSH-ANN recompute: hyperplanes from the pinned
+    RandomState(seed) spec, sign-bit buckets, query buckets from the 5
+    lowest vec_ids, exact cosine top-k over the pruned candidate set with
+    the (−round(sim,9), vec_id) tie-break."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_ids = np.asarray(emb.column("vec_id"))
+    order = np.argsort(vec_ids)
+    vec_ids = vec_ids[order]
+    mat = np.asarray(
+        emb.column("embedding").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(emb.num_rows, -1)[order]
+    planes = np.random.RandomState(seed).standard_normal((n_planes, mat.shape[1]))
+    signs = (mat @ planes.T) > 0
+    buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+    qrows = np.arange(5)  # 5 lowest vec_ids (sorted order)
+    qbuckets = set(buckets[qrows].tolist())
+    keep = np.isin(buckets, list(qbuckets))
+    cand_ids, cand = vec_ids[keep], mat[keep]
+    qm = mat[qrows]
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    cn = cand / np.maximum(np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
+    sims = cn @ qn.T
+    out_q, out_id, out_rank = [], [], []
+    for qi in range(len(qrows)):
+        key = np.lexsort((cand_ids, -np.round(sims[:, qi], 9)))
+        for rank, row in enumerate(key[:k], 1):
+            out_q.append(qi)
+            out_id.append(int(cand_ids[row]))
+            out_rank.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+        }
+    )
+
+
 def seq_multimodal_audio(n_items: int = 48) -> pa.Table:
     """Expected audio metadata straight from the fake-codec payload SPEC
     (``FAKEAUD:{sr}:{n}:`` + int16 PCM from RandomState(id ^ 0xA0D10))."""
@@ -444,6 +539,10 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     out["minhash_pairs"] = seq_minhash_pairs(ids, texts, threshold=0.5)
+    out["near_dup_clusters"] = seq_near_dup_clusters(ids, texts, threshold=0.5)
+    out["quality_scores"] = seq_quality(ids, texts)
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        out["lsh_ann"] = seq_lsh_ann(sf_dir)
     out["simhash"] = pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -480,6 +579,9 @@ GOLDEN_QUERIES = (
     "crawl_retry",
     "crawl_queue",
     "minhash_pairs",
+    "near_dup_clusters",
+    "quality_scores",
+    "lsh_ann",
     "simhash",
     "lang_id",
     "fingerprints",

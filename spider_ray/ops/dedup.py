@@ -252,6 +252,50 @@ def minhash_dedup(ds, threshold: float = 0.8, **kwargs):
     return candidates.map_batches(Verify, batch_format="pyarrow", concurrency=2)
 
 
+def near_dup_clusters(ds, threshold: float = 0.5, **kwargs) -> pa.Table:
+    """Near-duplicate clusters: connected components over the verified
+    MinHash pair graph.  Returns (doc_id, cluster_id) for every doc in a
+    cluster, cluster_id = min doc_id of the component.
+
+    The union-find runs on the driver over the VERIFIED PAIR LIST only —
+    O(pairs), not O(corpus); the pair list is the (tiny) output of
+    :func:`minhash_dedup`, never the corpus.  At extreme pair counts the
+    same fold distributes as alternating min-label propagation
+    (groupby(doc).min(label) until fixpoint); the driver fold is the
+    single-pass exact version of that.
+    """
+    pairs = minhash_dedup(ds, threshold=threshold, **kwargs)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        # min-id root invariant: union always hangs the larger root under the
+        # smaller, so find(x) is the component's min doc_id
+    members = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array([find(m) for m in members], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

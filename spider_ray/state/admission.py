@@ -29,6 +29,7 @@ import pyarrow as pa
 import ray
 
 from ..hashing import stable_hash_str
+from .spillseen import SpillableSeenSet
 
 
 @ray.remote
@@ -45,8 +46,6 @@ class AdmissionShard:
         bloom_capacity: int = 1_000_000,
         spill_threshold: int | None = None,
     ) -> None:
-        from .spillseen import SpillableSeenSet
-
         self.shard_id = shard_id
         self.seen = SpillableSeenSet(spill_threshold)
         self._increment: list[str] = []

@@ -19,6 +19,7 @@ from __future__ import annotations
 import ray
 
 from ..hashing import stable_hash_str
+from .spillseen import SpillableSeenSet
 
 
 @ray.remote
@@ -35,8 +36,6 @@ class UrlSeenShard:
         bloom_capacity: int = 1_000_000,
         spill_threshold: int | None = None,
     ) -> None:
-        from .spillseen import SpillableSeenSet
-
         self.shard_id = shard_id
         self.seen = SpillableSeenSet(spill_threshold)
         self._increment: list[str] = []

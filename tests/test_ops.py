@@ -62,6 +62,35 @@ def test_minhash_near_dup(ray_session):
     assert all(3 not in p for p in got)
 
 
+def test_near_dup_clusters(ray_session):
+    """Two planted near-dup chains must collapse into two components labeled
+    by their min doc_id; singletons are absent from the output."""
+    import ray.data
+
+    from spider_ray.ops.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog and runs through the green forest all day"
+    other = "a totally separate passage about ships sailing across the wide open ocean under clear skies"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 99],
+                "text": [
+                    base,
+                    base.replace("green", "dark"),
+                    base.replace("lazy", "sleepy"),
+                    other,
+                    other.replace("clear", "cloudy"),
+                    "completely different content about databases and query engines",
+                ],
+            }
+        )
+    )
+    out = near_dup_clusters(ds, threshold=0.5, num_perm=64, n_bands=16, shingle_size=3)
+    got = dict(zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_simhash(ray_session):
     import ray.data
 
