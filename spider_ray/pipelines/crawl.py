@@ -59,6 +59,7 @@ class CrawlResult:
     metrics: list[dict] = field(default_factory=list)
     out_dir: str | None = None
     seen_keys: set[str] = field(default_factory=set)  # authoritative final seen set
+    stopped: bool = False  # True when a CrawlControl shutdown ended the crawl
 
     @property
     def visited_set(self) -> set[str]:
@@ -236,6 +237,7 @@ class RayCrawler:
         adaptive_politeness: bool = False,
         index_mode: str = "auto",  # "auto" | "driver" | "pooled"
         seen_spill_threshold: int | None = None,
+        control=None,  # CrawlControl: pause/resume/shutdown at wave barriers
     ) -> None:
         self.job = job
         self.config = job.config
@@ -261,6 +263,7 @@ class RayCrawler:
         self.seen_spill_threshold = seen_spill_threshold
         if seen_spill_threshold is not None:
             self.collect_seen = False
+        self.control = control
         self.frontier_ops = 0  # candidate URLs processed (bench metric)
         self._index = None  # CorpusIndex, built lazily at first wave
         self._pending_inserts: list = []
@@ -272,6 +275,11 @@ class RayCrawler:
         self._live_job = job
         self._router_cache = None
         self._index_pool = None  # CorpusIndexPool (sharded/streaming paths)
+
+    def _control_stop(self, wave: int) -> bool:
+        """Wave-barrier control point (handle_process, website.rs:7891):
+        blocks while paused; True = shutdown requested."""
+        return self.control is not None and self.control.checkpoint(wave) == "shutdown"
 
     #: corpora above this row count index through the sharded actor pool
     #: (driver memory stays flat); below it the driver dict is faster —
@@ -971,7 +979,11 @@ class RayCrawler:
         t_start = _time.monotonic()
         config = self.config
         result = CrawlResult(out_dir=self.out_dir)
-        pool = AdmissionPool(self.num_seen_shards, spill_threshold=self.seen_spill_threshold)
+        pool = AdmissionPool(
+            self.num_seen_shards,
+            spill_threshold=self.seen_spill_threshold,
+            stage_increments=bool(self.ckpt_dir),
+        )
         signatures: set[int] = set()
         budget = Budget(config.budget, depth_distance_for(config))
         want_cand = bool(self.ckpt_dir)
@@ -1023,6 +1035,9 @@ class RayCrawler:
                 config.crawl_timeout_s is not None
                 and _time.monotonic() - t_start >= config.crawl_timeout_s
             )
+            if self._control_stop(wave):
+                result.stopped = True
+                break
             if timed_out or not next_admitted or wave + 1 >= config.max_waves:
                 break
             wave += 1
@@ -1290,6 +1305,9 @@ class RayCrawler:
             if fast:
                 if wave != resume_wave:  # never rewrite the restored wave's ckpt
                     self._ckpt_wave_fast(wave, flat_candidates, signatures, seen, result.metrics)
+                if self._control_stop(wave):
+                    result.stopped = True
+                    break
                 if timed_out or flat_candidates is None or len(flat_candidates) == 0 or wave + 1 >= config.max_waves:
                     break
                 # _admit_fast fires the seen inserts itself (fire-and-overlap:
@@ -1315,6 +1333,9 @@ class RayCrawler:
                 budgetless = frozenset(u.lower() for u in injected)
                 candidates.extend((u, score_url(u, wave + 1)) for u in injected)
 
+            if self._control_stop(wave):
+                result.stopped = True
+                break
             if timed_out or not candidates or wave + 1 >= config.max_waves:
                 break
 

@@ -96,20 +96,33 @@ class AdmissionShard:
             if part is not None and part.num_rows:
                 self._parts.append(part)
 
-    def finalize_wave(self, depth_distance: int, wave: int, return_candidates: bool = False):
+    def finalize_wave(
+        self,
+        depth_distance: int,
+        wave: int,
+        return_candidates: bool = False,
+        drain_increment: bool = False,
+    ):
         """Admit the queued candidates.
 
-        → (urls, hosts, prios, n_candidates, candidate_urls | None), where
-        urls/hosts/prios are sorted by (priority desc, key desc) — the
-        canonical heap order within this shard.  ``wave`` feeds the depth
-        term of the priority score (clamping makes it order-relevant)."""
+        → (admitted_table, candidate_urls | None, prior_increment | None).
+        ``wave`` feeds the depth term of the priority score (clamping makes
+        it order-relevant).  ``drain_increment`` returns (and clears) the
+        increment accumulated BEFORE this wave's inserts — those keys belong
+        to waves ≤ wave−1 and must land in wave−1's checkpoint, while this
+        wave's admissions must NOT (resume re-admits them from the stored
+        frontier; leaking them into the earlier checkpoint would make resume
+        filter the whole frontier as already-seen)."""
         import pyarrow.compute as pc
 
         from ..frontier import score_urls_arrow
 
+        prior = None
+        if drain_increment:
+            prior, self._increment = self._increment, []
         parts, self._parts = self._parts, []
         if not parts:
-            return None, [] if return_candidates else None
+            return None, ([] if return_candidates else None), prior
         merged = pa.concat_tables(parts)
         # global first-push order: stable rank sort, keep first key
         order = pc.sort_indices(merged, sort_keys=[("rank", "ascending")])
@@ -162,7 +175,7 @@ class AdmissionShard:
                 "host": hosts_arr.take(take),
             }
         )
-        return admitted, cand_urls
+        return admitted, cand_urls, prior
 
 
 class AdmissionPool:
@@ -173,6 +186,7 @@ class AdmissionPool:
         num_shards: int = 8,
         bloom_capacity: int = 1_000_000,
         spill_threshold: int | None = None,
+        stage_increments: bool = False,
     ) -> None:
         self.num_shards = num_shards
         self.shards = [
@@ -181,6 +195,11 @@ class AdmissionPool:
         ]
         self._accept_futs: list = []
         self._pending_parts: list[list] = [[] for _ in range(num_shards)]
+        # checkpointing crawls drain each shard's increment at finalize entry
+        # (keys of waves ≤ k) and stage it here for wave k's checkpoint —
+        # see AdmissionShard.finalize_wave(drain_increment=...)
+        self.stage_increments = stage_increments
+        self._staged_incs: list[list[str]] = [[] for _ in range(num_shards)]
 
     # -- seen facade (host-routed, mirrors UrlSeen fast mode) ---------------
 
@@ -217,6 +236,15 @@ class AdmissionPool:
         return sum(ray.get(futs)) if futs else 0
 
     def checkpoint_increments(self) -> list[list[str]]:
+        """Increments for the wave being checkpointed: the staged drains
+        (waves ≤ k) plus anything inserted driver-side since (seed wave /
+        sitemap chain) — NOT the in-flight wave-k+1 admissions, which stay
+        in the shards until the next finalize drains them."""
+        if self.stage_increments:
+            staged, self._staged_incs = self._staged_incs, [
+                [] for _ in range(self.num_shards)
+            ]
+            return staged
         return ray.get([s.take_increment.remote() for s in self.shards])
 
     def restore(self, per_shard_keys: list[list[str]]) -> None:
@@ -295,10 +323,16 @@ class AdmissionPool:
             self._accept_futs = []
         results = ray.get(
             [
-                s.finalize_wave.remote(depth_distance, wave, return_candidates)
+                s.finalize_wave.remote(
+                    depth_distance, wave, return_candidates, self.stage_increments
+                )
                 for s in self.shards
             ]
         )
+        if self.stage_increments:
+            for s, r in enumerate(results):
+                if r[2]:
+                    self._staged_incs[s].extend(r[2])
         tables = [r[0] for r in results if isinstance(r[0], pa.Table) and r[0].num_rows]
         if tables:
             merged = pa.concat_tables(tables)
