@@ -457,6 +457,37 @@ def q_multimodal_audio(sf_dir: str):
     return ds.map_batches(AudioDecode(), batch_format="pyarrow", batch_size=16)
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video frame-sample (flat-map: 1 video row → N frame rows) chained
+    into per-frame image decode — stride-2 sampling of fake-codec videos."""
+    import ray.data
+
+    from spider_ray.ops.multimodal import FrameSampler, ImageDecode, fake_image, fake_video
+
+    ids = list(range(24))
+    vids = []
+    for i in ids:
+        frames = [fake_image(i * 100 + j, 8 + (i + j) % 8, 4 + (i + j) % 4)
+                  for j in range(3 + i % 5)]
+        vids.append(fake_video(frames))
+    items = pa.table(
+        {"item_id": pa.array(ids, pa.int64()), "data": pa.array(vids, pa.binary())}
+    )
+    dec = ImageDecode()
+
+    def decode_frames(batch: pa.Table) -> pa.Table:
+        meta = dec(batch)
+        return meta.add_column(1, "frame_index", batch.column("frame_index"))
+
+    ds = ray.data.from_arrow(items)
+    frames = ds.map_batches(FrameSampler(stride=2), batch_format="pyarrow", batch_size=8)
+    out = frames.map_batches(decode_frames, batch_format="pyarrow", batch_size=32)
+    return out.map_batches(
+        lambda b: b.select(["item_id", "frame_index", "width", "height", "mean_luma"]),
+        batch_format="pyarrow",
+    )
+
+
 def entry() -> Any:
     """Flagship: full crawl of the sf0.001-scale synthetic web corpus."""
     from spider_ray.config import CrawlConfig, CrawlJob
@@ -513,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 

@@ -127,6 +127,18 @@ def run_bench() -> dict:
     docs.map_batches(Fingerprinter(), batch_format="pyarrow").count()
     queries["fingerprints"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.textstats import QualityScorer
+
+    t0 = time.perf_counter()
+    docs.map_batches(QualityScorer(), batch_format="pyarrow").count()
+    queries["quality_scores"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.dedup import near_dup_clusters
+
+    t0 = time.perf_counter()
+    near_dup_clusters(docs, threshold=0.5)
+    queries["near_dup_clusters"] = round(time.perf_counter() - t0, 3)
+
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvecs = np.array([r["embedding"] for r in emb.sort("vec_id").limit(8).take_all()],
                      dtype=np.float64)
@@ -139,6 +151,12 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     cosine_near_dup(emb, threshold=0.4).count()
     queries["embedding_near_dup"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.similarity import lsh_top_k
+
+    t0 = time.perf_counter()
+    lsh_top_k(emb, qvecs, k=10, n_planes=8)
+    queries["lsh_ann"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "crawl_full_sec",

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 10
+GOLDEN_VERSION = 11
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -509,6 +509,33 @@ def seq_multimodal_audio(n_items: int = 48) -> pa.Table:
     )
 
 
+def seq_multimodal_frames(n_videos: int = 24, stride: int = 2) -> pa.Table:
+    """Expected frame-sample + decode metadata straight from the fake-video
+    payload SPEC (video i = frames j∈[0, 3+i%5) of ``fake_image(i*100+j,
+    8+(i+j)%8, 4+(i+j)%4)`` in the length-prefixed FAKEVID container; every
+    ``stride``-th frame kept)."""
+    ids, fidx, widths, heights, lumas = [], [], [], [], []
+    for i in range(n_videos):
+        n_frames = 3 + i % 5
+        for j in range(0, n_frames, stride):
+            w, h = 8 + (i + j) % 8, 4 + (i + j) % 4
+            px = np.random.RandomState(i * 100 + j).randint(0, 256, size=w * h, dtype=np.uint8)
+            ids.append(i)
+            fidx.append(j)
+            widths.append(w)
+            heights.append(h)
+            lumas.append(float(px.mean()) if px.size else 0.0)
+    return pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "frame_index": pa.array(fidx, pa.int32()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "mean_luma": pa.array(lumas, pa.float64()),
+        }
+    )
+
+
 def seq_multimodal_decode(n_items: int = 64) -> pa.Table:
     """Expected image metadata straight from the fake-codec payload SPEC
     (header ``FAKEIMG:{w}x{h}:`` + w*h uint8 pixels from RandomState(id))."""
@@ -553,6 +580,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     out["fingerprints"] = seq_fingerprints(ids, texts)
     out["multimodal_decode"] = seq_multimodal_decode(64)
     out["multimodal_audio"] = seq_multimodal_audio(48)
+    out["multimodal_frames"] = seq_multimodal_frames(24)
 
 
 # ---------------------------------------------------------------------------
@@ -587,6 +615,7 @@ GOLDEN_QUERIES = (
     "fingerprints",
     "multimodal_decode",
     "multimodal_audio",
+    "multimodal_frames",
 )
 
 
@@ -618,6 +647,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     else:  # no documents table at this scale — multimodal is still derivable
         tables["multimodal_decode"] = seq_multimodal_decode(64)
         tables["multimodal_audio"] = seq_multimodal_audio(48)
+        tables["multimodal_frames"] = seq_multimodal_frames(24)
     for name, tbl in tables.items():
         pq.write_table(tbl, golden_path(sf_name, name))
     tmp = marker + ".tmp"

@@ -152,22 +152,46 @@ class ImageResize:
         )
 
 
+def fake_video(frames: list[bytes]) -> bytes:
+    """Fake video container: ``FAKEVID:`` + per frame a 4-byte big-endian
+    length prefix + the frame payload (binary-safe — frame bytes are
+    arbitrary, unlike a separator-based container)."""
+    out = [b"FAKEVID:"]
+    for f in frames:
+        out.append(len(f).to_bytes(4, "big"))
+        out.append(f)
+    return b"".join(out)
+
+
 class FrameSampler:
-    """Video frame sampling stub: treats payload as concatenated fake images
-    separated by b'|'; emits every ``stride``-th frame as its own row
-    (flat-map shape: one input row → N output rows)."""
+    """Video frame sampling stub: parses the length-prefixed ``FAKEVID``
+    container and emits every ``stride``-th frame as its own row (flat-map
+    shape: one input row → N output rows).  Real codecs (pyav etc.) would
+    replace only the container walk; the Ray-side shape is the real thing."""
 
     def __init__(self, stride: int = 2, binary_column: str = "data", id_column: str = "item_id"):
         self.stride = stride
         self.binary_column = binary_column
         self.id_column = id_column
 
+    @staticmethod
+    def _frames(payload: bytes) -> list[bytes]:
+        if not payload.startswith(b"FAKEVID:"):
+            return []
+        frames, pos = [], len(b"FAKEVID:")
+        while pos + 4 <= len(payload):
+            n = int.from_bytes(payload[pos : pos + 4], "big")
+            pos += 4
+            frames.append(payload[pos : pos + n])
+            pos += n
+        return frames
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_column).to_pylist()
         payloads = batch.column(self.binary_column).to_pylist()
         out_ids, out_frames, out_data = [], [], []
         for item_id, p in zip(ids, payloads):
-            frames = (p or b"").split(b"|")
+            frames = self._frames(p or b"")
             for fi in range(0, len(frames), self.stride):
                 out_ids.append(item_id)
                 out_frames.append(fi)

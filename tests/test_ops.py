@@ -219,7 +219,13 @@ def test_fingerprinter(ray_session):
 def test_multimodal_image_pipeline(ray_session):
     import ray.data
 
-    from spider_ray.ops.multimodal import FrameSampler, ImageDecode, ImageResize, fake_image
+    from spider_ray.ops.multimodal import (
+        FrameSampler,
+        ImageDecode,
+        ImageResize,
+        fake_image,
+        fake_video,
+    )
 
     items = pa.table(
         {
@@ -241,7 +247,7 @@ def test_multimodal_image_pipeline(ray_session):
     video = pa.table(
         {
             "item_id": pa.array([9], pa.int64()),
-            "data": pa.array([b"|".join(fake_image(i, 2, 2) for i in range(6))], pa.binary()),
+            "data": pa.array([fake_video([fake_image(i, 2, 2) for i in range(6)])], pa.binary()),
         }
     )
     frames = (
