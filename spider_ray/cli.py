@@ -72,6 +72,8 @@ def main(argv=None) -> int:
         p.add_argument("--max-page-bytes", type=int, default=0,
                        help="truncate bodies over N bytes (0 = unlimited)")
         p.add_argument("--index-mode", choices=("auto", "driver", "pooled"), default="auto")
+        p.add_argument("--stop-after-wave", type=int,
+                       help="graceful shutdown once wave N completes (resumable)")
         p.add_argument("--jsonl")
         p.add_argument("--num-cpus", type=int)
     args = parser.parse_args(argv)
@@ -92,6 +94,30 @@ def main(argv=None) -> int:
 
     seeds = tuple(u for s in args.seeds for u in glob_expand_url(s))
     job = CrawlJob(seeds, build_config(args))
+
+    # graceful stop: first SIGINT/SIGTERM requests a wave-barrier shutdown
+    # (checkpoint stays resumable with --resume); a second signal kills hard
+    import signal
+
+    from .state.control import CrawlControl
+
+    control = CrawlControl()
+    prev_handlers = {}
+
+    def _graceful(signum, frame):
+        control.shutdown()
+        print(
+            json.dumps({"signal": signum, "action": "shutdown_at_wave_barrier"}),
+            file=sys.stderr,
+        )
+        for s, h in prev_handlers.items():  # second signal → default behavior
+            signal.signal(s, h)
+
+    for s in (signal.SIGINT, signal.SIGTERM):
+        prev_handlers[s] = signal.signal(s, _graceful)
+    if args.stop_after_wave is not None:
+        control.shutdown_at_wave(args.stop_after_wave)
+
     crawler = RayCrawler(
         job,
         args.corpus,
@@ -99,8 +125,11 @@ def main(argv=None) -> int:
         ckpt_dir=args.ckpt,
         keep_pages=args.command == "scrape" or args.jsonl is not None,
         index_mode=args.index_mode,
+        control=control,
     )
     result = crawler.run(resume=args.resume)
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
 
     if args.command == "scrape" or args.jsonl:
         out = open(args.jsonl, "w") if args.jsonl else sys.stdout
@@ -126,6 +155,7 @@ def main(argv=None) -> int:
         "visited": len(result.visited),
         "waves": len(result.metrics),
         "out_dir": result.out_dir,
+        "stopped": result.stopped,
     }
     print(json.dumps(summary), file=sys.stderr)
     if started_ray:

@@ -96,3 +96,40 @@ def test_cli_scrape(ray_session, tmp_path):
     lines = [json.loads(l) for l in jsonl.read_text().splitlines()]
     assert len(lines) == 10
     assert all("text" in l and "url" in l for l in lines)
+
+
+def test_cli_stop_after_wave_and_resume(ray_session, tmp_path):
+    """--stop-after-wave N → graceful wave-barrier shutdown with a resumable
+    checkpoint; --resume finishes the crawl."""
+    from spider_ray.cli import main
+    from spider_ray.fixtures import build_corpus, seed_of, write_corpus_parquet
+
+    rows = build_corpus(n_hosts=2, pages_per_host=20)
+    cdir = tempfile.mkdtemp()
+    write_corpus_parquet(rows, cdir, n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    import io
+    from contextlib import redirect_stderr
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        rc = main(["crawl", "--corpus", cdir, "--seeds", seed_of(0),
+                   "--ckpt", ckpt, "--stop-after-wave", "1"])
+    assert rc == 0
+    partial = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert partial["stopped"] is True
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        rc = main(["crawl", "--corpus", cdir, "--seeds", seed_of(0),
+                   "--ckpt", ckpt, "--resume"])
+    assert rc == 0
+    resumed = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert resumed["stopped"] is False
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        rc = main(["crawl", "--corpus", cdir, "--seeds", seed_of(0)])
+    full = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert partial["visited"] + resumed["visited"] == full["visited"]
