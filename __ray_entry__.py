@@ -179,6 +179,49 @@ def q_crawl_retry(sf_dir: str):
     return res.pages_table().drop_columns(["links"])
 
 
+def q_recrawl_diff(sf_dir: str):
+    """Incremental re-crawl diff (ETag/304 class re-expressed as a signature
+    join): fresh crawl classified against a synthetic prior derived by the
+    shared recrawl_prior_spec (changed/unchanged/new/gone)."""
+    import ray.data
+
+    from spider_ray.goldens import recrawl_prior_spec
+    from spider_ray.pipelines.recrawl import recrawl_diff
+
+    res = _crawl(sf_dir, "crawl_pages")
+    tbl = res.pages_table()
+    urls = tbl.column("url").to_pylist()
+    sigs = [s or 0 for s in tbl.column("signature").to_pylist()]
+    p_urls, p_sigs = [], []
+    for u, s in zip(urls, sigs):
+        spec = recrawl_prior_spec(u, s)
+        if spec is not None:
+            p_urls.append(u)
+            p_sigs.append(spec[1])
+    for i in range(3):
+        p_urls.append(f"https://www.site0.example/gone/p{i}")
+        p_sigs.append(i)
+    prior = pa.table(
+        {"url": pa.array(p_urls, pa.string()), "signature": pa.array(p_sigs, pa.uint64())}
+    )
+    fresh = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls, pa.string()), "signature": pa.array(sigs, pa.uint64())})
+    )
+    diff_ds, gone = recrawl_diff(prior, fresh)
+    diff = pa.concat_tables(
+        [b for b in diff_ds.iter_batches(batch_format="pyarrow")]
+        + [
+            pa.table(
+                {
+                    "url": pa.array(gone, pa.string()),
+                    "change": pa.array(["gone"] * len(gone), pa.string()),
+                }
+            )
+        ]
+    )
+    return diff
+
+
 def q_crawl_sitemap(sf_dir: str):
     """Sitemap chain: orphan page reachable only via sitemap.xml is crawled,
     sitemap-discovered links are not expanded."""
@@ -525,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_sitemap": q_crawl_sitemap,
         "crawl_retry": q_crawl_retry,
         "crawl_queue": q_crawl_queue,
+        "recrawl_diff": q_recrawl_diff,
         "extract_text_parity": q_extract_text_parity,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,

@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 11
+GOLDEN_VERSION = 12
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -238,6 +238,50 @@ def _build_crawl_goldens(sf_name: str, out: dict[str, pa.Table]) -> None:
             out[name] = perhost_table(res.admitted_order)
         elif shape == "pages":
             out[name] = pages_table_from_oracle(res.pages)
+        if name == "crawl_pages":
+            out["recrawl_diff"] = seq_recrawl_diff(res.pages)
+
+
+def recrawl_prior_spec(url: str, signature: int | None) -> tuple[bool, int] | None:
+    """The synthetic-prior derivation SPEC shared by the recrawl query and
+    its golden: bucket = stable_hash("recrawl:"+url) % 4 → 0 omit (fresh page
+    becomes *new*), 1 signature+1 (*changed*), 2/3 keep (*unchanged*);
+    plus 3 fabricated /gone/ urls not in any crawl (*gone*)."""
+    b = stable_hash_str("recrawl:" + url) % 4
+    if b == 0:
+        return None
+    s = signature or 0
+    return (b == 1, (s + 1) & 0xFFFFFFFFFFFFFFFF if b == 1 else s)
+
+
+def seq_recrawl_diff(oracle_pages: list[dict]) -> pa.Table:
+    """Independent recompute of the re-crawl diff classes over the oracle
+    crawl's pages: plain dict membership + signature compare (the engine
+    path is a broadcast map_batches over the distributed fresh pages)."""
+    prior: dict[str, int] = {}
+    for p in oracle_pages:
+        spec = recrawl_prior_spec(p["url"], p.get("signature"))
+        if spec is not None:
+            prior[p["url"]] = spec[1]
+    for i in range(3):
+        prior[f"https://www.site0.example/gone/p{i}"] = i
+    urls, classes = [], []
+    fresh = {p["url"]: (p.get("signature") or 0) for p in oracle_pages}
+    for u, s in fresh.items():
+        urls.append(u)
+        if u not in prior:
+            classes.append("new")
+        elif prior[u] == s:
+            classes.append("unchanged")
+        else:
+            classes.append("changed")
+    for u in sorted(prior):
+        if u not in fresh:
+            urls.append(u)
+            classes.append("gone")
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "change": pa.array(classes, pa.string())}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -606,6 +650,7 @@ GOLDEN_QUERIES = (
     "crawl_sitemap",
     "crawl_retry",
     "crawl_queue",
+    "recrawl_diff",
     "minhash_pairs",
     "near_dup_clusters",
     "quality_scores",
