@@ -36,6 +36,76 @@ def hash_u64_column(values) -> np.ndarray:
     return out
 
 
+class SigSet:
+    """Content-signature set with vectorized membership.
+
+    Semantically a ``set[int]`` (the uint64 page-signature space of
+    ``stable_hash_u64``), but stored as a sorted-unique ``np.uint64`` array
+    so the per-wave freshness gate is one ``np.searchsorted`` instead of
+    ``np.fromiter`` over a Python set (which cost ~1-2 s/crawl at sf0.1 once
+    the set reached ~1M signatures).  Supports the small subset of the set
+    API the crawl paths use: ``in``/``add`` (sequential fold,
+    waves.py:gate_links_by_signature), ``update``/``__iter__``/``sorted()``
+    (checkpoint/restore), and the vectorized ``fresh_mask``/``update_array``
+    (fast-path gate, pipelines/crawl.py:_gate_blocks)."""
+
+    def __init__(self, init=()) -> None:
+        self._arr = np.empty(0, dtype=np.uint64)
+        self._extra: set[int] = set()
+        if init:
+            self.update(init)
+
+    def _compact(self) -> None:
+        if self._extra:
+            extra = np.fromiter(self._extra, dtype=np.uint64, count=len(self._extra))
+            self._arr = np.union1d(self._arr, extra)
+            self._extra.clear()
+
+    def __len__(self) -> int:
+        self._compact()
+        return len(self._arr)
+
+    def __bool__(self) -> bool:
+        return bool(self._extra) or len(self._arr) > 0
+
+    def __contains__(self, sig: int) -> bool:
+        if sig in self._extra:
+            return True
+        arr = self._arr
+        i = np.searchsorted(arr, np.uint64(sig))
+        return bool(i < len(arr) and arr[i] == np.uint64(sig))
+
+    def add(self, sig: int) -> None:
+        if sig not in self:
+            self._extra.add(int(sig))
+
+    def update(self, sigs) -> None:
+        if isinstance(sigs, np.ndarray):
+            self.update_array(sigs)
+        else:
+            self._extra.update(int(s) for s in sigs)
+
+    def update_array(self, sigs: np.ndarray) -> None:
+        if len(sigs):
+            self._compact()
+            self._arr = np.union1d(self._arr, sigs.astype(np.uint64, copy=False))
+
+    def fresh_mask(self, sigs: np.ndarray) -> np.ndarray:
+        """True where sig is NOT already in the set (vectorized)."""
+        self._compact()
+        arr = self._arr
+        sigs = sigs.astype(np.uint64, copy=False)
+        if len(arr) == 0:
+            return np.ones(len(sigs), dtype=bool)
+        idx = np.searchsorted(arr, sigs)
+        np.minimum(idx, len(arr) - 1, out=idx)
+        return arr[idx] != sigs
+
+    def __iter__(self):
+        self._compact()
+        return iter(self._arr.tolist())
+
+
 class BloomFilter:
     """Bit-array bloom filter, k=7 (``bloom.rs:15-37``); used as a fast
     negative cache in front of the authoritative seen set."""

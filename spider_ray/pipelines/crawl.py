@@ -46,6 +46,7 @@ from ..oracle import load_robots
 from ..semantics import Budget, depth_distance_for
 from ..stages.fetch import corpus_n_buckets
 from ..stages.parse import ParsePages, missing_rows
+from ..hashing import SigSet
 from ..urlnorm import url_host
 from ..waves import admit_wave, gate_links_by_signature, order_candidates
 from .. import oracle as _oracle
@@ -110,6 +111,27 @@ def _first_seen_mask_np(arr):
     keep = np.zeros(len(arr), dtype=bool)
     keep[first_idx] = True
     return keep
+
+
+def _sig_fresh_and_update(signatures, sig_in_order):
+    """Cross-wave freshness mask (True = signature unseen in prior waves),
+    then fold this wave's signatures into the set.  Vectorized searchsorted
+    when ``signatures`` is a :class:`~spider_ray.hashing.SigSet`; falls back
+    to np.isin for a plain ``set`` (direct callers in tests)."""
+    import numpy as np
+
+    if hasattr(signatures, "fresh_mask"):
+        fresh = signatures.fresh_mask(sig_in_order)
+        signatures.update_array(sig_in_order)
+        return fresh
+    if signatures:
+        fresh = ~np.isin(
+            sig_in_order, np.fromiter(signatures, dtype=np.uint64, count=len(signatures))
+        )
+    else:
+        fresh = np.ones(len(sig_in_order), dtype=bool)
+    signatures.update(np.unique(sig_in_order).tolist())
+    return fresh
 
 
 def _first_seen_mask(keys) -> "object":
@@ -754,14 +776,8 @@ class RayCrawler:
             sigs_np = pa.chunked_array(sig_chunks).to_numpy(zero_copy_only=False)
             sig_in_order = sigs_np[indexer]
             first = _first_seen_mask_np(sig_in_order)
-            if signatures:
-                fresh = ~np.isin(
-                    sig_in_order, np.fromiter(signatures, dtype=np.uint64, count=len(signatures))
-                )
-            else:
-                fresh = np.ones(len(sig_in_order), dtype=bool)
+            fresh = _sig_fresh_and_update(signatures, sig_in_order)
             allowed_global = indexer[first & fresh]
-            signatures.update(np.unique(sig_in_order).tolist())
         else:
             allowed_global = indexer
         rank_of_global = np.full(sum(counts), -1, dtype=np.int64)
@@ -831,14 +847,8 @@ class RayCrawler:
             # first occurrence within the wave AND not in the cross-wave set
             # (duplicate-content pages do not expand links, website.rs:8673-8683)
             first = _first_seen_mask_np(sig_in_order)
-            if signatures:
-                fresh = ~np.isin(
-                    sig_in_order, np.fromiter(signatures, dtype=np.uint64, count=len(signatures))
-                )
-            else:
-                fresh = np.ones(len(sig_in_order), dtype=bool)
+            fresh = _sig_fresh_and_update(signatures, sig_in_order)
             allowed = first & fresh
-            signatures.update(np.unique(sig_in_order).tolist())
             allowed_rows = indexer[allowed]
         else:
             allowed_rows = indexer
@@ -984,7 +994,7 @@ class RayCrawler:
             spill_threshold=self.seen_spill_threshold,
             stage_increments=bool(self.ckpt_dir),
         )
-        signatures: set[int] = set()
+        signatures = SigSet()
         budget = Budget(config.budget, depth_distance_for(config))
         want_cand = bool(self.ckpt_dir)
 
@@ -1092,7 +1102,7 @@ class RayCrawler:
         result = CrawlResult(out_dir=self.out_dir)
         seen = UrlSeen(self.num_seen_shards, spill_threshold=self.seen_spill_threshold)
         gate = HostGate(self.num_seen_shards, adaptive=self.adaptive_politeness)
-        signatures: set[int] = set()
+        signatures = SigSet()
 
         robots_by_host, robots_delays = self._robots()
         gate.set_delays(robots_delays)
@@ -1198,7 +1208,7 @@ class RayCrawler:
         result = CrawlResult(out_dir=self.out_dir)
         seen = UrlSeen(self.num_seen_shards, spill_threshold=self.seen_spill_threshold)
         budget = Budget(config.budget, depth_distance_for(config))
-        signatures: set[int] = set()
+        signatures = SigSet()
         robots_by_host, robots_delays = self._robots()
 
         def robots_for(url):

@@ -112,10 +112,11 @@ class CorpusIndex:
         self.status_of: dict[str, int] = {}
         self.location_of: dict[str, str] = {}
         self.flaky_of: dict[str, int] = {}
+        from itertools import repeat
+
         for fi, (groups, nonok) in enumerate(per_file):
             for rg, urls in enumerate(groups):
-                for u in urls:
-                    self.lookup[u] = (fi, rg)
+                self.lookup.update(zip(urls, repeat((fi, rg))))
             for u, s, loc, fl in nonok:
                 if s != 200:
                     self.status_of[u] = s
