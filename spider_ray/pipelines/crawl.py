@@ -935,11 +935,80 @@ class RayCrawler:
 
     # -- sharded admission (the scale fast path) -----------------------------
 
+    def _fetch_parse_wave_stream(self, admitted: list[str], wave: int):
+        """Streaming fetch+parse for the sharded path: parse-output blocks
+        are consumed AS THEY COMPLETE (``iter_internal_ref_bundles``), and
+        the per-block admitted-rank mapping + signature extraction runs
+        concurrently with the remaining parse tasks — so the post-barrier
+        gate left on the driver is pure numpy over (rank, sig) pairs instead
+        of an Arrow hash join over the wave's url strings.
+
+        Returns ``blocks``: list of (block_ref | None, fetched_rows np.int64,
+        ranks np.int64, sigs np.uint64 | None) — block_ref None for synthetic
+        rows (404 / redirect-error / flaky), which carry signatures but no
+        links."""
+        import numpy as np
+        import ray
+
+        from ..stages.fetch import fetch_wave_indexed
+
+        index = self._index_pool_get()
+        fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave, index)
+        ds, missing = fetch_wave_indexed(
+            fetch_urls + list(backmap.keys() - set(fetch_urls)), index
+        )
+        rank_of = dict(zip(admitted, range(len(admitted))))
+        normalize = self.config.normalize
+        blocks: list[tuple] = []
+        if ds is not None:
+            parsed_ds = ds.map_batches(
+                ParsePages(self._live_job, wave, backmap, targets_only, want_text=False),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).select_columns(["url", "signature", "links"])
+            for bundle in parsed_ds.iter_internal_ref_bundles():
+                for block_ref, _md in bundle.blocks:
+                    # same-node ray.get of an Arrow block is zero-copy (plasma
+                    # mmap); only the url/signature columns are touched here
+                    tbl = ray.get(block_ref)
+                    if tbl.num_rows == 0 or "url" not in tbl.schema.names:
+                        continue
+                    urls = tbl.column("url").to_pylist()
+                    ranks_all = np.fromiter(
+                        (rank_of.get(u, -1) for u in urls),
+                        dtype=np.int64,
+                        count=len(urls),
+                    )
+                    rows = np.nonzero(ranks_all >= 0)[0].astype(np.int64)
+                    ranks = ranks_all[rows]
+                    sigs = None
+                    if normalize:
+                        sigs = (
+                            tbl.column("signature")
+                            .to_numpy(zero_copy_only=False)[rows]
+                            .astype(np.uint64, copy=False)
+                        )
+                    blocks.append((block_ref, rows, ranks, sigs))
+        synth_urls = missing + [u for u, _, _ in synth]
+        if synth_urls:
+            ranks = np.fromiter(
+                (rank_of.get(u, -1) for u in synth_urls),
+                dtype=np.int64,
+                count=len(synth_urls),
+            )
+            ranks = ranks[ranks >= 0]
+            sigs = (
+                np.full(len(ranks), _EMPTY_SIG, dtype=np.uint64) if normalize else None
+            )
+            blocks.append((None, None, ranks, sigs))
+        return blocks
+
     def _wave_sharded(self, admitted, wave, pool, signatures, want_candidates):
-        """One wave through the sharded AdmissionPool: fetch+parse refs →
-        driver signature gating (O(pages), vectorized) → sharded flatten
-        tasks shipping candidate parts straight to their shards →
-        shard-local admit → k-way-merged canonical order.
+        """One wave through the sharded AdmissionPool: streaming fetch+parse
+        (per-block rank/sig extraction overlapped with the parse stage) →
+        numpy signature gate → sharded flatten tasks shipping candidate
+        parts straight to their shards → shard-local admit → merged
+        canonical order.
 
         → (next_admitted, next_hosts, n_raw_candidates, cand_for_ckpt)."""
         import numpy as np
@@ -947,24 +1016,36 @@ class RayCrawler:
 
         from ..semantics import depth_distance_for
 
-        block_refs, small_tbls = self._fetch_parse_wave_refs(admitted, wave)
+        blocks = self._fetch_parse_wave_stream(admitted, wave)
         count_refs = []
-        if block_refs:
-            allowed_global, rank_of_global, offsets = self._gate_blocks(
-                small_tbls, admitted, signatures
-            )
+        if blocks:
+            all_ranks = np.concatenate([b[2] for b in blocks])
+            if self.config.normalize and len(all_ranks):
+                all_sigs = np.concatenate([b[3] for b in blocks])
+                order = np.argsort(all_ranks, kind="stable")
+                sig_in_order = all_sigs[order]
+                # duplicate-content pages do not expand links
+                # (website.rs:8673-8683): first occurrence in admitted order
+                # AND unseen in prior waves
+                first = _first_seen_mask_np(sig_in_order)
+                fresh = _sig_fresh_and_update(signatures, sig_in_order)
+                allowed_ranks = np.sort(all_ranks[order][first & fresh])
+            else:
+                allowed_ranks = np.sort(all_ranks)
             n_shards = pool.num_shards
-            for bi, ref in enumerate(block_refs):
-                if ref is None:
+            for block_ref, rows, ranks, _sigs in blocks:
+                if block_ref is None or len(ranks) == 0:
                     continue
-                lo, hi = offsets[bi], offsets[bi + 1]
-                in_block = allowed_global[(allowed_global >= lo) & (allowed_global < hi)]
-                if len(in_block) == 0:
+                if len(allowed_ranks):
+                    idx = np.searchsorted(allowed_ranks, ranks)
+                    np.minimum(idx, len(allowed_ranks) - 1, out=idx)
+                    mask = allowed_ranks[idx] == ranks
+                else:
+                    mask = np.zeros(len(ranks), dtype=bool)
+                if not mask.any():
                     continue
-                local_rows = (in_block - lo).astype(np.int64)
-                ranks = rank_of_global[in_block]
                 refs = _flatten_sharded_remote(n_shards).remote(
-                    ref, local_rows, ranks, n_shards
+                    block_ref, rows[mask], ranks[mask], n_shards
                 )
                 pool.accept_parts(refs[:-1])
                 count_refs.append(refs[-1])
