@@ -38,6 +38,7 @@ def build_config(args) -> "CrawlConfig":
         redirect_limit=args.redirect_limit,
         only_html=not args.allow_non_html,
         max_page_bytes=args.max_page_bytes,
+        concurrency_limit=args.concurrency_limit,
     )
     if args.budget:
         cfg = cfg.with_limit(args.budget)
@@ -71,6 +72,9 @@ def main(argv=None) -> int:
                        help="disable the only_html Content-Type gate")
         p.add_argument("--max-page-bytes", type=int, default=0,
                        help="truncate bodies over N bytes (0 = unlimited)")
+        p.add_argument("--concurrency-limit", type=int, default=None,
+                       help="worker-permit cap on concurrent fetch/parse tasks "
+                            "(configuration.rs:478 concurrency_limit)")
         p.add_argument("--index-mode", choices=("auto", "driver", "pooled"), default="auto")
         p.add_argument("--stop-after-wave", type=int,
                        help="graceful shutdown once wave N completes (resumable)")

@@ -79,6 +79,11 @@ class CrawlConfig:
     # 8033-8040): the page row is kept with blocked_crawl=True, its links
     # are not expanded, and its signature does not enter the dedup set.
     on_should_crawl: object | None = None  # Callable[[dict], bool]
+    # worker-permit cap — configuration.rs:478 (concurrency_limit), semaphore
+    # website.rs:6586, calc_limits website.rs:841-858: bounds how many fetches
+    # run at once.  Ray Data form: caps the fetch+parse stage's concurrent
+    # tasks (map_batches concurrency=N); None = let the scheduler saturate.
+    concurrency_limit: int | None = None
     # engine knobs (ours, documented divergences / wave model)
     round_robin: bool = False  # frontier domain round-robin (frontier.rs:83-121)
     wave_span_ms: int = 1000  # politeness window per wave (SURVEY.md §2.3)

@@ -625,12 +625,16 @@ class RayCrawler:
             self._index = CorpusIndex(self.corpus_dir)
         fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave)
         ds, missing_known = fetch_wave_indexed(
-            fetch_urls + list(backmap.keys() - set(fetch_urls)), self._index
+            fetch_urls + list(backmap.keys() - set(fetch_urls)),
+            self._index,
+            concurrency=self.config.concurrency_limit,
         )
         tables: list[pa.Table] = []
         if ds is not None:
             # batch_size=None: task per fetched block (one corpus descriptor)
             parse_kwargs = dict(batch_format="pyarrow", batch_size=None)
+            if self.config.concurrency_limit and not self.parse_concurrency:
+                parse_kwargs["concurrency"] = self.config.concurrency_limit
             parse_args = (self._live_job, wave, backmap, targets_only)
             if self.parse_concurrency:
                 parsed_ds = ds.map_batches(
@@ -715,15 +719,19 @@ class RayCrawler:
         index = self._index_pool_get()
         fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave, index)
         ds, missing = fetch_wave_indexed(
-            fetch_urls + list(backmap.keys() - set(fetch_urls)), index
+            fetch_urls + list(backmap.keys() - set(fetch_urls)),
+            index,
+            concurrency=self.config.concurrency_limit,
         )
         block_refs: list = []
         small_tbls: list[pa.Table] = []
         if ds is not None:
+            cl = self.config.concurrency_limit
             parsed_ds = ds.map_batches(
                 ParsePages(self._live_job, wave, backmap, targets_only, want_text=False),
                 batch_format="pyarrow",
                 batch_size=None,
+                **({"concurrency": cl} if cl else {}),
             ).select_columns(["url", "signature", "links"])
             refs = parsed_ds.to_arrow_refs()
             # ray.get of same-node Arrow blocks is zero-copy (plasma mmap);
@@ -955,16 +963,20 @@ class RayCrawler:
         index = self._index_pool_get()
         fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave, index)
         ds, missing = fetch_wave_indexed(
-            fetch_urls + list(backmap.keys() - set(fetch_urls)), index
+            fetch_urls + list(backmap.keys() - set(fetch_urls)),
+            index,
+            concurrency=self.config.concurrency_limit,
         )
         rank_of = dict(zip(admitted, range(len(admitted))))
         normalize = self.config.normalize
         blocks: list[tuple] = []
         if ds is not None:
+            cl = self.config.concurrency_limit
             parsed_ds = ds.map_batches(
                 ParsePages(self._live_job, wave, backmap, targets_only, want_text=False),
                 batch_format="pyarrow",
                 batch_size=None,
+                **({"concurrency": cl} if cl else {}),
             ).select_columns(["url", "signature", "links"])
             for bundle in parsed_ds.iter_internal_ref_bundles():
                 for block_ref, _md in bundle.blocks:

@@ -425,9 +425,13 @@ class ReadRowGroups:
         return pa.concat_tables(out)
 
 
-def fetch_wave_indexed(urls: list[str], index):
+def fetch_wave_indexed(urls: list[str], index, concurrency: int | None = None):
     """Index-backed fetch (plain CorpusIndex or CorpusIndexPool — both
-    expose ``split``): returns (Dataset | None, missing_urls)."""
+    expose ``split``): returns (Dataset | None, missing_urls).
+
+    ``concurrency`` is the worker-permit cap (configuration.rs:478
+    concurrency_limit; semaphore website.rs:6586) — caps concurrent read
+    tasks; None lets the scheduler saturate the cluster."""
     import ray.data
 
     descriptors, missing = index.split(urls)
@@ -437,5 +441,8 @@ def fetch_wave_indexed(urls: list[str], index):
     # batch_size=None → one task per descriptor block; downstream maps must
     # also use batch_size=None or Ray's fused operator re-bundles ALL the
     # one-row descriptor blocks into a single task (serializing the wave)
-    pages = ds.map_batches(ReadRowGroups(), batch_format="pyarrow", batch_size=None)
+    pages = ds.map_batches(
+        ReadRowGroups(), batch_format="pyarrow", batch_size=None,
+        **({"concurrency": concurrency} if concurrency else {}),
+    )
     return pages, missing

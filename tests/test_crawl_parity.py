@@ -89,6 +89,27 @@ def test_parity_distributed_flatten_path(fixture_env, name):
     assert e.admitted_order == o.admitted_order, name
 
 
+def test_concurrency_limit_is_semantic_noop(fixture_env):
+    """concurrency_limit (configuration.rs:478 worker-permit cap) bounds
+    stage parallelism but must not change the crawl result — both the
+    sharded fast path (keep_pages=False) and the page-materializing path."""
+    from spider_ray.pipelines.crawl import RayCrawler, crawl
+
+    corpus, cdir = fixture_env
+    base = CrawlConfig(normalize=True)
+    job = CrawlJob((seed_of(0),), base)
+    capped = CrawlJob((seed_of(0),), CrawlConfig(normalize=True, concurrency_limit=1))
+    o = crawl_oracle(job, corpus)
+
+    e_fast = RayCrawler(capped, cdir, keep_pages=False).run()
+    assert e_fast.visited_set == o.visited_set
+    assert e_fast.admitted_order == o.admitted_order
+
+    e_pages = crawl(capped, cdir)
+    assert e_pages.visited_set == o.visited_set
+    assert e_pages.pages_table().num_rows == len(o.pages)
+
+
 def test_parity_queue_injection(fixture_env):
     from spider_ray.pipelines.crawl import RayCrawler
 
