@@ -872,15 +872,20 @@ class RayCrawler:
         admitted order, then list_flatten of allowed pages' links — candidate
         URLs never become Python objects until after dedup."""
         import numpy as np
-        import pandas as pd
         import pyarrow.compute as pc
 
         if parsed_tbl is None:
             return None
-        # rows of parsed_tbl in ADMITTED (canonical) order — C-level indexer
-        url_index = pd.Index(parsed_tbl.column("url").to_pandas())
-        indexer = url_index.get_indexer(pd.Index(admitted))
-        indexer = indexer[indexer >= 0]
+        # rows of parsed_tbl in ADMITTED (canonical) order — Arrow C++ hash
+        # join (index_in), no pandas Index build
+        indexer = pc.index_in(
+            pa.array(admitted, pa.string()), value_set=parsed_tbl.column("url")
+        ).to_numpy(zero_copy_only=False)
+        indexer = (
+            indexer[~np.isnan(indexer)].astype(np.int64)
+            if indexer.dtype.kind == "f"
+            else indexer[indexer >= 0]
+        )
         if self.config.normalize:
             sigs_np = parsed_tbl.column("signature").to_numpy(zero_copy_only=False)
             sig_in_order = sigs_np[indexer]
