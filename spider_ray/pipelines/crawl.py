@@ -286,7 +286,7 @@ class RayCrawler:
         parse_batch_size: int = 128,
         parse_concurrency: int | None = None,
         keep_pages: bool = True,
-        collect_seen: bool = True,
+        collect_seen: bool = False,
         queue_provider=None,
         adaptive_politeness: bool = False,
         index_mode: str = "auto",  # "auto" | "driver" | "pooled"
@@ -1612,4 +1612,9 @@ class RayCrawler:
 
 
 def crawl(job: CrawlJob, corpus_dir: str, **kwargs) -> CrawlResult:
+    """Convenience/parity entry: collects the final seen set by default
+    (the reference's ``Website`` keeps its visited set in memory).  The
+    ``RayCrawler`` default is ``collect_seen=False`` — gathering every seen
+    key to the driver is a whole-frontier materialization at 10^10 scale."""
+    kwargs.setdefault("collect_seen", True)
     return RayCrawler(job, corpus_dir, **kwargs).run()

@@ -26,9 +26,9 @@ def test_pooled_index_matches_driver_index(corpus, cfg, ray_session):
     job = CrawlJob((seed_of(0), seed_of(1)), cfg)
     golden = crawl_oracle(job, corpus_dict)
 
-    pooled = RayCrawler(job, cdir, keep_pages=False, index_mode="pooled")
+    pooled = RayCrawler(job, cdir, keep_pages=False, index_mode="pooled", collect_seen=True)
     res_pool = pooled.run()
-    driver = RayCrawler(job, cdir, keep_pages=False, index_mode="driver")
+    driver = RayCrawler(job, cdir, keep_pages=False, index_mode="driver", collect_seen=True)
     res_drv = driver.run()
 
     assert res_pool.admitted_order == golden.admitted_order

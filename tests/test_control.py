@@ -31,7 +31,7 @@ def test_shutdown_then_resume_completes(env, config):
 
     corpus, cdir = env
     job = CrawlJob((seed_of(0),), config)
-    full = RayCrawler(job, cdir, keep_pages=False).run()
+    full = RayCrawler(job, cdir, keep_pages=False, collect_seen=True).run()
 
     ckpt = tempfile.mkdtemp(prefix="spider_ctl_ckpt_")
     ctl = CrawlControl()
@@ -42,7 +42,7 @@ def test_shutdown_then_resume_completes(env, config):
     head = [(w, s, u) for (w, s, u) in full.admitted_order if w <= 1]
     assert partial.admitted_order == head
 
-    resumed = RayCrawler(job, cdir, ckpt_dir=ckpt, keep_pages=False).run(resume=True)
+    resumed = RayCrawler(job, cdir, ckpt_dir=ckpt, keep_pages=False, collect_seen=True).run(resume=True)
     assert not resumed.stopped
     tail = [(w, s, u) for (w, s, u) in full.admitted_order if w >= 2]
     assert resumed.admitted_order == tail

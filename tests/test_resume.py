@@ -44,7 +44,7 @@ def _run_kill_resume(env, config, kill_wave=1):
     job = CrawlJob((seed_of(0),), config)
 
     full_out = tempfile.mkdtemp(prefix="spider_full_out_")
-    full = RayCrawler(job, cdir, out_dir=full_out).run()
+    full = RayCrawler(job, cdir, out_dir=full_out, collect_seen=True).run()
 
     out = tempfile.mkdtemp(prefix="spider_kill_out_")
     ckpt = tempfile.mkdtemp(prefix="spider_ckpt_")
@@ -66,7 +66,7 @@ def _run_kill_resume(env, config, kill_wave=1):
     with pytest.raises(_KillAfterWave):
         crawler.run()
 
-    resumed = RayCrawler(job, cdir, out_dir=out, ckpt_dir=ckpt).run(resume=True)
+    resumed = RayCrawler(job, cdir, out_dir=out, ckpt_dir=ckpt, collect_seen=True).run(resume=True)
     return full, full_out, resumed, out, ckpt, job
 
 
