@@ -171,6 +171,25 @@ def _fetch_parse_task_impl(desc, parser):
     return parsed.select(["url", "signature", "links"])
 
 
+def _iter_allowed_blocks(blocks, allowed_ranks):
+    """Yield (block_ref, rows, ranks, keep_mask) for fetched blocks with at
+    least one link-expanding page (searchsorted membership vs the sorted
+    allowed-rank array)."""
+    import numpy as np
+
+    for block_ref, rows, ranks, _sigs in blocks:
+        if block_ref is None or len(ranks) == 0:
+            continue
+        if len(allowed_ranks):
+            idx = np.searchsorted(allowed_ranks, ranks)
+            np.minimum(idx, len(allowed_ranks) - 1, out=idx)
+            mask = allowed_ranks[idx] == ranks
+        else:
+            mask = np.zeros(len(ranks), dtype=bool)
+        if mask.any():
+            yield block_ref, rows, ranks, mask
+
+
 _FETCH_PARSE_TASK = None
 
 
@@ -739,134 +758,6 @@ class RayCrawler:
             and self.queue_provider is None
         )
 
-    def _fetch_parse_wave_refs(self, admitted: list[str], wave: int):
-        """Fetch+parse with the heavy columns left in the object store:
-        returns (block_refs, small_tbls) where small_tbls carry only
-        (url, signature) per block — the link payload is flattened remotely
-        by :meth:`_candidates_fast_refs`."""
-        import ray
-
-        from ..stages.fetch import CorpusIndex, fetch_wave_indexed
-
-        index = self._index_pool_get()
-        fetch_urls, backmap, targets_only, synth = self._resolve_wave(admitted, wave, index)
-        ds, missing = fetch_wave_indexed(
-            fetch_urls + list(backmap.keys() - set(fetch_urls)),
-            index,
-            concurrency=self.config.concurrency_limit,
-        )
-        block_refs: list = []
-        small_tbls: list[pa.Table] = []
-        if ds is not None:
-            cl = self.config.concurrency_limit
-            parsed_ds = ds.map_batches(
-                ParsePages(self._live_job, wave, backmap, targets_only, want_text=False),
-                batch_format="pyarrow",
-                batch_size=None,
-                **({"concurrency": cl} if cl else {}),
-            ).select_columns(["url", "signature", "links"])
-            refs = parsed_ds.to_arrow_refs()
-            # ray.get of same-node Arrow blocks is zero-copy (plasma mmap);
-            # selecting the two small columns costs nothing — the link
-            # payload buffers are never touched on the driver
-            for ref, tbl in zip(refs, ray.get(refs)):
-                if tbl.num_rows == 0 or "url" not in tbl.schema.names:
-                    continue
-                block_refs.append(ref)
-                small_tbls.append(tbl.select(["url", "signature"]))
-        synth_urls = missing + [u for u, _, _ in synth]
-        if synth_urls:
-            miss_small = pa.table(
-                {
-                    "url": pa.array(synth_urls, pa.string()),
-                    "signature": (
-                        pa.array(
-                            [_EMPTY_SIG] * len(synth_urls), pa.uint64()
-                        )
-                        if self.config.normalize
-                        else pa.nulls(len(synth_urls), pa.uint64())
-                    ),
-                }
-            )
-            block_refs.append(None)  # no links to flatten
-            small_tbls.append(miss_small)
-        return block_refs, small_tbls
-
-    def _gate_blocks(self, small_tbls, admitted, signatures):
-        """Admitted-order indexer + signature gating over the concatenated
-        small (url, signature) columns → (allowed_global, rank_of_global,
-        row offsets per block).  rank = position in admitted order, so any
-        downstream per-block flatten can reproduce the exact global
-        first-push order regardless of block interleave."""
-        import numpy as np
-        import pyarrow.compute as pc
-
-        urls_all, sig_chunks, counts = [], [], []
-        for t in small_tbls:
-            urls_all.append(t.column("url"))
-            sig_chunks.append(t.column("signature"))
-            counts.append(t.num_rows)
-        # position of each admitted url among the fetched rows — Arrow C++
-        # hash join (index_in), no pandas Index build
-        indexer = pc.index_in(
-            pa.array(admitted, pa.string()), value_set=pa.chunked_array(urls_all)
-        ).to_numpy(zero_copy_only=False)
-        indexer = indexer[~np.isnan(indexer)].astype(np.int64) if indexer.dtype.kind == "f" else indexer[indexer >= 0]
-        if self.config.normalize:
-            sigs_np = pa.chunked_array(sig_chunks).to_numpy(zero_copy_only=False)
-            sig_in_order = sigs_np[indexer]
-            first = _first_seen_mask_np(sig_in_order)
-            fresh = _sig_fresh_and_update(signatures, sig_in_order)
-            allowed_global = indexer[first & fresh]
-        else:
-            allowed_global = indexer
-        rank_of_global = np.full(sum(counts), -1, dtype=np.int64)
-        rank_of_global[indexer] = np.arange(len(indexer))
-        offsets = np.cumsum([0] + counts)
-        return allowed_global, rank_of_global, offsets
-
-    def _candidates_fast_refs(self, block_refs, small_tbls, admitted, signatures):
-        """Distributed candidate extraction: the heavy link columns never
-        reach the driver.  Per parse-output block, a remote task flattens the
-        allowed pages' links, lowercases, and locally first-push-dedups,
-        returning (url, key, rank) where rank = global admitted-rank ×
-        doc-position — so the driver's final keep-first dedup reproduces the
-        EXACT global first-push order regardless of block interleave.
-        """
-        import numpy as np
-        import ray
-
-        if not block_refs:
-            return None
-        allowed_global, rank_of_global, offsets = self._gate_blocks(
-            small_tbls, admitted, signatures
-        )
-        flat_futs = []
-        for bi, ref in enumerate(block_refs):
-            if ref is None:
-                continue
-            lo, hi = offsets[bi], offsets[bi + 1]
-            in_block = allowed_global[(allowed_global >= lo) & (allowed_global < hi)]
-            if len(in_block) == 0:
-                continue
-            local_rows = (in_block - lo).astype(np.int64)
-            ranks = rank_of_global[in_block]
-            flat_futs.append(_flatten_remote().remote(ref, local_rows, ranks))
-        if not flat_futs:
-            return None
-        parts = [p for p in ray.get(flat_futs) if p is not None and p.num_rows]
-        if not parts:
-            return None
-        merged = pa.concat_tables(parts)
-        self.frontier_ops += int(sum(t.column("n_raw")[0].as_py() for t in parts))
-        # exact global first-push dedup: stable order by rank, keep first key
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(merged, sort_keys=[("rank", "ascending")])
-        merged = merged.take(order)
-        merged = merged.filter(pa.array(_first_seen_mask(merged.column("key"))))
-        return merged  # columns: url, key, rank, n_raw
-
     def _candidates_fast(self, parsed_tbl, admitted, signatures, wave):
         """Arrow-native candidate extraction: vectorized signature gating in
         admitted order, then list_flatten of allowed pages' links — candidate
@@ -1065,6 +956,53 @@ class RayCrawler:
             blocks.append((None, None, ranks, sigs))
         return blocks
 
+    def _allowed_ranks_from_blocks(self, blocks, signatures):
+        """Numpy signature gate over the wave's collected (rank, sig) pairs
+        → sorted array of admitted ranks whose pages may expand links:
+        duplicate-content pages do not expand links (website.rs:8673-8683) —
+        first occurrence in admitted order AND unseen in prior waves."""
+        import numpy as np
+
+        all_ranks = np.concatenate([b[2] for b in blocks])
+        if self.config.normalize and len(all_ranks):
+            all_sigs = np.concatenate([b[3] for b in blocks])
+            order = np.argsort(all_ranks, kind="stable")
+            sig_in_order = all_sigs[order]
+            first = _first_seen_mask_np(sig_in_order)
+            fresh = _sig_fresh_and_update(signatures, sig_in_order)
+            return np.sort(all_ranks[order][first & fresh])
+        return np.sort(all_ranks)
+
+    def _candidates_fast_stream(self, admitted, wave, signatures):
+        """Raw-task candidate extraction for the streaming (HostGate) mode:
+        streaming fetch+parse, numpy gate, per-block flatten tasks, then one
+        driver-side rank sort + global first-push dedup.  The heavy link
+        columns never reach the driver (flatten ships (url, key, rank))."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import ray
+
+        blocks = self._fetch_parse_wave_stream(admitted, wave)
+        if not blocks:
+            return None
+        allowed_ranks = self._allowed_ranks_from_blocks(blocks, signatures)
+        flat_futs = [
+            _flatten_remote().remote(block_ref, rows[mask], ranks[mask])
+            for block_ref, rows, ranks, mask in _iter_allowed_blocks(blocks, allowed_ranks)
+        ]
+        if not flat_futs:
+            return None
+        parts = [p for p in ray.get(flat_futs) if p is not None and p.num_rows]
+        if not parts:
+            return None
+        merged = pa.concat_tables(parts)
+        self.frontier_ops += int(sum(t.column("n_raw")[0].as_py() for t in parts))
+        # exact global first-push dedup: stable order by rank, keep first key
+        order = pc.sort_indices(merged, sort_keys=[("rank", "ascending")])
+        merged = merged.take(order)
+        merged = merged.filter(pa.array(_first_seen_mask(merged.column("key"))))
+        return merged  # columns: url, key, rank, n_raw
+
     def _wave_sharded(self, admitted, wave, pool, signatures, want_candidates):
         """One wave through the sharded AdmissionPool: streaming fetch+parse
         (per-block rank/sig extraction overlapped with the parse stage) →
@@ -1081,31 +1019,9 @@ class RayCrawler:
         blocks = self._fetch_parse_wave_stream(admitted, wave)
         count_refs = []
         if blocks:
-            all_ranks = np.concatenate([b[2] for b in blocks])
-            if self.config.normalize and len(all_ranks):
-                all_sigs = np.concatenate([b[3] for b in blocks])
-                order = np.argsort(all_ranks, kind="stable")
-                sig_in_order = all_sigs[order]
-                # duplicate-content pages do not expand links
-                # (website.rs:8673-8683): first occurrence in admitted order
-                # AND unseen in prior waves
-                first = _first_seen_mask_np(sig_in_order)
-                fresh = _sig_fresh_and_update(signatures, sig_in_order)
-                allowed_ranks = np.sort(all_ranks[order][first & fresh])
-            else:
-                allowed_ranks = np.sort(all_ranks)
+            allowed_ranks = self._allowed_ranks_from_blocks(blocks, signatures)
             n_shards = pool.num_shards
-            for block_ref, rows, ranks, _sigs in blocks:
-                if block_ref is None or len(ranks) == 0:
-                    continue
-                if len(allowed_ranks):
-                    idx = np.searchsorted(allowed_ranks, ranks)
-                    np.minimum(idx, len(allowed_ranks) - 1, out=idx)
-                    mask = allowed_ranks[idx] == ranks
-                else:
-                    mask = np.zeros(len(ranks), dtype=bool)
-                if not mask.any():
-                    continue
+            for block_ref, rows, ranks, mask in _iter_allowed_blocks(blocks, allowed_ranks):
                 refs = _flatten_sharded_remote(n_shards).remote(
                     block_ref, rows[mask], ranks[mask], n_shards
                 )
@@ -1265,8 +1181,7 @@ class RayCrawler:
         push_futs: list = []
         while admitted:
             t_wave = _time.monotonic()
-            block_refs, small_tbls = self._fetch_parse_wave_refs(admitted, wave)
-            merged = self._candidates_fast_refs(block_refs, small_tbls, admitted, signatures)
+            merged = self._candidates_fast_stream(admitted, wave, signatures)
             if self.adaptive_politeness:
                 per_url = (_time.monotonic() - t_wave) / max(1, len(admitted))
                 gate.record_latency(admitted_hosts, [per_url] * len(admitted_hosts))
