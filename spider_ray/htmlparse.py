@@ -46,6 +46,9 @@ _ATTR_RE = re.compile(
 # Elements whose content is raw text per the HTML5 tokenizer.
 _RAW_TEXT = {"script", "style", "textarea", "title", "xmp"}
 
+# Close-tag matchers for _RAW_TEXT elements, compiled once per tag.
+_RAW_CLOSE_RE: dict[str, re.Pattern] = {}
+
 # token kinds
 TEXT, START, END, RAWTEXT, COMMENT = 0, 1, 2, 3, 4
 
@@ -75,7 +78,9 @@ def tokenize(html: str):
         self_closing = attrs_str.rstrip().endswith("/")
         yield (START, tag_l, attrs_str, None)
         if tag_l in _RAW_TEXT and not self_closing:
-            close = re.compile(rf"</{tag_l}\s*>", re.I)
+            close = _RAW_CLOSE_RE.get(tag_l)
+            if close is None:
+                close = _RAW_CLOSE_RE[tag_l] = re.compile(rf"</{tag_l}\s*>", re.I)
             cm = close.search(html, pos)
             if cm is None:
                 yield (RAWTEXT, tag_l, None, html[pos:])

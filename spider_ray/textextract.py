@@ -53,7 +53,9 @@ def extract_text(html: bytes | str) -> str:
             buf.clear()
             if "&" in joined:
                 joined = _htmllib.unescape(joined)
-            joined = _WS_RE.sub(" ", joined).strip()
+            # == _WS_RE.sub(" ", joined).strip(): str.split() and re \s share
+            # Py_UNICODE_ISSPACE, and join/split run in C.
+            joined = " ".join(joined.split())
             if joined:
                 blocks.append(joined)
 
