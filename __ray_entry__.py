@@ -445,6 +445,26 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_link_graph(sf_dir: str):
+    """Host-pair link-graph edges over the fixture web corpus (distributed
+    parse → per-batch combiner → multi-key groupby)."""
+    from spider_ray.ops.linkgraph import host_link_edges
+
+    return host_link_edges(_corpus_for(sf_dir))
+
+
+def q_host_degrees(sf_dir: str):
+    from spider_ray.ops.linkgraph import host_degrees
+
+    return host_degrees(_corpus_for(sf_dir))
+
+
+def q_host_pagerank(sf_dir: str):
+    from spider_ray.ops.linkgraph import host_pagerank
+
+    return host_pagerank(_corpus_for(sf_dir))
+
+
 def q_fingerprints(sf_dir: str):
     from spider_ray.ops.textstats import Fingerprinter
 
@@ -589,6 +609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
+        "link_graph": q_link_graph,
+        "host_degrees": q_host_degrees,
+        "host_pagerank": q_host_pagerank,
     }
 
 

@@ -94,6 +94,13 @@ def run_bench() -> dict:
     n_parsed = parsed.count()
     queries["parse_corpus"] = round(time.perf_counter() - t0, 3)
 
+    # --- host link-graph + PageRank over the entire corpus -----------------
+    from spider_ray.ops.linkgraph import host_pagerank
+
+    t0 = time.perf_counter()
+    host_pagerank(corpus, iters=10).count()
+    queries["host_pagerank"] = round(time.perf_counter() - t0, 3)
+
     # --- training-data ops over the sf tables ------------------------------
     from spider_ray.ops.dedup import exact_dedup_counts, minhash_lsh_candidates
     from spider_ray.ops.similarity import brute_force_top_k

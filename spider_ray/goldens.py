@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 12
+GOLDEN_VERSION = 13
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -603,6 +603,114 @@ def seq_multimodal_decode(n_items: int = 64) -> pa.Table:
     )
 
 
+def seq_link_graph(sf_name: str) -> pa.Table:
+    """Sequential host-pair edge extraction over the fixture corpus.
+
+    Independent of the distributed path: uses the single-purpose
+    ``htmlparse.extract_links_and_meta`` (not the fused single-pass parser)
+    page-by-page in a plain loop; link semantics are defined identically
+    (anchors, per-page first-seen dedup, external_domains="*")."""
+    from collections import Counter as _Counter
+
+    from .fixtures import SCALE_PARAMS, build_corpus
+    from .htmlparse import extract_links_and_meta
+    from .ops.linkgraph import _page_root
+    from .scope import get_page_selectors
+    from .urlnorm import url_host_port
+
+    n_hosts, pph, _, page_weight = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])
+    rows = build_corpus(n_hosts=n_hosts, pages_per_host=pph, seed=42, page_weight=page_weight)
+    counts: _Counter = _Counter()
+    for r in sorted(rows, key=lambda r: r["url"]):
+        url = r["url"]
+        if r["status"] != 200 or not r["html"]:
+            continue
+        if url.endswith("robots.txt") or url.endswith("sitemap.xml"):
+            continue
+        html = r["html"]
+        if isinstance(html, (bytes, bytearray)):
+            html = html.decode("utf-8", "replace")
+        h, p = url_host_port(url)
+        src = f"{h}:{p}" if p is not None else h
+        ex = extract_links_and_meta(
+            html,
+            url,
+            _page_root(url),
+            get_page_selectors(url, False, False),
+            external_domains=frozenset({"*"}),
+        )
+        for link in ex.links:
+            dh, dp = url_host_port(link)
+            dst = f"{dh}:{dp}" if dp is not None else dh
+            counts[(src, dst)] += 1
+    pairs = sorted(counts.items())
+    return pa.table(
+        {
+            "src_host": pa.array([s for (s, _), _ in pairs], pa.string()),
+            "dst_host": pa.array([d for (_, d), _ in pairs], pa.string()),
+            "n_links": pa.array([c for _, c in pairs], pa.int64()),
+        }
+    )
+
+
+def seq_host_degrees(edges: pa.Table) -> pa.Table:
+    """Degree rollup from the sequential edge table (dict loop)."""
+    stats: dict[str, list[int]] = {}  # host -> [out_deg, in_deg, out_links, in_links]
+    for s, d, n in zip(
+        edges.column("src_host").to_pylist(),
+        edges.column("dst_host").to_pylist(),
+        edges.column("n_links").to_pylist(),
+    ):
+        st = stats.setdefault(s, [0, 0, 0, 0])
+        st[0] += 1
+        st[2] += n
+        st = stats.setdefault(d, [0, 0, 0, 0])
+        st[1] += 1
+        st[3] += n
+    hosts = sorted(stats)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "out_degree": pa.array([stats[h][0] for h in hosts], pa.int64()),
+            "in_degree": pa.array([stats[h][1] for h in hosts], pa.int64()),
+            "out_links": pa.array([stats[h][2] for h in hosts], pa.int64()),
+            "in_links": pa.array([stats[h][3] for h in hosts], pa.int64()),
+        }
+    )
+
+
+def seq_host_pagerank(edges: pa.Table, damping: float = 0.85, iters: int = 10) -> pa.Table:
+    """Plain-loop PageRank with the pinned accumulation order (ascending
+    (dst, src) edge order; ascending-host dangling sum; float64 throughout;
+    final round to 12 decimals) — bit-compatible with the op spec in
+    ``ops/linkgraph.py`` by construction of the order, not shared code."""
+    pair_list = sorted(
+        zip(edges.column("src_host").to_pylist(), edges.column("dst_host").to_pylist())
+    )
+    hosts = sorted({h for e in pair_list for h in e})
+    n = len(hosts)
+    out_deg: dict[str, int] = {h: 0 for h in hosts}
+    for s, _ in pair_list:
+        out_deg[s] += 1
+    dangling_hosts = [h for h in hosts if out_deg[h] == 0]
+    by_dst_src = sorted(pair_list, key=lambda e: (e[1], e[0]))
+    r = {h: 1.0 / n for h in hosts}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = {h: 0.0 for h in hosts}
+        for s, d in by_dst_src:
+            contrib[d] += r[s] / out_deg[s]
+        dangling = sum(r[h] for h in dangling_hosts)
+        r = {h: base + damping * (contrib[h] + dangling / n) for h in hosts}
+    ranks = np.round(np.array([r[h] for h in hosts], dtype=np.float64), 12)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "pagerank": pa.array(ranks, pa.float64()),
+        }
+    )
+
+
 def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -661,6 +769,9 @@ GOLDEN_QUERIES = (
     "multimodal_decode",
     "multimodal_audio",
     "multimodal_frames",
+    "link_graph",
+    "host_degrees",
+    "host_pagerank",
 )
 
 
@@ -687,6 +798,10 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     os.makedirs(gdir, exist_ok=True)
     tables: dict[str, pa.Table] = {}
     _build_crawl_goldens(sf_name, tables)
+    lg = seq_link_graph(sf_name)
+    tables["link_graph"] = lg
+    tables["host_degrees"] = seq_host_degrees(lg)
+    tables["host_pagerank"] = seq_host_pagerank(lg)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_ops_goldens(sf_dir, tables)
     else:  # no documents table at this scale — multimodal is still derivable

@@ -1,0 +1,268 @@
+"""Host-level link-graph operators: edge extraction, degree rollups, and
+PageRank — the web-corpus quality signals (inlink counts, centrality) a
+training-data pipeline derives from a Common-Crawl-style crawl.
+
+Scale design
+------------
+* **Edge extraction is the expensive part** (parsing TBs of html) and is a
+  plain ``map_batches`` actor-pool stage with a per-batch combiner: each
+  batch emits already-aggregated ``(src_host, dst_host, n_links)`` partials,
+  so the follow-up ``groupby`` shuffle moves host-pair counts — never pages,
+  never URLs.  The html column is read once and dropped inside the batch fn.
+* **The host graph is orders of magnitude smaller than the URL graph**
+  (~10⁸ hosts / ~10⁹ distinct host-pairs for a 10¹⁰-URL crawl, vs ~10¹⁰
+  URL-level links).  Degree rollups stay fully distributed (mirrored-emit +
+  one groupby).  The PageRank power iteration runs over the *aggregated*
+  distinct-pair edge list inside a single ``@ray.remote`` task (block refs in,
+  table out — the driver never materializes edges); at 10⁹ edges that task
+  needs a fat node (~16 GB of int64 pairs), above which the iteration becomes
+  a per-iteration ``join`` + ``groupby(dst)`` exchange with the identical
+  pinned summation order.
+
+Determinism (the oracle contract)
+---------------------------------
+PageRank is floating point, so the accumulation ORDER is part of the op
+spec, making results bit-reproducible and independently recomputable:
+
+* contributions accumulate in ascending ``(dst, src)`` edge order
+  (``np.add.at`` over the sorted edge arrays = sequential per-slot adds);
+* dangling mass sums ranks in ascending host order (sequential ``sum``);
+* update: ``r' = (1-d)/N + d * (contrib + dangling/N)`` elementwise float64;
+* final ranks rounded to 12 decimals (``np.round``).
+
+Link semantics are exactly the crawl parser's (``parsepage.parse_page``
+with ``external_domains={"*"}``): anchors only, per-page first-seen dedup by
+lowercased canonical URL, asset/scheme filters applied, ``<base>`` honored.
+The reference keeps page links in ``Page::links`` / ``website.rs``'s link
+map; the host graph here is the natural aggregate of that per-page output.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..parsepage import parse_page
+from ..scope import get_page_selectors
+from ..urlnorm import url_host_port
+
+ALL_DOMAINS = frozenset({"*"})
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 10
+
+
+def _page_root(url: str) -> str | None:
+    """scheme://authority/ of a page URL (crawl_root for link resolution)."""
+    i = url.find("://")
+    if i < 0:
+        return None
+    j = url.find("/", i + 3)
+    return url + "/" if j < 0 else url[: j + 1]
+
+
+class EdgeExtractor:
+    """map_batches stage: corpus rows → per-batch combined host-pair counts.
+
+    Selectors / roots are memoized per src host (one urlsplit per host, not
+    per page), dst-host parsing per distinct link URL within the batch.
+    """
+
+    def __init__(self):
+        self._sel_cache: dict[str, tuple] = {}
+
+    def _src_state(self, url: str):
+        host, port = url_host_port(url)
+        key = f"{host}:{port}" if port is not None else host
+        st = self._sel_cache.get(key)
+        if st is None:
+            st = (key, get_page_selectors(url, False, False), _page_root(url))
+            self._sel_cache[key] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        keep = pc.and_(
+            pc.equal(batch.column("status"), 200),
+            pc.invert(
+                pc.or_(
+                    pc.ends_with(urls, "robots.txt"),
+                    pc.ends_with(urls, "sitemap.xml"),
+                )
+            ),
+        )
+        batch = batch.filter(keep)
+        counts: Counter = Counter()
+        dst_host_of: dict[str, str] = {}
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if not html:
+                continue
+            if isinstance(html, (bytes, bytearray)):
+                html = html.decode("utf-8", "replace")
+            src_host, sel, root = self._src_state(url)
+            parsed = parse_page(
+                html,
+                url,
+                root,
+                sel,
+                external_domains=ALL_DOMAINS,
+                want_signature=False,
+                want_text=False,
+            )
+            for link in parsed.links:
+                dst = dst_host_of.get(link)
+                if dst is None:
+                    h, p = url_host_port(link)
+                    dst = f"{h}:{p}" if p is not None else h
+                    dst_host_of[link] = dst
+                counts[(src_host, dst)] += 1
+        src, dst, n = [], [], []
+        for (s, d), c in counts.items():
+            src.append(s)
+            dst.append(d)
+            n.append(c)
+        return pa.table(
+            {
+                "src_host": pa.array(src, pa.string()),
+                "dst_host": pa.array(dst, pa.string()),
+                "n_links": pa.array(n, pa.int64()),
+            }
+        )
+
+
+def host_link_edges(corpus_dir: str, concurrency: int | None = None):
+    """Dataset of ``(src_host, dst_host, n_links)`` — one row per distinct
+    host pair, ``n_links`` = number of (page, deduped-link) occurrences."""
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus_dir, columns=["url", "html", "status"])
+    edges = ds.map_batches(
+        EdgeExtractor,
+        batch_format="pyarrow",
+        concurrency=concurrency or (2, 8),
+    )
+    agg = edges.groupby(["src_host", "dst_host"]).sum("n_links")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "src_host": b.column("src_host"),
+                "dst_host": b.column("dst_host"),
+                "n_links": pc.cast(b.column("sum(n_links)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def host_degrees(corpus_dir: str):
+    """Per-host degree rollup over the distinct-pair host graph:
+    ``out_degree``/``in_degree`` count distinct neighbor hosts (self-loops
+    count on both sides), ``out_links``/``in_links`` sum link occurrences."""
+    edges = host_link_edges(corpus_dir)
+
+    def mirror(b: pa.Table) -> pa.Table:
+        n = b.column("n_links")
+        zero = pa.nulls(len(b), pa.int64()).fill_null(0)
+        one = pa.nulls(len(b), pa.int64()).fill_null(1)
+        out_side = pa.table(
+            {
+                "host": b.column("src_host"),
+                "out_degree": one,
+                "in_degree": zero,
+                "out_links": n,
+                "in_links": zero,
+            }
+        )
+        in_side = pa.table(
+            {
+                "host": b.column("dst_host"),
+                "out_degree": zero,
+                "in_degree": one,
+                "out_links": zero,
+                "in_links": n,
+            }
+        )
+        return pa.concat_tables([out_side, in_side])
+
+    mirrored = edges.map_batches(mirror, batch_format="pyarrow")
+    agg = mirrored.groupby("host").sum(
+        ["out_degree", "in_degree", "out_links", "in_links"]
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "host": b.column("host"),
+                "out_degree": pc.cast(b.column("sum(out_degree)"), pa.int64()),
+                "in_degree": pc.cast(b.column("sum(in_degree)"), pa.int64()),
+                "out_links": pc.cast(b.column("sum(out_links)"), pa.int64()),
+                "in_links": pc.cast(b.column("sum(in_links)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _pagerank_kernel(
+    src: np.ndarray, dst: np.ndarray, hosts: list[str],
+    damping: float, iters: int,
+) -> np.ndarray:
+    """Power iteration with the pinned accumulation order (module docstring).
+    ``src``/``dst`` are host-id arrays sorted by (dst, src)."""
+    n = len(hosts)
+    out_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, src, 1)
+    dangling_ids = np.flatnonzero(out_deg == 0)
+    safe_deg = np.where(out_deg == 0, 1, out_deg).astype(np.float64)
+    r = np.full(n, 1.0 / n, dtype=np.float64)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, dst, r[src] / safe_deg[src])
+        dangling = sum(r[i] for i in dangling_ids)  # ascending host order
+        r = base + damping * (contrib + dangling / n)
+    return np.round(r, 12)
+
+
+def host_pagerank(
+    corpus_dir: str,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+):
+    """``(host, pagerank)`` over the distinct-pair host graph.
+
+    Distributed extraction/aggregation feeds a single remote power-iteration
+    task via block refs (driver never holds the edges); see module docstring
+    for the >10⁹-edge alternative."""
+    import ray
+    import ray.data
+
+    edges = host_link_edges(corpus_dir)
+    refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def _iterate(*blocks: pa.Table) -> pa.Table:
+        tbl = pa.concat_tables([b for b in blocks if b.num_rows])
+        src_s = tbl.column("src_host")
+        dst_s = tbl.column("dst_host")
+        hosts_arr = pc.unique(pa.chunked_array(list(src_s.chunks) + list(dst_s.chunks)))
+        hosts = sorted(hosts_arr.to_pylist())
+        idx = {h: i for i, h in enumerate(hosts)}
+        src = np.fromiter((idx[h] for h in src_s.to_pylist()), np.int64, len(tbl))
+        dst = np.fromiter((idx[h] for h in dst_s.to_pylist()), np.int64, len(tbl))
+        order = np.lexsort((src, dst))  # ascending (dst, src)
+        r = _pagerank_kernel(src[order], dst[order], hosts, damping, iters)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "pagerank": pa.array(r, pa.float64()),
+            }
+        )
+
+    import ray.data as rd
+
+    return rd.from_arrow(ray.get(_iterate.remote(*refs)))
