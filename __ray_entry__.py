@@ -374,6 +374,33 @@ def q_events_per_day(sf_dir: str):
     )
 
 
+def q_tumbling_events(sf_dir: str):
+    """Tumbling-window (1h) event rollup: per-batch combiner then one
+    groupby shuffle of partials; integer-cents sums for distributed-order
+    determinism."""
+    import ray.data
+
+    from spider_ray.ops.windows import tumbling_window_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    return tumbling_window_counts(ev, width_s=3600)
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based (30 min) sessionization: groupby(user_id).map_groups with
+    in-group (ts, event_id) sort."""
+    import ray.data
+
+    from spider_ray.ops.windows import sessionize
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
+    )
+    return sessionize(ev, gap_s=1800)
+
+
 def q_top_k_similarity(sf_dir: str):
     from spider_ray.ops.similarity import brute_force_top_k
 
@@ -597,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "docs_by_source": q_docs_by_source,
         "events_per_day": q_events_per_day,
+        "tumbling_events": q_tumbling_events,
+        "sessionize": q_sessionize,
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -647,6 +676,27 @@ def oracle_sql() -> dict[str, str]:
         "events_per_day": (
             "SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events "
             "FROM events GROUP BY 1"
+        ),
+        "tumbling_events": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type, "
+            "count(*)::BIGINT AS n_events, "
+            "sum(CAST(round(value*100) AS BIGINT))::BIGINT AS sum_value_cents "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH e AS ("
+            "  SELECT user_id, epoch_us(ts) AS ts_us, "
+            "         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "  FROM events"
+            "), s AS ("
+            "  SELECT user_id, ts_us, "
+            "         sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END) "
+            "           OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp "
+            "  FROM e"
+            ") "
+            "SELECT user_id, (grp-1)::BIGINT AS session_id, count(*)::BIGINT AS n_events, "
+            "min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us "
+            "FROM s GROUP BY user_id, grp"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -165,6 +165,22 @@ def run_bench() -> dict:
     lsh_top_k(emb, qvecs, k=10, n_planes=8)
     queries["lsh_ann"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.windows import sessionize, tumbling_window_counts
+
+    events_tw = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    t0 = time.perf_counter()
+    tumbling_window_counts(events_tw, width_s=3600).count()
+    queries["tumbling_events"] = round(time.perf_counter() - t0, 3)
+
+    events_se = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
+    )
+    t0 = time.perf_counter()
+    sessionize(events_se, gap_s=1800).count()
+    queries["sessionize"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

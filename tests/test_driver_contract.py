@@ -82,6 +82,8 @@ def test_all_queries_run(contract):
         "top_k_similarity",
         "docs_by_source",
         "events_per_day",
+        "tumbling_events",
+        "sessionize",
     ],
 )
 def test_sql_oracle_match(contract, con, name):

@@ -256,3 +256,59 @@ def test_multimodal_image_pipeline(ray_session):
         .to_pandas()
     )
     assert frames["frame_index"].tolist() == [0, 2, 4]
+
+
+def test_tumbling_window_counts(ray_session):
+    import ray.data
+
+    from spider_ray.ops.windows import tumbling_window_counts
+
+    us = 1_000_000
+    # two windows of width 10s: [0,10) holds ts 0,9.999999; [10,20) holds 10
+    t = pa.table(
+        {
+            "ts": pa.array([0, 9_999_999, 10 * us, 15 * us], pa.timestamp("us")),
+            "event_type": ["a", "a", "a", "b"],
+            "value": [1.25, 2.50, 0.10, 3.00],
+        }
+    )
+    out = (
+        tumbling_window_counts(ray.data.from_arrow(t), width_s=10)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert out["window_start"].tolist() == [0, 10, 10]
+    assert out["event_type"].tolist() == ["a", "a", "b"]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["sum_value_cents"].tolist() == [375, 10, 300]
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data
+
+    from spider_ray.ops.windows import sessionize
+
+    us = 1_000_000
+    # user 1: gap exactly == gap_s does NOT break (break iff diff > gap);
+    # gap_s + 1us does.  user 2: single event.
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [0, 30 * us, 60 * us + 1, 5 * us], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        }
+    )
+    out = (
+        sessionize(ray.data.from_arrow(t), gap_s=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_id"].tolist() == [0, 1, 0]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["start_us"].tolist() == [0, 60 * us + 1, 5 * us]
+    assert out["end_us"].tolist() == [30 * us, 60 * us + 1, 5 * us]
