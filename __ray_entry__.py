@@ -374,6 +374,50 @@ def q_events_per_day(sf_dir: str):
     )
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.1, "es": 0.1, "fr": 0.1, "zh": 0.1}
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII scrub counts over the documents table with deterministically
+    planted PII (the fixture text has none; the same weave expression is
+    inlined in the SQL oracle so the matching is actually exercised)."""
+    from spider_ray.ops.textclean import PiiScrubber, plant_pii
+
+    ds = _docs(sf_dir).map_batches(plant_pii, batch_format="pyarrow")
+    return ds.map_batches(PiiScrubber(), batch_format="pyarrow")
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style quality stats + keep verdict (all-integer parity)."""
+    from spider_ray.ops.textclean import GopherQuality
+
+    return _docs(sf_dir).map_batches(GopherQuality(), batch_format="pyarrow")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-lang down-sampling (Knuth multiplicative hash)."""
+    from spider_ray.ops.sampling import stratified_sample
+
+    out = stratified_sample(_docs(sf_dir), SAMPLE_RATES)
+    return out.map_batches(lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow")
+
+
+def q_bigram_topk(sf_dir: str):
+    """Top-100 corpus bigrams (combiner partials -> one shuffle -> small
+    sort/limit); ties break on the bigram string."""
+    from spider_ray.ops.ngrams import bigram_topk
+
+    return bigram_topk(_docs(sf_dir), k=100)
+
+
+def q_sequence_packing(sf_dir: str):
+    """Token-budget sequence packing under the pinned partition-parallel
+    greedy spec (golden = independent sequential recompute)."""
+    from spider_ray.ops.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), budget=256, n_parts=8)
+
+
 def q_tumbling_events(sf_dir: str):
     """Tumbling-window (1h) event rollup: per-batch combiner then one
     groupby shuffle of partials; integer-cents sums for distributed-order
@@ -626,6 +670,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_day": q_events_per_day,
         "tumbling_events": q_tumbling_events,
         "sessionize": q_sessionize,
+        "pii_scrub": q_pii_scrub,
+        "gopher_quality": q_gopher_quality,
+        "stratified_sample": q_stratified_sample,
+        "bigram_topk": q_bigram_topk,
+        "sequence_packing": q_sequence_packing,
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -676,6 +725,47 @@ def oracle_sql() -> dict[str, str]:
         "events_per_day": (
             "SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events "
             "FROM events GROUP BY 1"
+        ),
+        "pii_scrub": (
+            r"WITH pii AS (SELECT doc_id, "
+            r"text || ' contact user' || doc_id || '@example.com or http://ex.com/p?q=' || doc_id || "
+            r"' from 10.0.' || (doc_id % 256) || '.1' AS t FROM documents) "
+            r"SELECT doc_id, "
+            r"length(regexp_extract_all(t, 'https?://[^ \t\n]+'))::BIGINT AS n_urls, "
+            r"length(regexp_extract_all(regexp_replace(t, 'https?://[^ \t\n]+', '<URL>', 'g'), "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))::BIGINT AS n_emails, "
+            r"length(regexp_extract_all(regexp_replace(regexp_replace(t, 'https?://[^ \t\n]+', '<URL>', 'g'), "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips, "
+            r"length(regexp_replace(regexp_replace(regexp_replace(t, "
+            r"'https?://[^ \t\n]+', '<URL>', 'g'), "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))::BIGINT AS clean_len "
+            r"FROM pii"
+        ),
+        "gopher_quality": (
+            r"SELECT doc_id, "
+            r"length(regexp_extract_all(text, '\S+'))::BIGINT AS n_words, "
+            r"length(regexp_replace(text, '\s', '', 'g'))::BIGINT AS n_word_chars, "
+            r"len(list_filter(regexp_extract_all(lower(text), '\S+'), "
+            r"x -> x IN ('the','a','of','to','and','in','is','that','for','on')))::BIGINT AS n_stop, "
+            r"(n_words BETWEEN 50 AND 100000 AND 3*n_words <= n_word_chars "
+            r"AND n_word_chars <= 10*n_words AND n_stop >= 2 AND 100*n_stop >= 6*n_words) AS keep "
+            r"FROM documents"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < "
+            "CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 429496729 "
+            "WHEN 'es' THEN 429496729 WHEN 'fr' THEN 429496729 "
+            "WHEN 'zh' THEN 429496729 ELSE 0 END"
+        ),
+        "bigram_topk": (
+            r"WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS w FROM documents), "
+            r"big AS (SELECT unnest(list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]), "
+            r"p -> p[1] || ' ' || p[2])) AS bigram FROM toks) "
+            r"SELECT bigram, count(*)::BIGINT AS n FROM big "
+            r"GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 100"
         ),
         "tumbling_events": (
             "SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type, "

@@ -165,6 +165,33 @@ def run_bench() -> dict:
     lsh_top_k(emb, qvecs, k=10, n_planes=8)
     queries["lsh_ann"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.ngrams import bigram_topk
+    from spider_ray.ops.packing import pack_sequences
+    from spider_ray.ops.sampling import stratified_sample
+    from spider_ray.ops.textclean import GopherQuality, PiiScrubber, plant_pii
+
+    t0 = time.perf_counter()
+    docs.map_batches(plant_pii, batch_format="pyarrow").map_batches(
+        PiiScrubber(), batch_format="pyarrow"
+    ).count()
+    queries["pii_scrub"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    docs.map_batches(GopherQuality(), batch_format="pyarrow").count()
+    queries["gopher_quality"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    stratified_sample(docs, {"en": 0.5, "de": 0.1, "es": 0.1, "fr": 0.1, "zh": 0.1}).count()
+    queries["stratified_sample"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    bigram_topk(docs, k=100).count()
+    queries["bigram_topk"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pack_sequences(docs, budget=256, n_parts=64).count()
+    queries["sequence_packing"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.windows import sessionize, tumbling_window_counts
 
     events_tw = ray.data.read_parquet(

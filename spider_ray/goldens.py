@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 13
+GOLDEN_VERSION = 14
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -463,6 +463,33 @@ def seq_quality(ids: list[int], texts: list[str]) -> pa.Table:
     )
 
 
+def seq_sequence_packing(
+    ids: list[int], texts: list[str], budget: int = 256, n_parts: int = 8
+) -> pa.Table:
+    """Independent sequential recompute of the pinned packing spec
+    (``ops/packing.py``): per ``doc_id % n_parts`` stream, in doc_id order,
+    greedy-append while the running total fits, oversized docs alone."""
+    import re
+
+    tok = re.compile(r"\S+")
+    per: dict[int, list[tuple[int, int]]] = {}
+    for i, t in sorted(zip(ids, texts)):
+        per.setdefault(i % n_parts, []).append((i, len(tok.findall(t or ""))))
+    cols = {"doc_id": [], "part": [], "bin_id": [], "n_tokens": []}
+    for p in sorted(per):
+        cur_bin, cur_tot = 0, 0
+        for i, nt in per[p]:
+            if cur_tot > 0 and cur_tot + nt > budget:
+                cur_bin += 1
+                cur_tot = 0
+            cols["doc_id"].append(i)
+            cols["part"].append(p)
+            cols["bin_id"].append(cur_bin)
+            cols["n_tokens"].append(nt)
+            cur_tot += nt
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+
 def seq_near_dup_clusters(ids: list[int], texts: list[str], threshold: float = 0.5) -> pa.Table:
     """Independent connected components: iterative min-label propagation over
     the sequential pair list until fixpoint (no union-find)."""
@@ -718,6 +745,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     out["minhash_pairs"] = seq_minhash_pairs(ids, texts, threshold=0.5)
+    out["sequence_packing"] = seq_sequence_packing(ids, texts)
     out["near_dup_clusters"] = seq_near_dup_clusters(ids, texts, threshold=0.5)
     out["quality_scores"] = seq_quality(ids, texts)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
@@ -760,6 +788,7 @@ GOLDEN_QUERIES = (
     "crawl_queue",
     "recrawl_diff",
     "minhash_pairs",
+    "sequence_packing",
     "near_dup_clusters",
     "quality_scores",
     "lsh_ann",

@@ -69,6 +69,12 @@ SQL_QUERIES = (
     "events_per_day",
     "top_k_similarity",
     "embedding_near_dup",
+    "tumbling_events",
+    "sessionize",
+    "pii_scrub",
+    "gopher_quality",
+    "stratified_sample",
+    "bigram_topk",
 )
 
 

@@ -1,0 +1,115 @@
+"""Unit tests for the webtext curation ops: PII scrub, Gopher quality,
+stratified sampling, bigram top-k, sequence packing."""
+
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl):
+    import ray.data
+
+    return ray.data.from_arrow(tbl)
+
+
+def test_pii_scrubber_order_and_counts(ray_session):
+    from spider_ray.ops.textclean import PiiScrubber
+
+    # the URL embeds an email-shaped userinfo: URL masking first means the
+    # email inside it is NOT double-counted
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                "see http://user@host.example.com/x and mail me a@b.io from 1.2.3.4",
+                "no pii here",
+            ],
+        }
+    )
+    out = _ds(t).map_batches(PiiScrubber(), batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_urls"] == 1
+    assert out.loc[0, "n_emails"] == 1  # only a@b.io; the URL one was masked
+    assert out.loc[0, "n_ips"] == 1
+    assert out.loc[1, ["n_urls", "n_emails", "n_ips"]].tolist() == [0, 0, 0]
+    assert out.loc[1, "clean_len"] == len("no pii here")
+
+
+def test_gopher_quality_bounds(ray_session):
+    from spider_ray.ops.textclean import GopherQuality
+
+    good = " ".join(["the", "and", "a", "of"] * 5 + ["quality"] * 40)  # 60 words
+    short = "too short"
+    longwords = " ".join(["verylongword" + str(i) for i in range(60)])  # mean len > 10
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [good, short, longwords],
+        }
+    )
+    out = _ds(t).map_batches(GopherQuality(), batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["keep"].tolist() == [True, False, False]
+    assert out.loc[0, "n_words"] == 60
+    assert out.loc[0, "n_stop"] == 20
+
+
+def test_stratified_sample_deterministic(ray_session):
+    from spider_ray.ops.sampling import KNUTH, MOD, stratified_sample
+
+    n = 1000
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": ["en" if i % 2 == 0 else "xx" for i in range(n)],
+        }
+    )
+    out = stratified_sample(_ds(t), {"en": 0.5}).to_pandas()
+    # xx stratum absent from rates -> dropped entirely
+    assert set(out["lang"]) == {"en"}
+    expect = {
+        i for i in range(0, n, 2) if (i * KNUTH) % MOD < int(0.5 * MOD)
+    }
+    assert set(out["doc_id"]) == expect
+    # re-run identical (no RNG state)
+    out2 = stratified_sample(_ds(t), {"en": 0.5}).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_bigram_topk_ties_and_counts(ray_session):
+    from spider_ray.ops.ngrams import bigram_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["a b a b c", "A B z z"],  # "a b" x3 (case-folded), "b a" 1, ...
+        }
+    )
+    out = bigram_topk(_ds(t), k=2).to_pandas()
+    assert out.iloc[0].tolist() == ["a b", 3]
+    # tie at n=1 broken by bigram string ascending
+    assert out.iloc[1].tolist() == ["b a", 1]
+
+
+def test_pack_sequences_spec(ray_session):
+    from spider_ray.ops.packing import pack_sequences
+
+    # part 0: docs 0,2,4 with 3,3,5 tokens, budget 6 -> bins [0,0,1]
+    # oversized doc (8 tokens > budget) gets its own bin
+    texts = {0: "x x x", 2: "y y y", 4: "z z z z z", 1: "w " * 8, 3: "v"}
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": [texts[i].strip() for i in sorted(texts)],
+        }
+    )
+    out = (
+        pack_sequences(_ds(t), budget=6, n_parts=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "bin_id"] == 0 and out.loc[2, "bin_id"] == 0
+    assert out.loc[4, "bin_id"] == 1
+    # part 1: doc 1 (8 tokens, oversized) bin 0 alone; doc 3 starts bin 1
+    assert out.loc[1, "bin_id"] == 0 and out.loc[3, "bin_id"] == 1
+    assert out.loc[1, "n_tokens"] == 8
