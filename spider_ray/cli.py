@@ -1,5 +1,6 @@
-"""CLI entry — the ``spider_cli`` analogue (CRAWL / SCRAPE subcommands,
-``spider_cli/src/options/sub_command.rs:4-41``) over a Parquet corpus.
+"""CLI entry — the ``spider_cli`` analogue (CRAWL / SCRAPE / DOWNLOAD
+subcommands, ``spider_cli/src/options/sub_command.rs:4-41``) over a Parquet
+corpus.
 
 Usage::
 
@@ -7,10 +8,14 @@ Usage::
         [--ckpt DIR] [--resume] [--budget N] [--depth N] [--subdomains] [--tld]
         [--respect-robots] [--delay-ms N] [--normalize] [--sitemap]
     python -m spider_ray.cli scrape --corpus DIR --seeds URL --jsonl out.jsonl
+    python -m spider_ray.cli download --corpus DIR --seeds URL --target-dir DIR
 
 ``crawl`` writes parsed pages + checkpoints; ``scrape`` additionally emits
 JSONL (url, title, description, text) like the reference CLI's scrape
-output.  Suitable for ``ray job submit -- python -m spider_ray.cli …``.
+output; ``download`` stores each visited page's raw html under
+``--target-dir`` keyed by URL path (``sinks/download.py``,
+`spider_cli/src/main.rs:456-515` semantics).  Suitable for
+``ray job submit -- python -m spider_ray.cli …``.
 """
 
 from __future__ import annotations
@@ -48,7 +53,7 @@ def build_config(args) -> "CrawlConfig":
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="spider_ray")
     sub = parser.add_subparsers(dest="command", required=True)
-    for name in ("crawl", "scrape"):
+    for name in ("crawl", "scrape", "download"):
         p = sub.add_parser(name)
         p.add_argument("--corpus", required=True)
         p.add_argument("--seeds", nargs="+", required=True)
@@ -79,6 +84,8 @@ def main(argv=None) -> int:
         p.add_argument("--stop-after-wave", type=int,
                        help="graceful shutdown once wave N completes (resumable)")
         p.add_argument("--jsonl")
+        p.add_argument("--target-dir", default="./_temp_spider_downloads/",
+                       help="download destination (spider_cli DOWNLOAD default)")
         p.add_argument("--num-cpus", type=int)
     args = parser.parse_args(argv)
 
@@ -161,6 +168,12 @@ def main(argv=None) -> int:
         "out_dir": result.out_dir,
         "stopped": result.stopped,
     }
+    if args.command == "download":
+        from .sinks.download import download_pages
+
+        manifest = download_pages(args.corpus, args.target_dir, set(result.visited))
+        summary["downloaded"] = manifest.num_rows
+        summary["target_dir"] = args.target_dir
     print(json.dumps(summary), file=sys.stderr)
     if started_ray:
         ray.shutdown()

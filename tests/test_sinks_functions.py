@@ -1,6 +1,7 @@
 """WARC sink, CSS-select helper, needs_js classifier, CLI."""
 
 import json
+import os
 import subprocess
 import sys
 import tempfile
@@ -133,3 +134,74 @@ def test_cli_stop_after_wave_and_resume(ray_session, tmp_path):
         rc = main(["crawl", "--corpus", cdir, "--seeds", seed_of(0)])
     full = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert partial["visited"] + resumed["visited"] == full["visited"]
+
+
+def test_build_local_path_table():
+    """build_folders.rs:84-120 semantics: trailing slash / extension /
+    sanitize / reserved names / dot-segment skipping."""
+    from spider_ray.sinks.download import build_local_path as blp
+
+    base = "/d"
+    assert blp(base, "/") == "/d/index.html"
+    assert blp(base, "") == "/d/index.html"
+    assert blp(base, "/a/b/") == "/d/a/b.html"          # trailing slash → .html
+    assert blp(base, "/a/b") == "/d/a/b.html"           # no extension → .html
+    assert blp(base, "/a/b.css") == "/d/a/b.css"        # extension kept
+    assert blp(base, "/a//b") == "/d/a/b.html"          # empty segment dropped
+    assert blp(base, "/a/./../b") == "/d/a/b.html"      # dot segments skipped
+    assert blp(base, "/a%20b/c.txt") == "/d/a b/c.txt"  # percent-decoded
+    assert blp(base, '/w<>:"|?*x/y.txt') == "/d/w_______x/y.txt"  # forbidden → _
+    assert blp(base, "/CON/x.txt") == "/d/CON_file/x.txt"  # reserved name
+    assert blp(base, "/a./y.txt") == "/d/a/y.txt"       # trailing dot trimmed
+    long = "q" * 200
+    p = blp(base, f"/{long}/z.txt")
+    comp = p.split("/")[2]
+    assert len(comp) == 120 and comp.startswith("q" * 111 + "~")
+
+
+def test_cli_download(ray_session, tmp_path):
+    from spider_ray.cli import main
+    from spider_ray.fixtures import build_corpus, seed_of, write_corpus_parquet
+
+    rows = build_corpus(n_hosts=2, pages_per_host=20)
+    cdir = tempfile.mkdtemp()
+    write_corpus_parquet(rows, cdir, n_buckets=4)
+    dest = str(tmp_path / "dl")
+    rc = main(
+        [
+            "download", "--corpus", cdir, "--seeds", seed_of(0),
+            "--budget", "8", "--target-dir", dest,
+        ]
+    )
+    assert rc == 0
+    files = [os.path.join(r, f) for r, _, fs in os.walk(dest) for f in fs]
+    # visited pages with bodies get a file (site0 carries bodyless
+    # redirect/flaky stressor rows, so fewer than the 8 admitted)
+    assert 0 < len(files) <= 8
+    # bodies are the raw corpus html bytes
+    by_url = {r["url"]: r["html"] for r in rows}
+    seed_file = os.path.join(dest, "index.html")
+    assert os.path.exists(seed_file)
+    assert open(seed_file, "rb").read() == by_url[seed_of(0)]
+
+
+def test_download_pages_manifest(ray_session, tmp_path):
+    """Direct sink test: exact manifest for an explicit URL set, file bytes
+    equal the corpus bodies, path layout from build_local_path."""
+    from spider_ray.fixtures import build_corpus, write_corpus_parquet
+    from spider_ray.sinks.download import build_local_path, download_pages
+
+    rows = build_corpus(n_hosts=1, pages_per_host=30)
+    with_body = [r for r in rows if r.get("html")][:5]
+    cdir = tempfile.mkdtemp()
+    write_corpus_parquet(rows, cdir, n_buckets=4)
+    dest = str(tmp_path / "dl2")
+    m = download_pages(cdir, dest, {r["url"] for r in with_body})
+    got = dict(zip(m.column("url").to_pylist(), m.column("path").to_pylist()))
+    assert set(got) == {r["url"] for r in with_body}
+    from urllib.parse import urlsplit
+
+    for r in with_body:
+        path = got[r["url"]]
+        assert path == build_local_path(dest, urlsplit(r["url"]).path or "/")
+        assert open(path, "rb").read() == r["html"]
