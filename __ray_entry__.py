@@ -418,6 +418,74 @@ def q_sequence_packing(sf_dir: str):
     return pack_sequences(_docs(sf_dir), budget=256, n_parts=8)
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pruned-read aggregate over lineitem (integer
+    price-cents space end-to-end)."""
+    import ray.data
+
+    from spider_ray.ops.relational import pricing_summary
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    return pricing_summary(li, ship_cutoff="1998-09-01")
+
+
+def q_top_customers(sf_dir: str):
+    """Per-customer order rollup joined to the customer dimension via the
+    broadcast-join operator (small side shipped once through the object
+    store, pyarrow hash join per batch)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from spider_ray.ops.relational import broadcast_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "n_orders": pa.nulls(len(batch), pa.int64()).fill_null(1),
+                "total_cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)), pa.int64()
+                ),
+            }
+        )
+        return (
+            t.group_by(["o_custkey"])
+            .aggregate([("n_orders", "sum"), ("total_cents", "sum")])
+            .rename_columns(["o_custkey", "n_orders", "total_cents"])
+        )
+
+    agg = orders.map_batches(partial, batch_format="pyarrow")
+    rolled = agg.groupby("o_custkey").sum(["n_orders", "total_cents"])
+    rolled = rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "n_orders": pc.cast(b.column("sum(n_orders)"), pa.int64()),
+                "total_cents": pc.cast(b.column("sum(total_cents)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    joined = broadcast_join(rolled, cust, keys="o_custkey", right_keys="c_custkey")
+    return joined.map_batches(
+        lambda b: b.select(["o_custkey", "c_name", "n_orders", "total_cents"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_tumbling_events(sf_dir: str):
     """Tumbling-window (1h) event rollup: per-batch combiner then one
     groupby shuffle of partials; integer-cents sums for distributed-order
@@ -670,6 +738,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_day": q_events_per_day,
         "tumbling_events": q_tumbling_events,
         "sessionize": q_sessionize,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
@@ -725,6 +795,23 @@ def oracle_sql() -> dict[str, str]:
         "events_per_day": (
             "SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events "
             "FROM events GROUP BY 1"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows, "
+            "sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT AS sum_base_cents, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT AS sum_disc_x10000, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)) * "
+            "(100 + CAST(round(l_tax*100) AS BIGINT)))::BIGINT AS sum_charge_x1e6 "
+            "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' GROUP BY 1, 2"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, c_name, count(*)::BIGINT AS n_orders, "
+            "sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY o_custkey, c_name"
         ),
         "pii_scrub": (
             r"WITH pii AS (SELECT doc_id, "

@@ -192,6 +192,17 @@ def run_bench() -> dict:
     pack_sequences(docs, budget=256, n_parts=64).count()
     queries["sequence_packing"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.relational import pricing_summary
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    t0 = time.perf_counter()
+    pricing_summary(li).count()
+    queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.windows import sessionize, tumbling_window_counts
 
     events_tw = ray.data.read_parquet(

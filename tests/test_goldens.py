@@ -34,7 +34,7 @@ def duck(entry_mod):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("documents", "events", "embeddings"):
+    for t in ("documents", "events", "embeddings", "lineitem", "orders", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
@@ -75,6 +75,8 @@ SQL_QUERIES = (
     "gopher_quality",
     "stratified_sample",
     "bigram_topk",
+    "pricing_summary",
+    "top_customers",
 )
 
 

@@ -113,3 +113,23 @@ def test_pack_sequences_spec(ray_session):
     # part 1: doc 1 (8 tokens, oversized) bin 0 alone; doc 3 starts bin 1
     assert out.loc[1, "bin_id"] == 0 and out.loc[3, "bin_id"] == 1
     assert out.loc[1, "n_tokens"] == 8
+
+
+def test_broadcast_join(ray_session):
+    from spider_ray.ops.relational import broadcast_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 2], pa.int64()), "v": pa.array([10, 20, 30, 21], pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array([1, 2], pa.int64()), "name": ["one", "two"]}
+    )
+    out = (
+        broadcast_join(_ds(left), right, keys="k", right_keys="rk", concurrency=2)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    # inner join drops k=3; both k=2 rows joined
+    assert out["k"].tolist() == [1, 2, 2]
+    assert out["name"].tolist() == ["one", "two", "two"]
