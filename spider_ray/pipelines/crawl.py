@@ -706,9 +706,11 @@ class RayCrawler:
                 parsed_ds = parsed_ds.select_columns(
                     ["url", "signature", "links", "blocked_crawl", "wave"]
                 )
+            # materialize before taking refs: to_arrow_refs on a live
+            # pipeline executes on a measurably slower non-streaming path
             tables = [
                 t
-                for t in ray.get(parsed_ds.to_arrow_refs())
+                for t in ray.get(parsed_ds.materialize().to_arrow_refs())
                 if t.num_rows > 0 and "url" in t.schema.names
             ]
         synth_all = [(u, 404, None) for u in missing_known] + synth

@@ -136,7 +136,7 @@ def download_pages(corpus_dir: str, dest: str, visited: set[str] | None = None,
         num_cpus=0.5,
         batch_size=64,
     )
-    refs = out.to_arrow_refs()
+    refs = out.materialize().to_arrow_refs()  # live-pipeline refs path is slow
     tables = [t for t in map(ray.get, refs) if t.num_rows]
     if not tables:
         return pa.table({"url": pa.array([], pa.string()), "path": pa.array([], pa.string())})
