@@ -486,6 +486,22 @@ def q_top_customers(sf_dir: str):
     )
 
 
+def q_order_revenue(sf_dir: str):
+    """Big×big hash-shuffle join (Ray Data native Dataset.join) + rollup."""
+    import ray.data
+
+    from spider_ray.ops.relational import order_priority_revenue
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    return order_priority_revenue(li, orders, num_partitions=8)
+
+
 def q_tumbling_events(sf_dir: str):
     """Tumbling-window (1h) event rollup: per-batch combiner then one
     groupby shuffle of partials; integer-cents sums for distributed-order
@@ -740,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "order_revenue": q_order_revenue,
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
@@ -806,6 +823,13 @@ def oracle_sql() -> dict[str, str]:
             "(100 - CAST(round(l_discount*100) AS BIGINT)) * "
             "(100 + CAST(round(l_tax*100) AS BIGINT)))::BIGINT AS sum_charge_x1e6 "
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01' GROUP BY 1, 2"
+        ),
+        "order_revenue": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_items, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT AS revenue_x10000 "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "top_customers": (
             "SELECT o_custkey, c_name, count(*)::BIGINT AS n_orders, "

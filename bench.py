@@ -203,6 +203,19 @@ def run_bench() -> dict:
     pricing_summary(li).count()
     queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.relational import order_priority_revenue
+
+    li_join = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    t0 = time.perf_counter()
+    order_priority_revenue(li_join, ords, num_partitions=16).count()
+    queries["order_revenue"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.windows import sessionize, tumbling_window_counts
 
     events_tw = ray.data.read_parquet(

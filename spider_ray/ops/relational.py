@@ -58,6 +58,66 @@ def _cents(col) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
 
 
+def order_priority_revenue(lineitem, orders, num_partitions: int = 16):
+    """Big×big hash-shuffle join demo: lineitem ⋈ orders on orderkey via
+    Ray Data's native ``Dataset.join`` (both sides hash-partitioned on the
+    key — the strategy for two streaming fact tables, vs ``broadcast_join``
+    for dimension lookups), then a tiny rollup per order priority.
+
+    Returns ``(o_orderpriority, n_items, revenue_x10000)`` with
+    ``revenue_x10000 = Σ cents(l_extendedprice)·(100 − cents(l_discount))``
+    — pure-integer, summation-order-proof.
+    """
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue_x10000": pc.multiply(
+                    cents, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    slim = lineitem.map_batches(li_slim, batch_format="pyarrow")
+    joined = slim.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_items": pa.nulls(len(batch), pa.int64()).fill_null(1),
+                "revenue_x10000": batch.column("revenue_x10000"),
+            }
+        )
+        return (
+            t.group_by(["o_orderpriority"])
+            .aggregate([("n_items", "sum"), ("revenue_x10000", "sum")])
+            .rename_columns(["o_orderpriority", "n_items", "revenue_x10000"])
+        )
+
+    agg = joined.map_batches(partial, batch_format="pyarrow")
+    rolled = agg.groupby("o_orderpriority").sum(["n_items", "revenue_x10000"])
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "n_items": pc.cast(b.column("sum(n_items)"), pa.int64()),
+                "revenue_x10000": pc.cast(b.column("sum(revenue_x10000)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def pricing_summary(lineitem, ship_cutoff: str = "1998-09-01"):
     """TPC-H Q1-shaped rollup per (returnflag, linestatus), all-integer:
 

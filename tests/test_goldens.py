@@ -77,6 +77,7 @@ SQL_QUERIES = (
     "bigram_topk",
     "pricing_summary",
     "top_customers",
+    "order_revenue",
 )
 
 
