@@ -486,6 +486,14 @@ def q_top_customers(sf_dir: str):
     )
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 tf·idf terms per doc (corpus DF via combiner + one shuffle,
+    broadcast df map, per-doc scoring; golden = sequential recompute)."""
+    from spider_ray.ops.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=5)
+
+
 def q_order_revenue(sf_dir: str):
     """Big×big hash-shuffle join (Ray Data native Dataset.join) + rollup."""
     import ray.data
@@ -579,6 +587,19 @@ def q_lsh_ann(sf_dir: str):
         [r["embedding"] for r in emb.sort("vec_id").limit(5).take_all()], dtype=np.float64
     )
     out = lsh_top_k(emb, queries, k=10, n_planes=8)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def q_ivf_ann(sf_dir: str):
+    """IVF-bucketed ANN top-k (deterministic training-free coarse quantizer;
+    golden = independent sequential recompute of the pinned spec)."""
+    from spider_ray.ops.similarity import ivf_top_k
+
+    emb = _emb(sf_dir)
+    queries = np.array(
+        [r["embedding"] for r in emb.sort("vec_id").limit(5).take_all()], dtype=np.float64
+    )
+    out = ivf_top_k(emb, queries, k=10, n_cells=16, nprobe=4)
     return out.select(["query_id", "vec_id", "rank"])
 
 
@@ -757,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "order_revenue": q_order_revenue,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
@@ -768,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": q_near_dup_clusters,
         "quality_scores": q_quality_scores,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,

@@ -216,6 +216,12 @@ def run_bench() -> dict:
     order_priority_revenue(li_join, ords, num_partitions=16).count()
     queries["order_revenue"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.tfidf import tfidf_top_terms
+
+    t0 = time.perf_counter()
+    tfidf_top_terms(docs, k=5, concurrency=8).count()
+    queries["tfidf_top_terms"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.windows import sessionize, tumbling_window_counts
 
     events_tw = ray.data.read_parquet(

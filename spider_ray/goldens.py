@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 14
+GOLDEN_VERSION = 16
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -490,6 +490,43 @@ def seq_sequence_packing(
     return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
 
+def seq_tfidf(ids: list[int], texts: list[str], k: int = 5) -> pa.Table:
+    """Independent sequential recompute of the pinned tf·idf spec
+    (``ops/tfidf.py``): df over distinct lowercased \\S+ tokens,
+    ``idf = ln((1+N)/(1+df)) + 1``, top-k per doc by (score desc, term asc),
+    score rounded to 9."""
+    import math
+    import re
+    from collections import Counter
+
+    tok = re.compile(r"\S+")
+    toks_per_doc = [tok.findall((t or "").lower()) for t in texts]
+    df: Counter = Counter()
+    for toks in toks_per_doc:
+        df.update(set(toks))
+    n = len(ids)
+    cols = {"doc_id": [], "term": [], "rank": [], "score": []}
+    for i, toks in zip(ids, toks_per_doc):
+        tf = Counter(toks)
+        scored = sorted(
+            ((t, c * (math.log((1 + n) / (1 + df[t])) + 1.0)) for t, c in tf.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        for r, (term, score) in enumerate(scored, start=1):
+            cols["doc_id"].append(i)
+            cols["term"].append(term)
+            cols["rank"].append(r)
+            cols["score"].append(round(score, 9))
+    return pa.table(
+        {
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "term": pa.array(cols["term"], pa.string()),
+            "rank": pa.array(cols["rank"], pa.int64()),
+            "score": pa.array(cols["score"], pa.float64()),
+        }
+    )
+
+
 def seq_near_dup_clusters(ids: list[int], texts: list[str], threshold: float = 0.5) -> pa.Table:
     """Independent connected components: iterative min-label propagation over
     the sequential pair list until fixpoint (no union-find)."""
@@ -537,6 +574,50 @@ def seq_lsh_ann(sf_dir: str, k: int = 10, n_planes: int = 8, seed: int = 7) -> p
     qm = mat[qrows]
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     cn = cand / np.maximum(np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
+    sims = cn @ qn.T
+    out_q, out_id, out_rank = [], [], []
+    for qi in range(len(qrows)):
+        key = np.lexsort((cand_ids, -np.round(sims[:, qi], 9)))
+        for rank, row in enumerate(key[:k], 1):
+            out_q.append(qi)
+            out_id.append(int(cand_ids[row]))
+            out_rank.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+        }
+    )
+
+
+def seq_ivf_ann(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4) -> pa.Table:
+    """Independent IVF-ANN recompute: centroids = embeddings of n_cells
+    evenly-spaced sorted vec_ids (normalized), cell assignment =
+    argmax(round(cos,9)) (first-max → lowest cell), queries = 5 lowest
+    vec_ids probing their nprobe best cells, exact cosine top-k over the
+    probed union with the (−round(sim,9), vec_id) tie-break."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_ids = np.asarray(emb.column("vec_id"))
+    order = np.argsort(vec_ids)
+    vec_ids = vec_ids[order]
+    mat = np.asarray(
+        emb.column("embedding").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(emb.num_rows, -1)[order]
+    n = len(vec_ids)
+    sel_rows = (np.arange(n_cells, dtype=np.int64) * n) // n_cells
+    cents = mat[sel_rows]
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cells = np.argmax(np.round(mn @ cents.T, 9), axis=1)
+    qrows = np.arange(5)
+    qn = mn[qrows]
+    qsims = np.round(qn @ cents.T, 9)
+    probed: set[int] = set()
+    for qi in range(len(qrows)):
+        probed.update(np.lexsort((np.arange(n_cells), -qsims[qi]))[:nprobe].tolist())
+    keep = np.isin(cells, sorted(probed))
+    cand_ids, cn = vec_ids[keep], mn[keep]
     sims = cn @ qn.T
     out_q, out_id, out_rank = [], [], []
     for qi in range(len(qrows)):
@@ -746,10 +827,12 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     texts = docs.column("text").to_pylist()
     out["minhash_pairs"] = seq_minhash_pairs(ids, texts, threshold=0.5)
     out["sequence_packing"] = seq_sequence_packing(ids, texts)
+    out["tfidf_top_terms"] = seq_tfidf(ids, texts)
     out["near_dup_clusters"] = seq_near_dup_clusters(ids, texts, threshold=0.5)
     out["quality_scores"] = seq_quality(ids, texts)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         out["lsh_ann"] = seq_lsh_ann(sf_dir)
+        out["ivf_ann"] = seq_ivf_ann(sf_dir)
     out["simhash"] = pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -789,9 +872,11 @@ GOLDEN_QUERIES = (
     "recrawl_diff",
     "minhash_pairs",
     "sequence_packing",
+    "tfidf_top_terms",
     "near_dup_clusters",
     "quality_scores",
     "lsh_ann",
+    "ivf_ann",
     "simhash",
     "lang_id",
     "fingerprints",

@@ -171,6 +171,73 @@ def lsh_top_k(
     return brute_force_top_k(pruned, queries, k, column, id_column)
 
 
+def ivf_cells(
+    ds, n_cells: int = 16, column: str = "embedding", id_column: str = "vec_id"
+):
+    """Deterministic, training-free IVF coarse quantizer: the centroids are
+    the embeddings of ``n_cells`` evenly-spaced vec_ids (sorted order).  No
+    k-means — the spec must be bit-replicable by the sequential oracle, and
+    at IVF scale the bucketing structure (inverted lists + nprobe) matters
+    far more than centroid optimality.  Returns (centroid_ids, centroids
+    normalized)."""
+    import ray
+
+    id_parts = ray.get(ds.select_columns([id_column]).materialize().to_arrow_refs())
+    ids = np.sort(np.concatenate([np.asarray(t.column(id_column)) for t in id_parts]))
+    n = len(ids)
+    sel = ids[(np.arange(n_cells, dtype=np.int64) * n) // n_cells]
+    cent_tbl = pa.concat_tables(
+        [
+            t.filter(pa.compute.is_in(t.column(id_column), value_set=pa.array(sel)))
+            for t in ray.get(ds.select_columns([id_column, column]).materialize().to_arrow_refs())
+        ]
+    )
+    order = np.argsort(np.asarray(cent_tbl.column(id_column)))
+    cents = _batch_matrix(cent_tbl, column)[order]
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return np.asarray(cent_tbl.column(id_column))[order], cents
+
+
+def _assign_cells(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest-centroid cell per vector; sims rounded to 9 so the argmax
+    (first-max → lowest cell id on ties) is bit-replicable."""
+    v = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    return np.argmax(np.round(v @ cents.T, 9), axis=1).astype(np.int64)
+
+
+def ivf_top_k(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """IVF-style approximate top-k: each query probes its ``nprobe`` nearest
+    cells; only vectors assigned to a probed cell are scored (exact cosine +
+    the shared deterministic fold).  Complements :func:`lsh_top_k` —
+    bucket-by-centroid instead of bucket-by-hyperplane-signs.  Recall < 1 by
+    construction; tested against the brute-force baseline."""
+    queries = np.asarray(queries, dtype=np.float64)
+    _, cents = ivf_cells(ds, n_cells, column, id_column)
+
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    qsims = np.round(qn @ cents.T, 9)
+    probed: set[int] = set()
+    for qi in range(qsims.shape[0]):
+        order = np.lexsort((np.arange(n_cells), -qsims[qi]))
+        probed.update(order[:nprobe].tolist())
+    probe_list = sorted(probed)
+
+    def filter_cells(batch: pa.Table) -> pa.Table:
+        cells = _assign_cells(_batch_matrix(batch, column), cents)
+        return batch.filter(pa.array(np.isin(cells, probe_list)))
+
+    pruned = ds.map_batches(filter_cells, batch_format="pyarrow")
+    return brute_force_top_k(pruned, queries, k, column, id_column)
+
+
 class NearDupScorer:
     """Actor-pool stage for embedding-cosine near-dup: each batch scores
     against the broadcast normalized matrix (``ray.put`` once, read per actor

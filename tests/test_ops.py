@@ -312,3 +312,26 @@ def test_sessionize_gap_semantics(ray_session):
     assert out["n_events"].tolist() == [2, 1, 1]
     assert out["start_us"].tolist() == [0, 60 * us + 1, 5 * us]
     assert out["end_us"].tolist() == [30 * us, 60 * us + 1, 5 * us]
+
+
+def test_ivf_top_k_recall(emb_ds, ray_session):
+    """IVF-pruned ANN recall vs the exact brute-force baseline."""
+    import numpy as np
+
+    from spider_ray.ops.similarity import brute_force_top_k, ivf_top_k
+
+    queries = np.array(
+        [r["embedding"] for r in emb_ds.sort("vec_id").limit(5).take_all()],
+        dtype=np.float64,
+    )
+    exact = brute_force_top_k(emb_ds, queries, k=10)
+    approx = ivf_top_k(emb_ds, queries, k=10, n_cells=16, nprobe=4)
+    ex = {(q, v) for q, v in zip(exact.column("query_id").to_pylist(),
+                                 exact.column("vec_id").to_pylist())}
+    ap = {(q, v) for q, v in zip(approx.column("query_id").to_pylist(),
+                                 approx.column("vec_id").to_pylist())}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3  # pruning is real (not scoring everything)...
+    assert len(ap) == len(ex)  # ...but every query still fills its k
+    qids = sorted({q for q, _ in ap})
+    assert qids == [0, 1, 2, 3, 4]

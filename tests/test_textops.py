@@ -133,3 +133,33 @@ def test_broadcast_join(ray_session):
     # inner join drops k=3; both k=2 rows joined
     assert out["k"].tolist() == [1, 2, 2]
     assert out["name"].tolist() == ["one", "two", "two"]
+
+
+def test_tfidf_top_terms(ray_session):
+    import math
+
+    from spider_ray.ops.tfidf import tfidf_top_terms
+
+    # "rare" appears in 1 of 3 docs -> highest idf; "common" in all 3
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "common rare rare other",
+                "common other xx",
+                "common yy zz",
+            ],
+        }
+    )
+    out = (
+        tfidf_top_terms(_ds(t), k=2, concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    assert d0.iloc[0]["term"] == "rare"  # tf=2 x highest idf
+    n, df_rare = 3, 1
+    expect = round(2 * (math.log((1 + n) / (1 + df_rare)) + 1.0), 9)
+    assert d0.iloc[0]["score"] == expect
+    assert (out.groupby("doc_id")["rank"].max() == 2).all()
