@@ -402,6 +402,14 @@ def q_stratified_sample(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow")
 
 
+def q_shard_shuffle(sf_dir: str):
+    """Deterministic training-shard shuffle: global (knuth-hash, id) sort +
+    remote per-block enumeration; shard = pos % 8."""
+    from spider_ray.ops.sampling import shard_shuffle
+
+    return shard_shuffle(_docs(sf_dir), n_shards=8)
+
+
 def q_bigram_topk(sf_dir: str):
     """Top-100 corpus bigrams (combiner partials -> one shuffle -> small
     sort/limit); ties break on the bigram string."""
@@ -782,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
+        "shard_shuffle": q_shard_shuffle,
         "bigram_topk": q_bigram_topk,
         "sequence_packing": q_sequence_packing,
         "top_k_similarity": q_top_k_similarity,
@@ -893,6 +902,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 429496729 "
             "WHEN 'es' THEN 429496729 WHEN 'fr' THEN 429496729 "
             "WHEN 'zh' THEN 429496729 ELSE 0 END"
+        ),
+        "shard_shuffle": (
+            "SELECT doc_id, "
+            "((row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)) - 1) % 8 AS shard, "
+            "(row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)) - 1 AS pos "
+            "FROM documents"
         ),
         "bigram_topk": (
             r"WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS w FROM documents), "

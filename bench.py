@@ -184,6 +184,12 @@ def run_bench() -> dict:
     stratified_sample(docs, {"en": 0.5, "de": 0.1, "es": 0.1, "fr": 0.1, "zh": 0.1}).count()
     queries["stratified_sample"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.sampling import shard_shuffle
+
+    t0 = time.perf_counter()
+    shard_shuffle(docs, n_shards=8).count()
+    queries["shard_shuffle"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     bigram_topk(docs, k=100).count()
     queries["bigram_topk"] = round(time.perf_counter() - t0, 3)

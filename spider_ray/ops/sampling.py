@@ -21,6 +21,58 @@ def _bucket(keys: np.ndarray) -> np.ndarray:
     return (keys.astype(np.uint64) * KNUTH) % MOD
 
 
+def shard_shuffle(ds, n_shards: int = 8, key_col: str = "doc_id"):
+    """Deterministic corpus shuffle into training shards.
+
+    Every row gets ``shuffle_key = knuth(key)``; a global ``sort`` on
+    ``(shuffle_key, key)`` produces the reproducible permutation, then each
+    sorted block is enumerated REMOTELY with its global offset (driver holds
+    only the per-block row counts) — ``pos`` is the row's position in the
+    shuffled order and ``shard = pos % n_shards`` round-robins rows into
+    equal shards.  One wide op (the sort); no RNG state; identical output
+    every run, resumable by construction.  Returns
+    ``(key, shard, pos)`` as a Dataset.
+    """
+    import ray
+    import ray.data
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                "shuffle_key": pa.array(_bucket(k).astype(np.int64), pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(keyed, batch_format="pyarrow")
+    ordered = slim.sort(["shuffle_key", key_col]).materialize()
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def _rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    lens = ray.get([_rows.remote(r) for r in refs])
+
+    @ray.remote
+    def _enumerate(t: pa.Table, offset: int) -> pa.Table:
+        pos = np.arange(t.num_rows, dtype=np.int64) + offset
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "shard": pa.array(pos % n_shards, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    out_refs, offset = [], 0
+    for r, n in zip(refs, lens):
+        out_refs.append(_enumerate.remote(r, offset))
+        offset += n
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def stratified_sample(ds, rates: dict[str, float], key_col: str = "doc_id",
                       stratum_col: str = "lang"):
     """Keep each row iff ``hash(key) < rate[stratum] * 2^32``; strata absent

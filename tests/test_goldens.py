@@ -74,6 +74,7 @@ SQL_QUERIES = (
     "pii_scrub",
     "gopher_quality",
     "stratified_sample",
+    "shard_shuffle",
     "bigram_topk",
     "pricing_summary",
     "top_customers",

@@ -163,3 +163,20 @@ def test_tfidf_top_terms(ray_session):
     expect = round(2 * (math.log((1 + n) / (1 + df_rare)) + 1.0), 9)
     assert d0.iloc[0]["score"] == expect
     assert (out.groupby("doc_id")["rank"].max() == 2).all()
+
+
+def test_shard_shuffle_deterministic(ray_session):
+    from spider_ray.ops.sampling import KNUTH, MOD, shard_shuffle
+
+    n = 200
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    out = shard_shuffle(_ds(t), n_shards=4).to_pandas().sort_values("pos")
+    # permutation is the (knuth-hash, id) order
+    expect = sorted(range(n), key=lambda i: ((i * KNUTH) % MOD, i))
+    assert out["doc_id"].tolist() == expect
+    assert out["shard"].tolist() == [p % 4 for p in range(n)]
+    # shards are balanced
+    assert out.groupby("shard").size().tolist() == [50, 50, 50, 50]
+    # identical on re-run (no RNG state)
+    out2 = shard_shuffle(_ds(t), n_shards=4).to_pandas().sort_values("pos")
+    assert out2["doc_id"].tolist() == expect
