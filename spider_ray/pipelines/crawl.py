@@ -1366,7 +1366,14 @@ class RayCrawler:
                          "dup_signature": dup_sig, "candidates": len(candidates)}
                     )
             elif candidates is None:
-                candidates = []
+                # a wave can admit NOTHING while still deferring (politeness
+                # quota filled by candidates that then dropped at the budget
+                # step): the deferrals must re-enter the next admission like
+                # the oracle's loop (break only when admitted AND deferred
+                # are empty), or the crawl ends early with unburned budget —
+                # observable as a diverging sitemap-chain admission
+                candidates = list(deferred)
+                deferred = []
 
             timed_out = (
                 config.crawl_timeout_s is not None

@@ -136,3 +136,38 @@ def test_crawl_timeout_stops_early(fixture_env):
     # only the seed wave completed before the wall-clock cap
     assert len(e.visited) < len(full.visited)
     assert max(w for w, _, _ in e.admitted_order) == 0
+
+
+def test_deferred_survive_zero_admission_wave(ray_session):
+    """Regression (found by fuzz trial 9): a wave can admit NOTHING while
+    still deferring — politeness quota slots consumed by candidates that then
+    drop at the budget step.  The deferrals must re-enter the next admission
+    (oracle breaks only when admitted AND deferred are empty); the engine
+    used to break on empty candidates, ending with unburned wildcard budget
+    and then wrongly admitting a sitemap orphan through the chain."""
+    import tempfile
+
+    from spider_ray.config import CrawlConfig, CrawlJob
+    from spider_ray.fixtures import build_corpus, corpus_as_dict, seed_of, write_corpus_parquet
+    from spider_ray.oracle import crawl_oracle
+    from spider_ray.pipelines.crawl import crawl
+
+    rows = build_corpus(n_hosts=6, pages_per_host=40, seed=777)
+    cdir = tempfile.mkdtemp(prefix="spider_defer_")
+    write_corpus_parquet(rows, cdir, n_buckets=8)
+    corpus = corpus_as_dict(rows)
+    cfg = CrawlConfig(
+        subdomains=True,
+        respect_robots_txt=True,
+        delay_ms=250,
+        depth=3,
+        ignore_sitemap=False,
+        budget=(("*", 52), ("sec1", 6)),
+    )
+    job = CrawlJob((seed_of(0),), cfg)
+    o = crawl_oracle(job, corpus)
+    e = crawl(job, cdir)
+    assert e.visited_set == o.visited_set
+    assert e.admitted_order == o.admitted_order
+    # the orphan is refused by the exhausted wildcard budget in BOTH
+    assert not any("orphan" in u for u in e.visited_set)

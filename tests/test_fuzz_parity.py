@@ -23,7 +23,21 @@ def random_config(rng: random.Random) -> CrawlConfig:
         round_robin=rng.random() < 0.3,
         ignore_sitemap=rng.random() < 0.7,
         external_domains=frozenset({"off-domain.example"}) if rng.random() < 0.3 else frozenset(),
+        # round-2 knobs: redirects, content gates, filters, retry
+        redirect_policy=rng.choice(["loose", "loose", "strict", "none"]),
+        redirect_limit=rng.choice([7, 7, 1, 2]),
+        only_html=rng.random() < 0.8,
+        max_page_bytes=rng.choice([0, 0, 0, 512, 2048]),
+        retry=rng.choice([0, 0, 1, 2]),
+        filter_mode=rng.choice(["exact", "regex"]),
     )
+    if rng.random() < 0.25:
+        pat = (
+            (r"sec1/page[0-3]\.html",)
+            if cfg.filter_mode == "regex"
+            else (f"{seed_of(0)}sec1/page1.html",)
+        )
+        cfg = CrawlConfig(**{**cfg.__dict__, "blacklist": pat})
     if rng.random() < 0.4:
         cfg = cfg.with_limit(rng.randint(5, 60))
     if rng.random() < 0.3:
@@ -41,7 +55,7 @@ def fuzz_env(ray_session):
     return corpus_as_dict(rows), cdir
 
 
-@pytest.mark.parametrize("trial", range(6))
+@pytest.mark.parametrize("trial", range(10))
 def test_fuzz_parity(fuzz_env, trial):
     from spider_ray.pipelines.crawl import crawl
 
