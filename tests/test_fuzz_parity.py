@@ -38,6 +38,23 @@ def random_config(rng: random.Random) -> CrawlConfig:
             else (f"{seed_of(0)}sec1/page1.html",)
         )
         cfg = CrawlConfig(**{**cfg.__dict__, "blacklist": pat})
+    if rng.random() < 0.15:
+        pat = (r"site[0-9]\.example/(sec[01]|dup|missing|orphan|$)",) \
+            if cfg.filter_mode == "regex" else ()
+        if pat:
+            cfg = CrawlConfig(**{**cfg.__dict__, "whitelist": pat})
+    if rng.random() < 0.2:
+        from spider_ray.functions.hooks import rewrite_dup_a_to_leaf
+
+        cfg = CrawlConfig(**{**cfg.__dict__, "on_link_find": rewrite_dup_a_to_leaf})
+    if rng.random() < 0.2:
+        from spider_ray.functions.hooks import skip_section3
+
+        cfg = CrawlConfig(**{**cfg.__dict__, "on_should_crawl": skip_section3})
+    if rng.random() < 0.2:
+        cfg = CrawlConfig(
+            **{**cfg.__dict__, "extra_links": (f"{seed_of(1)}sec0/page1.html",)}
+        )
     if rng.random() < 0.4:
         cfg = cfg.with_limit(rng.randint(5, 60))
     if rng.random() < 0.3:
@@ -55,7 +72,7 @@ def fuzz_env(ray_session):
     return corpus_as_dict(rows), cdir
 
 
-@pytest.mark.parametrize("trial", range(10))
+@pytest.mark.parametrize("trial", range(16))
 def test_fuzz_parity(fuzz_env, trial):
     from spider_ray.pipelines.crawl import crawl
 

@@ -122,3 +122,24 @@ def test_checkpoint_lineage_files(env):
     for f in glob.glob(os.path.join(ckpt, "wave_*", "seen", "*.parquet")):
         seen_urls.update(pq.read_table(f).column("url_norm").to_pylist())
     assert seen_urls == crawl_oracle(job, corpus).visited_set
+
+@pytest.mark.parametrize("trial", range(4))
+def test_fuzz_kill_resume(env, trial):
+    """Randomized configs through the kill-at-wave-k + resume gate (reuses
+    the fuzz config generator; both executors get exercised depending on
+    whether the drawn config is simple)."""
+    import random
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_fuzz_parity import random_config
+
+    rng = random.Random(4200 + trial)
+    cfg = random_config(rng)
+    # hooks/queue don't affect resume mechanics but sitemap chain does; keep
+    # the drawn config as-is except force some output to exist
+    full, full_out, resumed, out, ckpt, job = _run_kill_resume(
+        env, cfg, kill_wave=rng.choice([0, 1, 2])
+    )
+    assert resumed.seen_keys == full.seen_keys, cfg
+    assert _pages_urls(out) == _pages_urls(full_out), cfg
