@@ -68,8 +68,16 @@ def shard_shuffle(ds, n_shards: int = 8, key_col: str = "doc_id"):
 
     out_refs, offset = [], 0
     for r, n in zip(refs, lens):
+        if n == 0:  # empty sort partitions may carry an empty schema
+            continue
         out_refs.append(_enumerate.remote(r, offset))
         offset += n
+    if not out_refs:
+        return ray.data.from_arrow(
+            pa.table({key_col: pa.array([], pa.int64()),
+                      "shard": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64())})
+        )
     return ray.data.from_arrow_refs(out_refs)
 
 

@@ -81,6 +81,10 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
     n_docs = docs.count()
     df_map: dict[str, int] = {}
     for part in ray.get(df_tbl.to_arrow_refs()):
+        # high-parallelism groupby emits empty partitions with an EMPTY
+        # schema — skip them before touching columns
+        if part.num_rows == 0 or "term" not in part.column_names:
+            continue
         df_map.update(zip(part.column("term").to_pylist(), part.column("df").to_pylist()))
     df_ref = ray.put(df_map)
 
