@@ -629,6 +629,17 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_needs_js(sf_dir: str):
+    """JS-dependence sniff over the fixture web corpus (page.rs:1840-1877
+    pattern tables; golden = independent regex-alternation recompute)."""
+    import ray.data
+
+    from spider_ray.functions.needs_js import NeedsJsStage
+
+    ds = ray.data.read_parquet(_corpus_for(sf_dir), columns=["url", "html"])
+    return ds.map_batches(NeedsJsStage(), batch_format="pyarrow")
+
+
 def q_link_graph(sf_dir: str):
     """Host-pair link-graph edges over the fixture web corpus (distributed
     parse → per-batch combiner → multi-key groupby)."""
@@ -806,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
+        "needs_js": q_needs_js,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
         "host_pagerank": q_host_pagerank,

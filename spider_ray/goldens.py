@@ -23,6 +23,7 @@ whenever the version marker mismatches.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -34,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 16
+GOLDEN_VERSION = 17
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -635,6 +636,42 @@ def seq_ivf_ann(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4) ->
     )
 
 
+def seq_needs_js(sf_name: str) -> pa.Table:
+    """Independent needs_js recompute: same pattern tables
+    (page.rs:1840-1877 — they ARE the spec) but matched with one compiled
+    regex alternation instead of the engine's per-pattern substring loop."""
+    import re
+
+    from .fixtures import ensure_scale
+
+    pats = [
+        ".innerHTML", ".outerHTML", "document.write(", "document.createElement(",
+        "appendChild(", "history.pushState", "history.replaceState",
+        "location.replace(", "location.assign(", "fetch(", "XMLHttpRequest",
+        'id="__next"', 'id="___gatsby"', 'id="__nuxt"', 'id="app"', 'id="root"',
+        "data-reactroot", "ng-version",
+    ]
+    rx = re.compile("|".join(re.escape(p) for p in pats))
+    corpus_dir = ensure_scale(sf_name)
+    urls, flags = [], []
+    for path in sorted(
+        glob.glob(os.path.join(corpus_dir, "*", "*.parquet"))
+        or glob.glob(os.path.join(corpus_dir, "*.parquet"))
+    ):
+        t = pq.read_table(path, columns=["url", "html"])
+        for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            txt = (h or b"").decode("utf-8", "replace") if isinstance(h, (bytes, bytearray)) else (h or "")
+            urls.append(u)
+            flags.append(rx.search(txt) is not None)
+    order = sorted(range(len(urls)), key=lambda i: urls[i])
+    return pa.table(
+        {
+            "url": pa.array([urls[i] for i in order], pa.string()),
+            "needs_js": pa.array([flags[i] for i in order], pa.bool_()),
+        }
+    )
+
+
 def seq_multimodal_audio(n_items: int = 48) -> pa.Table:
     """Expected audio metadata straight from the fake-codec payload SPEC
     (``FAKEAUD:{sr}:{n}:`` + int16 PCM from RandomState(id ^ 0xA0D10))."""
@@ -884,6 +921,7 @@ GOLDEN_QUERIES = (
     "multimodal_audio",
     "multimodal_frames",
     "link_graph",
+    "needs_js",
     "host_degrees",
     "host_pagerank",
 )
@@ -914,6 +952,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     _build_crawl_goldens(sf_name, tables)
     lg = seq_link_graph(sf_name)
     tables["link_graph"] = lg
+    tables["needs_js"] = seq_needs_js(sf_name)
     tables["host_degrees"] = seq_host_degrees(lg)
     tables["host_pagerank"] = seq_host_pagerank(lg)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
