@@ -377,6 +377,15 @@ def q_events_per_day(sf_dir: str):
 SAMPLE_RATES = {"en": 0.5, "de": 0.1, "es": 0.1, "fr": 0.1, "zh": 0.1}
 
 
+def q_curate_corpus(sf_dir: str):
+    """Flagship composed curation pipeline: Gopher quality filter → exact
+    dedup → MinHash near-dup removal → deterministic stratified sample →
+    token manifest (golden = independent sequential chain)."""
+    from spider_ray.ops.curate import curate_corpus
+
+    return curate_corpus(_docs(sf_dir), SAMPLE_RATES)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII scrub counts over the documents table with deterministically
     planted PII (the fixture text has none; the same weave expression is
@@ -802,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
         "shard_shuffle": q_shard_shuffle,
+        "curate_corpus": q_curate_corpus,
         "bigram_topk": q_bigram_topk,
         "sequence_packing": q_sequence_packing,
         "top_k_similarity": q_top_k_similarity,

@@ -222,6 +222,12 @@ def run_bench() -> dict:
     order_priority_revenue(li_join, ords, num_partitions=16).count()
     queries["order_revenue"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.curate import curate_corpus
+
+    t0 = time.perf_counter()
+    curate_corpus(docs, {"en": 0.5, "de": 0.1, "es": 0.1, "fr": 0.1, "zh": 0.1}).count()
+    queries["curate_corpus"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.tfidf import tfidf_top_terms
 
     t0 = time.perf_counter()

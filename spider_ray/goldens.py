@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 17
+GOLDEN_VERSION = 18
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -636,6 +636,72 @@ def seq_ivf_ann(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4) ->
     )
 
 
+def seq_curate(
+    ids: list[int], texts: list[str], langs: list[str],
+    rates: dict[str, float] | None = None, threshold: float = 0.5,
+) -> pa.Table:
+    """Independent sequential recompute of the curation chain
+    (``ops/curate.py`` spec): Gopher keep (integer rules) → exact dedup by
+    RAW text (dict, not hash) → near-dup drop via seq_minhash_pairs +
+    min-label propagation over the exact survivors → Knuth-hash per-lang
+    sample → whitespace token counts."""
+    import re
+
+    rates = rates or {"en": 0.5, "de": 0.1, "es": 0.1, "fr": 0.1, "zh": 0.1}
+    tok = re.compile(r"\S+")
+    stop = {"the", "a", "of", "to", "and", "in", "is", "that", "for", "on"}
+
+    def keep_quality(t: str) -> bool:
+        words = tok.findall(t or "")
+        w, c = len(words), sum(len(x) for x in words)
+        s = sum(1 for x in words if x.lower() in stop)
+        return (
+            50 <= w <= 100_000 and 3 * w <= c <= 10 * w and s >= 2 and 100 * s >= 6 * w
+        )
+
+    kept = [(i, t, l) for i, t, l in zip(ids, texts, langs) if keep_quality(t)]
+    first_by_text: dict[str, int] = {}
+    for i, t, _ in sorted(kept):
+        first_by_text.setdefault(t, i)
+    winners = set(first_by_text.values())
+    exact = [(i, t, l) for i, t, l in kept if i in winners]
+
+    pairs_tbl = seq_minhash_pairs(
+        [i for i, _, _ in exact], [t for _, t, _ in exact], threshold=threshold
+    )
+    pairs = list(
+        zip(pairs_tbl.column("doc_a").to_pylist(), pairs_tbl.column("doc_b").to_pylist())
+    )
+    label = {d: d for pair in pairs for d in pair}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    drop = {d for d, c in label.items() if d != c}
+
+    out = {"doc_id": [], "lang": [], "n_tokens": []}
+    for i, t, l in exact:
+        if i in drop:
+            continue
+        lim = int(rates.get(l, 0) * (1 << 32))
+        if (i * 2654435761) % (1 << 32) >= lim:
+            continue
+        out["doc_id"].append(i)
+        out["lang"].append(l)
+        out["n_tokens"].append(len(tok.findall(t or "")))
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        }
+    )
+
+
 def seq_needs_js(sf_name: str) -> pa.Table:
     """Independent needs_js recompute: same pattern tables
     (page.rs:1840-1877 — they ARE the spec) but matched with one compiled
@@ -865,6 +931,10 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     out["minhash_pairs"] = seq_minhash_pairs(ids, texts, threshold=0.5)
     out["sequence_packing"] = seq_sequence_packing(ids, texts)
     out["tfidf_top_terms"] = seq_tfidf(ids, texts)
+    langs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    ).column("lang").to_pylist()
+    out["curate_corpus"] = seq_curate(ids, texts, langs)
     out["near_dup_clusters"] = seq_near_dup_clusters(ids, texts, threshold=0.5)
     out["quality_scores"] = seq_quality(ids, texts)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
@@ -910,6 +980,7 @@ GOLDEN_QUERIES = (
     "minhash_pairs",
     "sequence_packing",
     "tfidf_top_terms",
+    "curate_corpus",
     "near_dup_clusters",
     "quality_scores",
     "lsh_ann",
