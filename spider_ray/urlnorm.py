@@ -67,6 +67,29 @@ def normalize_url(url: str) -> str | None:
     return _serialize(parts.scheme, parts.netloc, parts.path, parts.query)
 
 
+# WHATWG percent-encode sets (url.spec.whatwg.org §1.3; Rust ``url`` crate
+# parity): path set = fragment set + {#, ?, {, }}; query set for special
+# schemes adds the apostrophe.  '%' is NEVER re-encoded (no double-encoding,
+# matching the WHATWG serializer — invalid sequences pass through).
+_PATH_ENCODE = frozenset(' "<>`#?{}')
+_QUERY_ENCODE = frozenset(' "<>#\'')
+
+
+def _pct(s: str, enc: frozenset) -> str:
+    if not s or not any(
+        ch in enc or ord(ch) <= 0x1F or ord(ch) >= 0x7F for ch in s
+    ):
+        return s
+    out = []
+    for ch in s:
+        cp = ord(ch)
+        if cp <= 0x1F or cp >= 0x7F or ch in enc:
+            out.append("".join(f"%{b:02X}" for b in ch.encode("utf-8")))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _serialize(scheme: str, netloc: str, path: str, query: str) -> str | None:
     scheme = scheme.lower()
     host, port = _split_netloc(netloc)
@@ -82,7 +105,9 @@ def _serialize(scheme: str, netloc: str, path: str, query: str) -> str | None:
         # absolute hrefs like https://h/a/../b must canonicalize to /b exactly
         # as relative joins do via urljoin.
         path = _remove_dot_segments(path)
-    return urlunsplit((scheme, netloc_out, path, query, ""))
+    return urlunsplit(
+        (scheme, netloc_out, _pct(path, _PATH_ENCODE), _pct(query, _QUERY_ENCODE), "")
+    )
 
 
 def _remove_dot_segments(path: str) -> str:

@@ -240,3 +240,25 @@ def test_glob_expand():
         "https://example.com/p02",
         "https://example.com/p03",
     ]
+
+
+def test_whatwg_percent_encoding():
+    """Rust Url::parse parity: path/query percent-encode sets, UTF-8
+    non-ASCII encoding, and NO double-encoding of existing %xx."""
+    from spider_ray.urlnorm import convert_abs_path
+
+    b = "https://example.com/"
+    assert convert_abs_path(b, "/a b") == "https://example.com/a%20b"
+    assert convert_abs_path(b, "/a b/c d.html") == "https://example.com/a%20b/c%20d.html"
+    # already-encoded stays untouched (no %2520)
+    assert convert_abs_path(b, "/a%20b") == "https://example.com/a%20b"
+    # UTF-8 percent-encoding of non-ASCII path chars
+    assert convert_abs_path(b, "/café") == "https://example.com/caf%C3%A9"
+    # query set: space and quote encoded, '=' and '&' preserved
+    assert (
+        convert_abs_path(b, "/p?q=a b&r='x'")
+        == "https://example.com/p?q=a%20b&r=%27x%27"
+    )
+    # idempotent: rejoining the output is a fixpoint
+    out = convert_abs_path(b, "/a b?x=ü")
+    assert convert_abs_path(b, out) == out
