@@ -554,6 +554,30 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev, gap_s=1800)
 
 
+def q_event_asof(sf_dir: str):
+    """As-of join: per purchase event, the same user's latest view event at
+    or before it (vectorized pre-filter -> one groupby(user) shuffle ->
+    searchsorted resolve; oracle = DuckDB ASOF LEFT JOIN)."""
+    import ray.data
+
+    from spider_ray.ops.windows import asof_join_events
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return asof_join_events(ev, left_type="purchase", right_type="view")
+
+
+def q_boilerplate(sf_dir: str):
+    """Per-host boilerplate line removal over the fixture web corpus
+    (distinct-lines-per-page combiner -> one (host, line) shuffle ->
+    broadcast strip pass; oracle = pure SQL over the same Parquet)."""
+    from spider_ray.ops.textclean import host_boilerplate_removal
+
+    return host_boilerplate_removal(_corpus_for(sf_dir), min_pages=2, pct=10)
+
+
 def q_top_k_similarity(sf_dir: str):
     from spider_ray.ops.similarity import brute_force_top_k
 
@@ -803,6 +827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_day": q_events_per_day,
         "tumbling_events": q_tumbling_events,
         "sessionize": q_sessionize,
+        "event_asof": q_event_asof,
+        "boilerplate_removal": q_boilerplate,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "order_revenue": q_order_revenue,
@@ -958,6 +984,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, (grp-1)::BIGINT AS session_id, count(*)::BIGINT AS n_events, "
             "min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us "
             "FROM s GROUP BY user_id, grp"
+        ),
+        "event_asof": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), "
+            "v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') "
+            "SELECT p.event_id AS event_id, p.user_id AS user_id, epoch_us(p.ts) AS ts_us, "
+            "v.event_id AS match_event_id, epoch_us(v.ts) AS match_ts_us, "
+            "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us "
+            "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts"
+        ),
+        "boilerplate_removal": (
+            f"WITH pages AS ("
+            f"  SELECT url, split_part(split_part(url, '://', 2), '/', 1) AS host, text "
+            f"  FROM read_parquet('{corpus_glob}') "
+            f"  WHERE text IS NOT NULL AND url NOT LIKE '%robots.txt' "
+            f"    AND url NOT LIKE '%sitemap.xml'"
+            f"), lines AS ("
+            f"  SELECT url, host, unnest(string_split(text, chr(10))) AS line, "
+            f"         generate_subscripts(string_split(text, chr(10)), 1) AS ord "
+            f"  FROM pages"
+            f"), counts AS ("
+            f"  SELECT host, line, count(DISTINCT url) AS n_pages FROM lines GROUP BY 1, 2"
+            f"), hosttot AS (SELECT host, count(*) AS n FROM pages GROUP BY 1"
+            f"), boiler AS ("
+            f"  SELECT counts.host AS host, line FROM counts JOIN hosttot USING (host) "
+            f"  WHERE n_pages >= 2 AND n_pages * 100 >= 10 * n"
+            f") "
+            f"SELECT l.url, count(*)::BIGINT AS n_lines, count(b.line)::BIGINT AS n_removed, "
+            f"string_agg(CASE WHEN b.line IS NULL THEN l.line END, chr(10) ORDER BY l.ord) AS clean_text "
+            f"FROM lines l LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line "
+            f"GROUP BY l.url"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -121,3 +121,186 @@ class GopherQuality:
                 "keep": pa.array(keep, pa.bool_()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate line removal (nav/footer/template lines shared across
+# a host's pages).  Classic webtext-curation pass (CCNet/RefinedWeb drop
+# repeated lines; here scoped per host, where template reuse actually lives):
+#
+#   pass 1  map_batches combiner: per page, DISTINCT lines (Arrow
+#           split_pattern/list_flatten/list_parent_indices — no Python loop)
+#           -> (host, line, n_pages=1) partials -> ONE groupby(host, line)
+#           shuffle of partials.  A line is boilerplate when it appears on
+#           >= min_pages pages AND >= pct% of the host's pages.
+#   pass 2  map_batches actor pool: the boilerplate set (small by
+#           construction: O(hosts x template-lines), NOT O(corpus)) is
+#           ray.put ONCE and looked up per line; pages rebuild with order
+#           preserved.
+#
+# Driver-side materialization is limited to the per-host page counts
+# (O(hosts)) and the filtered boilerplate set — never page text.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_page_filter(batch: pa.Table) -> pa.Table:
+    """Text-bearing corpus pages only (mirrors the extract_text_parity
+    exclusions: robots.txt / sitemap.xml rows, null text)."""
+    import pyarrow.compute as pc
+
+    urls = batch.column("url")
+    keep = pc.and_(
+        pc.is_valid(batch.column("text")),
+        pc.invert(
+            pc.or_(
+                pc.ends_with(urls, "robots.txt"),
+                pc.ends_with(urls, "sitemap.xml"),
+            )
+        ),
+    )
+    return batch.filter(keep)
+
+
+def _hosts_of(urls) -> "pa.Array":
+    """``split_part(split_part(url, '://', 2), '/', 1)`` in Arrow kernels."""
+    import pyarrow.compute as pc
+
+    rest = pc.list_element(pc.split_pattern(urls, pattern="://", max_splits=1), 1)
+    return pc.list_element(pc.split_pattern(rest, pattern="/", max_splits=1), 0)
+
+
+def _line_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: distinct (host, line) per page -> partial counts."""
+    import pyarrow.compute as pc
+
+    batch = _corpus_page_filter(batch)
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "line": pa.array([], pa.string()),
+                "n_pages": pa.array([], pa.int64()),
+            }
+        )
+    hosts = _hosts_of(batch.column("url"))
+    lines_list = pc.split_pattern(batch.column("text"), pattern="\n")
+    flat = pc.list_flatten(lines_list)
+    parent = pc.list_parent_indices(lines_list)
+    t = pa.table(
+        {"pg": parent, "host": pc.take(hosts, parent), "line": flat}
+    )
+    distinct = t.group_by(["pg", "host", "line"]).aggregate([])
+    counts = distinct.group_by(["host", "line"]).aggregate([("pg", "count")])
+    return counts.rename_columns(["host", "line", "n_pages"])
+
+
+class _BoilerplateStrip:
+    """Actor-pool pass 2: rebuild each page without its host's boilerplate
+    lines.  ``(url, n_lines, n_removed, clean_text)``; ``clean_text`` is
+    null when every line was boilerplate (string_agg-over-nothing parity
+    with the SQL oracle)."""
+
+    def __init__(self, boiler_ref):
+        import ray
+
+        # actor ctor args arrive de-referenced; plain refs when called inline
+        self.boiler: dict[str, frozenset[str]] = (
+            boiler_ref if isinstance(boiler_ref, dict) else ray.get(boiler_ref)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = _corpus_page_filter(batch)
+        urls = batch.column("url").to_pylist()
+        hosts = _hosts_of(batch.column("url")).to_pylist() if len(batch) else []
+        out_n, out_rm, out_txt = [], [], []
+        empty: frozenset[str] = frozenset()
+        for host, text in zip(hosts, batch.column("text").to_pylist()):
+            bset = self.boiler.get(host, empty)
+            lines = text.split("\n")
+            kept = [ln for ln in lines if ln not in bset]
+            out_n.append(len(lines))
+            out_rm.append(len(lines) - len(kept))
+            out_txt.append("\n".join(kept) if kept else None)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "n_lines": pa.array(out_n, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+
+def host_boilerplate_removal(
+    corpus_dir: str,
+    min_pages: int = 2,
+    pct: int = 10,
+    concurrency: int | None = None,
+):
+    """Remove per-host boilerplate lines from a web corpus (see module
+    comment).  A line is boilerplate on host H iff it occurs on
+    ``>= min_pages`` of H's pages and on ``>= pct%`` of them."""
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    cols = ["url", "text"]
+    pages = ray.data.read_parquet(corpus_dir, columns=cols)
+
+    # host page totals: tiny (O(hosts)) aggregate, materialized on driver
+    def host_partials(batch: pa.Table) -> pa.Table:
+        batch = _corpus_page_filter(batch)
+        hosts = (
+            _hosts_of(batch.column("url"))
+            if len(batch)
+            else pa.array([], pa.string())
+        )
+        t = pa.table({"host": hosts})
+        return (
+            t.group_by(["host"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["host", "n"])
+        )
+
+    tot_rows = (
+        pages.map_batches(host_partials, batch_format="pyarrow")
+        .groupby("host")
+        .sum("n")
+        .take_all()
+    )
+    host_tot = {r["host"]: int(r["sum(n)"]) for r in tot_rows}
+
+    line_counts = (
+        pages.map_batches(_line_partials, batch_format="pyarrow")
+        .groupby(["host", "line"])
+        .sum("n_pages")
+    )
+
+    def boiler_only(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("sum(n_pages)"), pa.int64())
+        tot = pa.array(
+            [host_tot.get(h, 0) for h in batch.column("host").to_pylist()],
+            pa.int64(),
+        )
+        keep = pc.and_(
+            pc.greater_equal(n, min_pages),
+            pc.greater_equal(pc.multiply(n, 100), pc.multiply(tot, pct)),
+        )
+        return batch.filter(keep).select(["host", "line"])
+
+    boiler_rows = line_counts.map_batches(
+        boiler_only, batch_format="pyarrow"
+    ).take_all()
+    boiler: dict[str, set[str]] = {}
+    for r in boiler_rows:
+        boiler.setdefault(r["host"], set()).add(r["line"])
+    boiler_ref = ray.put({h: frozenset(s) for h, s in boiler.items()})
+
+    # autoscaling pool with min=1: a fixed-size pool equal to the CPU count
+    # would starve the upstream read tasks on a small cluster (deadlock)
+    return pages.map_batches(
+        _BoilerplateStrip,
+        fn_constructor_args=(boiler_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )

@@ -17,6 +17,12 @@ Ray-Data-first:
   fit in one group (event-log skew is bounded per user; a hot user at
   10⁹ events would need day-salting + session stitching at the salt
   boundaries).  Timestamps flow as int64 epoch-microseconds end-to-end.
+* **As-of join** — the classic "latest right-side row at or before each
+  left-side row per key" temporal join Ray Data has no primitive for.
+  Expressed as ONE ``groupby(key).map_groups`` shuffle over the pre-filtered
+  union of both sides: inside a group, the right side sorts by ``(ts, id)``
+  and a single vectorized ``searchsorted(side="right") - 1`` resolves every
+  left row's match.  Same per-key partitioning assumption as sessionize.
 """
 
 from __future__ import annotations
@@ -96,3 +102,74 @@ def sessionize(events, gap_s: int = 1800):
         )
 
     return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def asof_join_events(events, left_type: str = "purchase", right_type: str = "view"):
+    """As-of join within an event log: for every ``left_type`` event, the
+    same user's most recent ``right_type`` event with ``ts <= left.ts``.
+
+    Returns ``(event_id, user_id, ts_us, match_event_id, match_ts_us,
+    gap_us)`` — the match columns are null when the user has no qualifying
+    right-side event (left join semantics, DuckDB ``ASOF LEFT JOIN``).
+
+    Shape: a vectorized pre-filter drops every other event type BEFORE the
+    one ``groupby(user_id)`` shuffle, so only the two joined streams move;
+    the per-group resolve is a single numpy ``searchsorted`` (no per-row
+    Python loop).  Ties at identical ``ts`` break toward the larger
+    ``event_id`` (sorted last), matching the SQL oracle's max-ts pick on a
+    corpus where ``(user_id, ts)`` is unique per side.
+    """
+    value_set = pa.array([left_type, right_type], pa.string())
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"), value_set=value_set))
+
+    def per_user(group: pa.Table) -> pa.Table:
+        types = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        lm = types == left_type
+        n_left = int(lm.sum())
+        if n_left == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts_us": pa.array([], pa.int64()),
+                    "match_event_id": pa.array([], pa.int64()),
+                    "match_ts_us": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        lorder = np.lexsort((eid[lm], ts[lm]))
+        lts, leid = ts[lm][lorder], eid[lm][lorder]
+        rm = types == right_type
+        rorder = np.lexsort((eid[rm], ts[rm]))
+        rts, reid = ts[rm][rorder], eid[rm][rorder]
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        hit = idx >= 0
+        if len(rts):
+            match_eid = np.where(hit, reid[np.maximum(idx, 0)], 0)
+            match_ts = np.where(hit, rts[np.maximum(idx, 0)], 0)
+        else:
+            match_eid = np.zeros(n_left, dtype=np.int64)
+            match_ts = np.zeros(n_left, dtype=np.int64)
+        user = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(leid, pa.int64()),
+                "user_id": pa.array([user] * n_left, pa.int64()),
+                "ts_us": pa.array(lts, pa.int64()),
+                "match_event_id": _masked_int64(match_eid, hit),
+                "match_ts_us": _masked_int64(match_ts, hit),
+                "gap_us": _masked_int64(lts - match_ts, hit),
+            }
+        )
+
+    pruned = events.map_batches(prefilter, batch_format="pyarrow")
+    return pruned.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def _masked_int64(values: np.ndarray, valid: np.ndarray) -> pa.Array:
+    """int64 Arrow array with ``valid==False`` entries null."""
+    return pa.array(values.astype(np.int64), pa.int64(), mask=~valid)

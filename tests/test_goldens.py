@@ -71,6 +71,8 @@ SQL_QUERIES = (
     "embedding_near_dup",
     "tumbling_events",
     "sessionize",
+    "event_asof",
+    "boilerplate_removal",
     "pii_scrub",
     "gopher_quality",
     "stratified_sample",

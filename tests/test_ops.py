@@ -335,3 +335,81 @@ def test_ivf_top_k_recall(emb_ds, ray_session):
     assert len(ap) == len(ex)  # ...but every query still fills its k
     qids = sorted({q for q, _ in ap})
     assert qids == [0, 1, 2, 3, 4]
+
+
+def test_asof_join_events(ray_session):
+    import ray.data
+
+    from spider_ray.ops.windows import asof_join_events
+
+    us = 1_000_000
+    # user 1: purchase@50 matches view@30 (not view@60); purchase@10 has no
+    # prior view -> null match; equality (view@70, purchase@70) DOES match.
+    # user 2: views only -> no output rows.  user 3: purchase, no views.
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "ts": pa.array(
+                [50 * us, 30 * us, 60 * us, 10 * us, 70 * us, 70 * us, 5 * us, 99 * us],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 1, 1, 1, 2, 3], pa.int64()),
+            "event_type": [
+                "purchase", "view", "view", "purchase",
+                "view", "purchase", "view", "purchase",
+            ],
+        }
+    )
+    out = (
+        asof_join_events(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["user_id", "ts_us"])
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [3, 0, 5, 7]
+    assert out["user_id"].tolist() == [1, 1, 1, 3]
+    got = [None if v != v else int(v) for v in out["match_event_id"]]
+    assert got == [None, 1, 4, None]
+    gaps = [None if v != v else int(v) for v in out["gap_us"]]
+    assert gaps == [None, 20 * us, 0, None]
+
+
+def test_host_boilerplate_removal(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from spider_ray.ops.textclean import host_boilerplate_removal
+
+    # host a: "nav" on 3/4 pages (75% >= 10%, >= 2 pages -> boilerplate);
+    # "once" on 1 page only -> kept.  host b: "nav" on 1/1 pages -> fails
+    # min_pages=2 -> kept.  p4 is all-boilerplate -> clean_text null.
+    rows = {
+        "url": [
+            "http://a/p1", "http://a/p2", "http://a/p3", "http://a/p4",
+            "http://b/p1", "http://a/robots.txt",
+        ],
+        "text": [
+            "nav\nbody one\nnav",
+            "nav\nonce",
+            "body three",
+            "nav",
+            "nav\nsolo",
+            "ignored",
+        ],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "part-0.parquet")
+    out = (
+        host_boilerplate_removal(str(tmp_path), min_pages=2, pct=10)
+        .to_pandas()
+        .set_index("url")
+    )
+    assert len(out) == 5  # robots.txt excluded
+    assert out.loc["http://a/p1", "n_lines"] == 3
+    assert out.loc["http://a/p1", "n_removed"] == 2  # both nav occurrences
+    assert out.loc["http://a/p1", "clean_text"] == "body one"
+    assert out.loc["http://a/p2", "clean_text"] == "once"
+    assert out.loc["http://a/p3", "n_removed"] == 0
+    assert out.loc["http://a/p4", "clean_text"] is None or (
+        out.loc["http://a/p4", "clean_text"] != out.loc["http://a/p4", "clean_text"]
+    )
+    assert out.loc["http://b/p1", "clean_text"] == "nav\nsolo"
