@@ -116,7 +116,8 @@ def main(argv=None) -> int:
     prev_handlers = {}
 
     def _graceful(signum, frame):
-        control.shutdown()
+        # non-blocking: the main thread is typically inside a ray.get here
+        control.request_shutdown()
         print(
             json.dumps({"signal": signum, "action": "shutdown_at_wave_barrier"}),
             file=sys.stderr,

@@ -185,7 +185,9 @@ def ivf_cells(
     id_parts = ray.get(ds.select_columns([id_column]).materialize().to_arrow_refs())
     ids = np.sort(np.concatenate([np.asarray(t.column(id_column)) for t in id_parts]))
     n = len(ids)
-    sel = ids[(np.arange(n_cells, dtype=np.int64) * n) // n_cells]
+    # fewer vectors than cells → evenly-spaced picks repeat; collapse them so
+    # callers see the ACTUAL centroid count (len of the returned arrays)
+    sel = np.unique(ids[(np.arange(n_cells, dtype=np.int64) * n) // n_cells])
     cent_tbl = pa.concat_tables(
         [
             t.filter(pa.compute.is_in(t.column(id_column), value_set=pa.array(sel)))
@@ -224,9 +226,10 @@ def ivf_top_k(
 
     qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
     qsims = np.round(qn @ cents.T, 9)
+    actual_cells = cents.shape[0]  # < n_cells when the dataset is tiny
     probed: set[int] = set()
     for qi in range(qsims.shape[0]):
-        order = np.lexsort((np.arange(n_cells), -qsims[qi]))
+        order = np.lexsort((np.arange(actual_cells), -qsims[qi]))
         probed.update(order[:nprobe].tolist())
     probe_list = sorted(probed)
 

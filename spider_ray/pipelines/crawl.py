@@ -47,7 +47,7 @@ from ..semantics import Budget, depth_distance_for
 from ..stages.fetch import corpus_n_buckets
 from ..stages.parse import ParsePages, missing_rows
 from ..hashing import SigSet
-from ..urlnorm import url_host
+from ..urlnorm import hosts_of_keys_arrow, url_host
 from ..waves import admit_wave, gate_links_by_signature, order_candidates
 from .. import oracle as _oracle
 
@@ -248,10 +248,7 @@ def _flatten_block_sharded_impl(tbl, local_rows, ranks, num_shards):
             "rank": pa.array(rank64[keep], pa.int64()),
         }
     )
-    h1 = pc.replace_substring_regex(
-        out.column("key"), pattern=r"^[a-z0-9+.\-]+://", replacement=""
-    )
-    hosts = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
+    hosts = hosts_of_keys_arrow(out.column("key"))
     enc = pc.dictionary_encode(hosts)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
@@ -548,7 +545,7 @@ class RayCrawler:
         _atomic_write_json(
             os.path.join(self.ckpt_dir, "manifest.json"),
             {"wave": wave, "num_seen_shards": self.num_seen_shards,
-             "config_hash": self._config_hash()},
+             "config_hash": self._config_hash(), **self._redirect_state()},
         )
 
     def _ckpt_wave_fast(self, wave, flat_candidates, signatures, seen, metrics):
@@ -583,8 +580,27 @@ class RayCrawler:
         _atomic_write_json(
             os.path.join(self.ckpt_dir, "manifest.json"),
             {"wave": wave, "num_seen_shards": self.num_seen_shards, "mode": "fast",
-             "config_hash": self._config_hash()},
+             "config_hash": self._config_hash(), **self._redirect_state()},
         )
+
+    def _redirect_state(self) -> dict:
+        """Redirect state that only materializes live at wave 0 and must
+        survive a resume: cross-host seed redirects (the rebuilt scope
+        selectors, ``modify_selectors``) and the Strict resolver's crawl-global
+        initial allowance counter."""
+        return {
+            "seed_redirects": [list(t) for t in self._live_job.seed_redirects],
+            "redirect_initial_used": self._resolver.initial_used,
+        }
+
+    def _restore_redirect_state(self, manifest: dict) -> None:
+        redirs = tuple((a, b) for a, b in manifest.get("seed_redirects") or ())
+        if redirs:
+            self._live_job = self._live_job.with_seed_redirects(
+                redirs + tuple(t for t in self._live_job.seed_redirects if t not in redirs)
+            )
+            self._router_cache = None
+        self._resolver.initial_used = int(manifest.get("redirect_initial_used") or 0)
 
     def _config_hash(self) -> str:
         """Deterministic hash of everything that shapes checkpoint layout:
@@ -600,7 +616,14 @@ class RayCrawler:
             getattr(h, "__qualname__", repr(type(h))) if h is not None else None
             for h in (cfg.on_link_find, cfg.on_should_crawl)
         )
-        sanitized = _rep(cfg, on_link_find=None, on_should_crawl=None)
+        # frozenset iteration order is hash-randomized per process; canonicalize
+        # to a sorted tuple so the hash is stable across CLI invocations.
+        sanitized = _rep(
+            cfg,
+            on_link_find=None,
+            on_should_crawl=None,
+            external_domains=tuple(sorted(cfg.external_domains)),
+        )
         payload = repr(
             (self.job.seeds, sanitized, hook_names, self.num_seen_shards, self._simple_config())
         )
@@ -626,6 +649,10 @@ class RayCrawler:
 
     def _restore(self, upto_wave: int, seen, budget, signatures, result: CrawlResult):
         """Rebuild state from checkpoints of waves 0..upto_wave."""
+        mpath = os.path.join(self.ckpt_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                self._restore_redirect_state(json.load(f))
         per_shard: list[list[str]] = [[] for _ in range(self.num_seen_shards)]
         for w in range(upto_wave + 1):
             wdir = os.path.join(self.ckpt_dir, f"wave_{w:05d}")
@@ -843,10 +870,7 @@ class RayCrawler:
         # strings materialize worker-side, never on the driver.
         from ..hashing import stable_hash_str
 
-        h1 = pc.replace_substring_regex(
-            tbl.column("key"), pattern=r"^[a-z0-9+.\-]+://", replacement=""
-        )
-        hosts_arr = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
+        hosts_arr = hosts_of_keys_arrow(tbl.column("key"))
         dict_arr = pc.dictionary_encode(hosts_arr).combine_chunks()
         uniques = dict_arr.dictionary.to_pylist()
         shard_of_unique = np.fromiter(
@@ -1086,6 +1110,7 @@ class RayCrawler:
                 result.admitted_order.append((0, seq, url))
             wave = 0
 
+        timed_out = False
         while admitted:
             next_admitted, next_hosts, n_raw, cand_ckpt = self._wave_sharded(
                 admitted, wave, pool, signatures, want_cand
@@ -1118,7 +1143,11 @@ class RayCrawler:
                 (wave, seq, url) for seq, url in enumerate(admitted)
             )
 
-        if not config.ignore_sitemap:
+        # an aborted crawl (shutdown / crawl_timeout) must NOT run the sitemap
+        # chain: it would fetch more pages after the stop AND its checkpoint
+        # would overwrite the manifest with an EMPTY frontier, losing the
+        # remaining frontier on resume
+        if not config.ignore_sitemap and not result.stopped and not timed_out:
             self._sitemap_chain(result, pool, budget, lambda u: None, wave + 1, signatures)
 
         if self.collect_seen:
@@ -1157,6 +1186,13 @@ class RayCrawler:
         # push time and fold their crawl-delay into the shard's politeness
         assert config.budget is None
         assert not config.whitelist and not config.blacklist and not config.round_robin
+        # hooks and extra_links have no streaming wiring yet: on_link_find is
+        # never applied at dispatch, extra_links never enter the frontier, and
+        # an on_should_crawl-blocked page's signature would wrongly enter the
+        # dedup set (the oracle records signature=None for blocked pages) —
+        # fail loudly instead of silently diverging; use run() for these
+        assert config.on_link_find is None and config.on_should_crawl is None
+        assert not config.extra_links
 
         import time as _time
 
@@ -1204,10 +1240,7 @@ class RayCrawler:
                     )
                     tbl = tbl.filter(ok)
                 if tbl.num_rows:
-                    h1 = pc.replace_substring_regex(
-                        tbl.column("key"), pattern=r"^[a-z0-9+.\-]+://", replacement=""
-                    )
-                    hosts_arr = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
+                    hosts_arr = hosts_of_keys_arrow(tbl.column("key"))
                     prios = score_urls_arrow(tbl.column("url").combine_chunks(), wave + 1)
                     urls_py = tbl.column("url").to_pylist()
                     hosts_py = hosts_arr.to_pylist()
@@ -1308,6 +1341,7 @@ class RayCrawler:
             ]
             wave = 0
 
+        timed_out = False
         while True:
             flat_candidates = resume_flat
             resume_flat = None
@@ -1448,8 +1482,11 @@ class RayCrawler:
             self._pending_inserts = []
 
         # --- sitemap chain (website.rs:6975): admitted through the normal
-        # chain, fetched+parsed distributed, links NOT expanded ---
-        if not config.ignore_sitemap:
+        # chain, fetched+parsed distributed, links NOT expanded.  Skipped on
+        # an aborted crawl (shutdown / crawl_timeout): fetching after the stop
+        # would be wrong, and the chain's checkpoint would overwrite the
+        # manifest with an empty frontier, losing the remainder on resume ---
+        if not config.ignore_sitemap and not result.stopped and not timed_out:
             self._sitemap_chain(result, seen, budget, robots_for, wave + 1, signatures)
 
         if self.collect_seen:
@@ -1529,6 +1566,11 @@ class RayCrawler:
             # this, a resume after a COMPLETED crawl re-admits and re-fetches
             # every sitemap-discovered page (duplicate output rows)
             if self.ckpt_dir:
+                # sharded path: the insert above landed shard-side and no
+                # finalize_wave follows to drain it — stage it explicitly or
+                # the staged checkpoint below writes EMPTY seen shards
+                if hasattr(seen, "stage_pending_increments"):
+                    seen.stage_pending_increments()
                 if fast:
                     self._ckpt_wave_fast(sm_wave, None, signatures, seen, result.metrics)
                 else:

@@ -127,7 +127,7 @@ class RedirectResolver:
         """Strict host gate (``website.rs:2645-2655``); ``domain_name`` is
         the raw host string (``page.rs:2931-2933``), so the tld branch is an
         exact host comparison like the default branch."""
-        if self.subdomains and target_host.endswith(crawl_host):
+        if self.subdomains and target_host.endswith("." + crawl_host):
             return True
         return target_host == crawl_host
 

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from ..hashing import stable_hash_str
-from ..urlnorm import url_host
+from ..urlnorm import hosts_of_keys_arrow, url_host
 
 FETCH_COLUMNS = ["url", "warc_ts", "html", "status", "content_type"]
 
@@ -42,6 +42,31 @@ def corpus_n_buckets(corpus_dir: str) -> int:
 
 def bucket_of(url: str, n_buckets: int) -> int:
     return stable_hash_str(url_host(url)) % n_buckets
+
+
+def _nonok_rows(tbl, urls, has_flaky):
+    """(url, status, location, flaky) for the rows the driver must know about
+    without I/O: non-200 (redirect/error chain hops) or transiently flaky.
+    Shared by both index builders so their metadata semantics can't drift."""
+    flakies = tbl.column("flaky_until").to_pylist() if has_flaky else None
+    out = []
+    for i, (u, s, loc) in enumerate(
+        zip(urls, tbl.column("status").to_pylist(), tbl.column("location").to_pylist())
+    ):
+        fl = (flakies[i] or 0) if flakies else 0
+        if s != 200 or fl > 0:
+            out.append((u, s, loc, fl))
+    return out
+
+
+def _fold_nonok(nonok, status_of, location_of, flaky_of):
+    for u, s, loc, fl in nonok:
+        if s != 200:
+            status_of[u] = s
+        if loc is not None:
+            location_of[u] = loc
+        if fl:
+            flaky_of[u] = fl
 
 
 class CorpusIndex:
@@ -89,19 +114,7 @@ class CorpusIndex:
                 urls = tbl.column("url").to_pylist()
                 out.append(urls)
                 if has_meta:
-                    flakies = (
-                        tbl.column("flaky_until").to_pylist()
-                        if has_flaky
-                        else [0] * len(urls)
-                    )
-                    for u, s, loc, fl in zip(
-                        urls,
-                        tbl.column("status").to_pylist(),
-                        tbl.column("location").to_pylist(),
-                        flakies,
-                    ):
-                        if s != 200 or (fl or 0) > 0:
-                            nonok.append((u, s, loc, fl or 0))
+                    nonok.extend(_nonok_rows(tbl, urls, has_flaky))
             return out, nonok
 
         per_file = ray.get([_load.remote(p) for p in self.paths])
@@ -117,13 +130,7 @@ class CorpusIndex:
         for fi, (groups, nonok) in enumerate(per_file):
             for rg, urls in enumerate(groups):
                 self.lookup.update(zip(urls, repeat((fi, rg))))
-            for u, s, loc, fl in nonok:
-                if s != 200:
-                    self.status_of[u] = s
-                if loc is not None:
-                    self.location_of[u] = loc
-                if fl:
-                    self.flaky_of[u] = fl
+            _fold_nonok(nonok, self.status_of, self.location_of, self.flaky_of)
 
     def meta_get(self, url: str) -> tuple[int, str | None]:
         """(status, location) with zero I/O — redirect-resolution lookup."""
@@ -271,12 +278,7 @@ class CorpusIndexPool:
                     + (["flaky_until"] if has_flaky else [])
                 tbl = f.read_row_group(rg, columns=cols)
                 url_arr = tbl.column("url")
-                h1 = pc.replace_substring_regex(
-                    url_arr, pattern=r"^[a-zA-Z0-9+.\-]+://", replacement=""
-                )
-                hosts = pc.utf8_lower(
-                    pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
-                )
+                hosts = hosts_of_keys_arrow(pc.utf8_lower(url_arr))
                 enc = pc.dictionary_encode(hosts)
                 if hasattr(enc, "combine_chunks"):
                     enc = enc.combine_chunks()
@@ -293,19 +295,7 @@ class CorpusIndexPool:
                     if len(pos):
                         per_shard[s].append((rg, [urls[i] for i in pos]))
                 if has_meta:
-                    flakies = (
-                        tbl.column("flaky_until").to_pylist()
-                        if has_flaky
-                        else [0] * len(urls)
-                    )
-                    for u, st, loc, fl in zip(
-                        urls,
-                        tbl.column("status").to_pylist(),
-                        tbl.column("location").to_pylist(),
-                        flakies,
-                    ):
-                        if st != 200 or (fl or 0) > 0:
-                            nonok.append((u, st, loc, fl or 0))
+                    nonok.extend(_nonok_rows(tbl, urls, has_flaky))
             return (*[(fi, ps) for ps in per_shard], nonok)
 
         accept_futs = []
@@ -319,13 +309,7 @@ class CorpusIndexPool:
         self.location_of: dict[str, str] = {}
         self.flaky_of: dict[str, int] = {}
         for nonok in ray.get(nonok_refs):
-            for u, s, loc, fl in nonok:
-                if s != 200:
-                    self.status_of[u] = s
-                if loc is not None:
-                    self.location_of[u] = loc
-                if fl:
-                    self.flaky_of[u] = fl
+            _fold_nonok(nonok, self.status_of, self.location_of, self.flaky_of)
         ray.get(accept_futs)
 
     def meta_get_optimistic(self, url: str) -> tuple[int, str | None]:
@@ -344,8 +328,7 @@ class CorpusIndexPool:
         if not urls:
             return [[] for _ in range(self.num_shards)]
         arr = pa.array(urls, pa.string())
-        h1 = pc.replace_substring_regex(arr, pattern=r"^[a-zA-Z0-9+.\-]+://", replacement="")
-        hosts = pc.utf8_lower(pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement=""))
+        hosts = hosts_of_keys_arrow(pc.utf8_lower(arr))
         enc = pc.dictionary_encode(hosts)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()

@@ -171,9 +171,10 @@ def missing_rows(
 
     n = len(urls)
     url_arr = pa.array(urls, pa.string())
-    # host: strip scheme then authority tail (C-level regex, no per-row python)
-    h1 = pc.replace_substring_regex(url_arr, pattern=r"^[a-zA-Z0-9+.\-]+://", replacement="")
-    hosts = pc.utf8_lower(pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement=""))
+    # host: the shared routing-host derivation (C-level regex, no per-row python)
+    from ..urlnorm import hosts_of_keys_arrow
+
+    hosts = hosts_of_keys_arrow(pc.utf8_lower(url_arr))
     return pa.table(
         {
             "url": url_arr,

@@ -29,6 +29,7 @@ import pyarrow as pa
 import ray
 
 from ..hashing import stable_hash_str
+from ..urlnorm import host_of_key, hosts_of_keys_arrow
 from .spillseen import SpillableSeenSet
 
 
@@ -43,7 +44,6 @@ class AdmissionShard:
     def __init__(
         self,
         shard_id: int,
-        bloom_capacity: int = 1_000_000,
         spill_threshold: int | None = None,
     ) -> None:
         self.shard_id = shard_id
@@ -153,11 +153,8 @@ class AdmissionShard:
                 pc.less_equal(pc.count_substring(pathq, "/"), depth_distance),
             )
             tbl = tbl.filter(ok)
-        # hosts vectorized (same regex as the driver fold used)
-        h1 = pc.replace_substring_regex(
-            tbl.column("key"), pattern=r"^[a-z0-9+.\-]+://", replacement=""
-        )
-        hosts_arr = pc.replace_substring_regex(h1, pattern=r"[/:?#].*$", replacement="")
+        # hosts vectorized — the one shared routing-host derivation
+        hosts_arr = hosts_of_keys_arrow(tbl.column("key"))
         key_list = tbl.column("key").to_pylist()
         add = self.seen.add
         inc = self._increment
@@ -184,14 +181,12 @@ class AdmissionPool:
     def __init__(
         self,
         num_shards: int = 8,
-        bloom_capacity: int = 1_000_000,
         spill_threshold: int | None = None,
         stage_increments: bool = False,
     ) -> None:
         self.num_shards = num_shards
         self.shards = [
-            AdmissionShard.remote(i, bloom_capacity, spill_threshold)
-            for i in range(num_shards)
+            AdmissionShard.remote(i, spill_threshold) for i in range(num_shards)
         ]
         self._accept_futs: list = []
         self._pending_parts: list[list] = [[] for _ in range(num_shards)]
@@ -235,6 +230,21 @@ class AdmissionPool:
         ]
         return sum(ray.get(futs)) if futs else 0
 
+    def stage_pending_increments(self) -> None:
+        """Drain shard-side increments into the staged buffer so the NEXT
+        checkpoint includes them.  Needed before checkpointing driver-side
+        ``insert_batch`` keys that no ``finalize_wave`` will drain (the
+        sitemap chain after the wave loop) — in staged mode
+        ``checkpoint_increments`` otherwise returns only prior drains and
+        those keys would never be checkpointed (resume would re-admit and
+        re-fetch every sitemap page).  Call ONLY at a point where the shards
+        hold no in-flight next-wave admissions."""
+        if not self.stage_increments:
+            return
+        for s, inc in enumerate(ray.get([s.take_increment.remote() for s in self.shards])):
+            if inc:
+                self._staged_incs[s].extend(inc)
+
     def checkpoint_increments(self) -> list[list[str]]:
         """Increments for the wave being checkpointed: the staged drains
         (waves ≤ k) plus anything inserted driver-side since (seed wave /
@@ -276,12 +286,7 @@ class AdmissionPool:
         per_shard: dict[int, tuple[list, list, list]] = {}
         for rank, url in enumerate(urls):
             key = url.lower()
-            h = key.split("://", 1)[-1]
-            for sep in "/:?#":
-                i = h.find(sep)
-                if i != -1:
-                    h = h[:i]
-            s = stable_hash_str(h) % self.num_shards
+            s = stable_hash_str(host_of_key(key)) % self.num_shards
             b = per_shard.setdefault(s, ([], [], []))
             b[0].append(url)
             b[1].append(key)

@@ -64,6 +64,12 @@ class CrawlControl:
     def shutdown(self) -> None:
         ray.get(self.actor.set_state.remote("shutdown"))
 
+    def request_shutdown(self) -> None:
+        """Non-blocking shutdown request — safe from a signal handler, where
+        the main thread is usually already inside a ``ray.get`` and a nested
+        blocking call could hang the process."""
+        self.actor.set_state.remote("shutdown")
+
     def shutdown_at_wave(self, wave: int) -> None:
         """Deterministic programmed shutdown (tests / budget-by-wave): stop
         after the crawl has completed wave ``wave``."""

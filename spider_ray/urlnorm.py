@@ -314,6 +314,40 @@ def url_host(url: str) -> str:
     return (parts.hostname or "").lower()
 
 
+# Shard routing contract: a key always hashes to ONE shard, so every path
+# that derives a routing host from a lowercased URL key (driver inserts,
+# flatten tasks, AdmissionShard, CorpusIndexPool) MUST go through
+# host_of_key / hosts_of_keys_arrow below — they are string-level twins of
+# url_host (authority up to the first of /?#, userinfo + port dropped,
+# IPv6 brackets stripped), kept deliberately identical.
+_HOST_OF_KEY_RE = r"^(?:[a-z0-9+.\-]+://)?(?:[^/?#]*@)?(?:\[([^\]]*)\]|([^/?#:]*)).*$"
+
+
+def host_of_key(key: str) -> str:
+    """Routing host of a lowercased URL key (== ``url_host(key)``)."""
+    h = key.split("://", 1)[-1]
+    for sep in "/?#":
+        i = h.find(sep)
+        if i != -1:
+            h = h[:i]
+    at = h.rfind("@")
+    if at != -1:
+        h = h[at + 1 :]
+    if h.startswith("["):
+        end = h.find("]")
+        return h[1:end] if end != -1 else h[1:]
+    i = h.find(":")
+    return h[:i] if i != -1 else h
+
+
+def hosts_of_keys_arrow(keys):
+    """Vectorized :func:`host_of_key` over a pyarrow string array (input
+    must already be lowercased, as URL keys are)."""
+    import pyarrow.compute as pc
+
+    return pc.replace_substring_regex(keys, pattern=_HOST_OF_KEY_RE, replacement=r"\1\2")
+
+
 def url_host_port(url: str) -> tuple[str, int | None]:
     """(lowercased host, explicit port or None) of a normalized URL."""
     try:
