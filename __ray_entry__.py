@@ -435,6 +435,40 @@ def q_sequence_packing(sf_dir: str):
     return pack_sequences(_docs(sf_dir), budget=256, n_parts=8)
 
 
+def q_lang_quantiles(sf_dir: str):
+    """Exact per-language p50/p90/p99 of doc length via the histogram fold
+    (shuffle moves only (lang, n_chars, count) rows — quantile_disc rank
+    semantics, rank = ceil(q*n))."""
+    from spider_ray.ops.corpusstats import group_quantiles
+
+    return group_quantiles(_docs(sf_dir), group_col="lang", value_col="n_chars")
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Per-language top-10 terms (combiner partials -> one vocab-bounded
+    shuffle -> per-group top-k), ties on the term string."""
+    from spider_ray.ops.corpusstats import top_terms_per_group
+
+    return top_terms_per_group(_docs(sf_dir), group_col="lang", k=10)
+
+
+def q_posting_lists(sf_dir: str):
+    """Inverted index: per term df + first-100 sorted doc ids (posting
+    capped so stopword-frequency terms stay bounded)."""
+    from spider_ray.ops.corpusstats import posting_lists
+
+    return posting_lists(_docs(sf_dir), max_ids=100)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing any word 3-gram with
+    the deterministic eval split (doc_id % 97 == 0); benchmark gram set is
+    broadcast once via ray.put."""
+    from spider_ray.ops.corpusstats import decontaminate
+
+    return decontaminate(_docs(sf_dir), n=3, bench_mod=97)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped pruned-read aggregate over lineitem (integer
     price-cents space end-to-end)."""
@@ -840,6 +874,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q_curate_corpus,
         "bigram_topk": q_bigram_topk,
         "sequence_packing": q_sequence_packing,
+        "lang_quantiles": q_lang_quantiles,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "posting_lists": q_posting_lists,
+        "decontaminate": q_decontaminate,
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -956,6 +994,40 @@ def oracle_sql() -> dict[str, str]:
             "((row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)) - 1) % 8 AS shard, "
             "(row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)) - 1 AS pos "
             "FROM documents"
+        ),
+        "lang_quantiles": (
+            "SELECT lang, quantile_disc(n_chars, 0.5)::BIGINT AS p50, "
+            "quantile_disc(n_chars, 0.9)::BIGINT AS p90, "
+            "quantile_disc(n_chars, 0.99)::BIGINT AS p99 "
+            "FROM documents GROUP BY lang"
+        ),
+        "top_terms_per_lang": (
+            r"WITH toks AS (SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS term "
+            r"FROM documents), "
+            r"cnt AS (SELECT lang, term, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2), "
+            r"ranked AS (SELECT lang, term, n, "
+            r"row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC)::BIGINT AS rank "
+            r"FROM cnt) "
+            r"SELECT lang, term, n, rank FROM ranked WHERE rank <= 10"
+        ),
+        "posting_lists": (
+            r"WITH pairs AS (SELECT DISTINCT doc_id, "
+            r"unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents) "
+            r"SELECT term, count(*)::BIGINT AS df, "
+            r"array_to_string((list(doc_id ORDER BY doc_id))[1:100], ',') AS posting "
+            r"FROM pairs GROUP BY term"
+        ),
+        "decontaminate": (
+            r"WITH words AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w "
+            r"FROM documents), "
+            r"grams AS (SELECT doc_id, unnest(list_transform("
+            r"generate_series(1, greatest(len(w)-2, 0)), i -> array_to_string(w[i:i+2], ' '))) AS g "
+            r"FROM words), "
+            r"bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            r"hits AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench USING (g) "
+            r"WHERE gr.doc_id % 97 <> 0) "
+            r"SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated "
+            r"FROM documents d WHERE d.doc_id % 97 <> 0"
         ),
         "bigram_topk": (
             r"WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS w FROM documents), "

@@ -1,0 +1,284 @@
+"""Corpus-statistics operators: exact per-group quantiles, per-language
+heavy-hitter terms, inverted-index posting lists, and benchmark
+decontamination.
+
+Scale shapes (100 TB):
+
+* ``group_quantiles`` never sorts the data — it folds each batch to a
+  ``(group, value) -> count`` histogram, shuffles ONLY the histogram
+  partials (bounded by ``n_groups x distinct values``, not by row count)
+  and selects exact ranks from the cumulative counts on the driver.
+* ``top_terms_per_group`` is the combiner-then-shuffle heavy-hitter
+  pattern: per-batch partial counts collapse each batch to its local
+  vocabulary before the one ``groupby().sum`` exchange; the per-group
+  top-k runs over vocabulary-bounded aggregates.
+* ``posting_lists`` emits per-document DISTINCT ``(term, doc_id)`` pairs
+  (a doc lives in one batch, so per-doc dedup is global dedup) and builds
+  each posting inside ``groupby(term).map_groups``; the emitted posting is
+  capped at ``max_ids`` ids so a stopword-frequency term cannot
+  materialize an unbounded string (``df`` still counts all of them).
+* ``decontaminate`` is the broadcast-small-side pattern: the benchmark
+  n-gram set (an eval set is tiny by construction) is built once, shipped
+  via ``ray.put`` and read per actor in ``__init__`` — never per batch;
+  the corpus streams through an actor-pool membership check.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+TOKEN_RE = re.compile(r"\S+")
+
+
+# ---------------------------------------------------------------------------
+# exact per-group quantiles (histogram fold)
+# ---------------------------------------------------------------------------
+
+
+def group_quantiles(
+    ds,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    q_names: tuple[str, ...] = ("p50", "p90", "p99"),
+) -> pa.Table:
+    """Exact per-group quantiles of an integer column.
+
+    Quantile definition matches DuckDB ``quantile_disc``: the value at
+    1-based rank ``ceil(q * n)`` of the sorted group (verified against
+    DuckDB empirically).  The shuffle moves only ``(group, value, count)``
+    histogram rows; the final fold runs over the (small) histogram.
+    """
+    hist = ds.select_columns([group_col, value_col]).groupby([group_col, value_col]).count()
+    tbl = pa.concat_tables(
+        ray.get(hist.materialize().to_arrow_refs()), promote_options="default"
+    )
+    groups = tbl.column(group_col).to_pylist()
+    values = tbl.column(value_col).to_numpy(zero_copy_only=False)
+    counts = tbl.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    per_group: dict[str, list[tuple[int, int]]] = {}
+    for g, v, c in zip(groups, values, counts):
+        per_group.setdefault(g, []).append((int(v), int(c)))
+
+    out_rows: dict[str, list] = {group_col: []}
+    for name in q_names:
+        out_rows[name] = []
+    for g in sorted(per_group):
+        pairs = sorted(per_group[g])
+        vals = np.array([p[0] for p in pairs], dtype=np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        n = int(cum[-1])
+        out_rows[group_col].append(g)
+        for q, name in zip(qs, q_names):
+            rank = max(1, math.ceil(q * n))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_rows[name].append(int(vals[idx]))
+    return pa.table(
+        {group_col: pa.array(out_rows[group_col], pa.string())}
+        | {name: pa.array(out_rows[name], pa.int64()) for name in q_names}
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group heavy-hitter terms
+# ---------------------------------------------------------------------------
+
+
+class _TermPartials:
+    """Per-batch ``(group, term, n)`` partial counts over lowercased
+    whitespace tokens — the combiner that keeps the shuffle
+    vocabulary-bounded."""
+
+    def __init__(self, group_col: str, text_col: str):
+        self.group_col = group_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for g, t in zip(
+            batch.column(self.group_col).to_pylist(),
+            batch.column(self.text_col).to_pylist(),
+        ):
+            for tok in TOKEN_RE.findall((t or "").lower()):
+                counts[(g, tok)] += 1
+        if not counts:
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        gs, terms = zip(*counts.keys())
+        return pa.table(
+            {
+                "grp": pa.array(gs, pa.string()),
+                "term": pa.array(terms, pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+
+def top_terms_per_group(ds, group_col: str = "lang", text_col: str = "text", k: int = 10):
+    """Top-``k`` terms per group by count; ties break on the term string.
+    Output: ``(lang, term, n, rank)`` with rank 1..k."""
+    partials = ds.map_batches(_TermPartials(group_col, text_col), batch_format="pyarrow")
+    agg = partials.groupby(["grp", "term"]).sum("n")
+
+    def _topk(tbl: pa.Table) -> pa.Table:
+        n = pc.cast(tbl.column("sum(n)"), pa.int64())
+        tbl = tbl.set_column(tbl.schema.get_field_index("sum(n)"), "n", n)
+        order = pc.sort_indices(
+            tbl, sort_keys=[("n", "descending"), ("term", "ascending")]
+        )
+        top = tbl.take(order[:k])
+        return pa.table(
+            {
+                group_col: top.column("grp"),
+                "term": top.column("term"),
+                "n": top.column("n"),
+                "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64)),
+            }
+        )
+
+    return agg.groupby("grp").map_groups(_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# inverted-index posting lists
+# ---------------------------------------------------------------------------
+
+
+class _DocTermPairs:
+    """Per-batch DISTINCT ``(term, doc_id)`` pairs (per-doc dedup IS global
+    dedup: a doc_id appears in exactly one batch)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        ids: list[int] = []
+        for did, t in zip(
+            batch.column(self.id_col).to_pylist(),
+            batch.column(self.text_col).to_pylist(),
+        ):
+            for tok in set(TOKEN_RE.findall((t or "").lower())):
+                terms.append(tok)
+                ids.append(did)
+        return pa.table(
+            {"term": pa.array(terms, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+
+def posting_lists(
+    ds, text_col: str = "text", id_col: str = "doc_id", max_ids: int = 100
+):
+    """Inverted index: per term, document frequency + the first ``max_ids``
+    doc ids (ascending) serialized as a comma-joined string.  ``df`` counts
+    ALL documents; only the emitted posting is capped, so a
+    stopword-frequency term cannot materialize an unbounded row."""
+    pairs = ds.map_batches(_DocTermPairs(text_col, id_col), batch_format="pyarrow")
+
+    def _posting(tbl: pa.Table) -> pa.Table:
+        ids = np.sort(tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "term": pa.array([tbl.column("term")[0].as_py()], pa.string()),
+                "df": pa.array([len(ids)], pa.int64()),
+                "posting": pa.array(
+                    [",".join(map(str, ids[:max_ids]))], pa.string()
+                ),
+            }
+        )
+
+    return pairs.groupby("term").map_groups(_posting, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(text: str, n: int) -> set[str]:
+    toks = TOKEN_RE.findall((text or "").lower())
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+class _Decontaminator:
+    """Actor-pool membership check against the broadcast benchmark n-gram
+    set (``ray.put`` once, deserialized per actor in ``__init__``)."""
+
+    def __init__(self, bench_ref, text_col: str, id_col: str, n: int, bench_mod: int):
+        self.bench: set[str] = ray.get(bench_ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n = n
+        self.bench_mod = bench_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).combine_chunks(), dtype=np.int64)
+        batch = batch.filter(pa.array(ids % self.bench_mod != 0))
+        bench = self.bench
+        flags = [
+            not _word_ngrams(t, self.n).isdisjoint(bench)
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "contaminated": pa.array(flags, pa.bool_()),
+            }
+        )
+
+
+def decontaminate(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    bench_mod: int = 97,
+    concurrency: int | tuple[int, int] = (2, 8),
+):
+    """Flag corpus documents sharing any word ``n``-gram with the benchmark
+    split (``doc_id % bench_mod == 0`` — the deterministic stand-in for an
+    eval set).  The classic train/test contamination check (e.g. GPT-3
+    appendix C / PaLM-style 13-gram overlap, here n is configurable).
+
+    Returns ``(doc_id, contaminated)`` for every NON-benchmark document.
+    """
+    def _grams_of(batch: pa.Table) -> pa.Table:
+        # vectorized benchmark-split mask (no per-row python filter stage)
+        ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)
+        bench = batch.filter(pa.array(ids % bench_mod == 0))
+        grams: set[str] = set()
+        for t in bench.column(text_col).to_pylist():
+            grams |= _word_ngrams(t, n)
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    gram_parts = ray.get(
+        ds.select_columns([id_col, text_col])
+        .map_batches(_grams_of, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    bench_grams: set[str] = set()
+    for part in gram_parts:
+        bench_grams.update(part.column("g").to_pylist())
+    bench_ref = ray.put(bench_grams)
+
+    return ds.map_batches(
+        _Decontaminator,
+        fn_constructor_args=(bench_ref, text_col, id_col, n, bench_mod),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -78,6 +78,10 @@ SQL_QUERIES = (
     "stratified_sample",
     "shard_shuffle",
     "bigram_topk",
+    "lang_quantiles",
+    "top_terms_per_lang",
+    "posting_lists",
+    "decontaminate",
     "pricing_summary",
     "top_customers",
     "order_revenue",
