@@ -469,6 +469,32 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), n=3, bench_mod=97)
 
 
+def q_distinct_users_kmv(sf_dir: str):
+    """KMV (k-minimum-values) distinct-user sketch per event type —
+    deterministic Knuth-multiplicative hash so the SQL oracle replays the
+    estimator exactly; combiner partials keep the shuffle at <= k hashes
+    per (batch, group)."""
+    import ray.data
+
+    from spider_ray.ops.sketch import kmv_distinct
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return kmv_distinct(ev, group_col="event_type", key_col="user_id", k=64)
+
+
+def q_rolling_user_sums(sf_dir: str):
+    """Per-user rolling 3-row window sum in integer cents (the SQL ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW frame), one groupby(user) shuffle."""
+    import ray.data
+
+    from spider_ray.ops.windows import rolling_user_sums
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return rolling_user_sums(ev, window_rows=3)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped pruned-read aggregate over lineitem (integer
     price-cents space end-to-end)."""
@@ -878,6 +904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": q_top_terms_per_lang,
         "posting_lists": q_posting_lists,
         "decontaminate": q_decontaminate,
+        "distinct_users_kmv": q_distinct_users_kmv,
+        "rolling_user_sums": q_rolling_user_sums,
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -1028,6 +1056,24 @@ def oracle_sql() -> dict[str, str]:
             r"WHERE gr.doc_id % 97 <> 0) "
             r"SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated "
             r"FROM documents d WHERE d.doc_id % 97 <> 0"
+        ),
+        "distinct_users_kmv": (
+            "WITH h AS (SELECT DISTINCT event_type, "
+            "((user_id * 2654435761) % 4294967296) + 1 AS hv FROM events), "
+            "r AS (SELECT event_type, hv, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM h) "
+            "SELECT event_type, "
+            "(CASE WHEN max(n) < 64 THEN max(n) "
+            "ELSE (63 * 4294967296) // max(CASE WHEN rk = 64 THEN hv END) END)::BIGINT "
+            "AS n_distinct_est FROM r GROUP BY event_type"
+        ),
+        "rolling_user_sums": (
+            "SELECT event_id, user_id, "
+            "sum(CAST(round(value*100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS roll_cents "
+            "FROM events"
         ),
         "bigram_topk": (
             r"WITH toks AS (SELECT regexp_extract_all(lower(text), '\S+') AS w FROM documents), "

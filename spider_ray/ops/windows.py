@@ -173,3 +173,52 @@ def asof_join_events(events, left_type: str = "purchase", right_type: str = "vie
 def _masked_int64(values: np.ndarray, valid: np.ndarray) -> pa.Array:
     """int64 Arrow array with ``valid==False`` entries null."""
     return pa.array(values.astype(np.int64), pa.int64(), mask=~valid)
+
+
+def rolling_user_sums(events, window_rows: int = 3):
+    """Per-user rolling row-window sum: for each event, the sum of
+    ``round(value*100)`` cents over the last ``window_rows`` events of that
+    user (ordered by ``(ts, event_id)``), current row inclusive — the SQL
+    ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`` frame.
+
+    Same partitioning assumption as :func:`sessionize` (one user's events
+    fit in one group); integer-cents output keeps the distributed result
+    bit-identical to the window-function oracle.  Output:
+    ``(event_id, user_id, roll_cents)``.
+    """
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": ts,
+                "cents": cents,
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        c = cents[order]
+        cum = np.cumsum(c)
+        roll = cum.copy()
+        if len(c) > window_rows:
+            roll[window_rows:] = cum[window_rows:] - cum[:-window_rows]
+        user = group.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array([user] * len(c), pa.int64()),
+                "roll_cents": pa.array(roll, pa.int64()),
+            }
+        )
+
+    pruned = events.select_columns(["event_id", "user_id", "ts", "value"]).map_batches(
+        prune, batch_format="pyarrow"
+    )
+    return pruned.groupby("user_id").map_groups(per_user, batch_format="pyarrow")

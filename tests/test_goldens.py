@@ -82,6 +82,8 @@ SQL_QUERIES = (
     "top_terms_per_lang",
     "posting_lists",
     "decontaminate",
+    "distinct_users_kmv",
+    "rolling_user_sums",
     "pricing_summary",
     "top_customers",
     "order_revenue",
