@@ -495,6 +495,17 @@ def q_rolling_user_sums(sf_dir: str):
     return rolling_user_sums(ev, window_rows=3)
 
 
+def q_concurrent_sessions(sf_dir: str):
+    """Sessions active per hour window — the interval-overlap join expressed
+    as a bounded flat expansion + one groupby(window) shuffle."""
+    import ray.data
+
+    from spider_ray.ops.windows import concurrent_sessions
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return concurrent_sessions(ev, gap_s=1800, width_s=3600)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped pruned-read aggregate over lineitem (integer
     price-cents space end-to-end)."""
@@ -906,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "distinct_users_kmv": q_distinct_users_kmv,
         "rolling_user_sums": q_rolling_user_sums,
+        "concurrent_sessions": q_concurrent_sessions,
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -1056,6 +1068,24 @@ def oracle_sql() -> dict[str, str]:
             r"WHERE gr.doc_id % 97 <> 0) "
             r"SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated "
             r"FROM documents d WHERE d.doc_id % 97 <> 0"
+        ),
+        "concurrent_sessions": (
+            "WITH e AS ("
+            "  SELECT user_id, epoch_us(ts) AS ts_us, "
+            "         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "  FROM events"
+            "), s AS ("
+            "  SELECT user_id, ts_us, "
+            "         sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END) "
+            "           OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp "
+            "  FROM e"
+            "), sess AS ("
+            "  SELECT user_id, grp, min(ts_us) AS start_us, max(ts_us) AS end_us "
+            "  FROM s GROUP BY user_id, grp"
+            ") "
+            "SELECT (hb * 3600)::BIGINT AS window_start, count(*)::BIGINT AS n_sessions "
+            "FROM sess, unnest(generate_series(start_us // 3600000000, end_us // 3600000000)) AS t(hb) "
+            "GROUP BY 1"
         ),
         "distinct_users_kmv": (
             "WITH h AS (SELECT DISTINCT event_type, "

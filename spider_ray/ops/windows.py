@@ -104,6 +104,46 @@ def sessionize(events, gap_s: int = 1800):
     return events.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def concurrent_sessions(events, gap_s: int = 1800, width_s: int = 3600):
+    """Interval-overlap counting: sessions active per tumbling window.
+
+    The interval-join shape Ray Data has no primitive for, expressed as a
+    bounded flat expansion: each session (from :func:`sessionize`) expands
+    to the window buckets it overlaps — expansion factor is bounded by
+    session length / width, small by construction since sessions die after
+    ``gap_s`` of silence — then ONE ``groupby(window)`` shuffle of the
+    already-tiny (session, bucket) rows counts overlaps.  No all-pairs, no
+    cross join.  Output: ``(window_start, n_sessions)`` epoch-second
+    windows."""
+    width_us = width_s * 1_000_000
+    sess = sessionize(events, gap_s=gap_s)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        s = batch.column("start_us").to_numpy(zero_copy_only=False) // width_us
+        e = batch.column("end_us").to_numpy(zero_copy_only=False) // width_us
+        counts = (e - s + 1).astype(np.int64)
+        total = int(counts.sum())
+        rep_start = np.repeat(s, counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        return pa.table(
+            {"window_start": pa.array((rep_start + offs) * width_s, pa.int64())}
+        )
+
+    exp = sess.map_batches(expand, batch_format="pyarrow")
+    agg = exp.groupby("window_start").count()
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b.column("window_start"),
+                "n_sessions": pc.cast(b.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def asof_join_events(events, left_type: str = "purchase", right_type: str = "view"):
     """As-of join within an event log: for every ``left_type`` event, the
     same user's most recent ``right_type`` event with ``ts <= left.ts``.

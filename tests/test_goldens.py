@@ -84,6 +84,7 @@ SQL_QUERIES = (
     "decontaminate",
     "distinct_users_kmv",
     "rolling_user_sums",
+    "concurrent_sessions",
     "pricing_summary",
     "top_customers",
     "order_revenue",

@@ -62,3 +62,32 @@ def test_rolling_user_sums_frame_and_ties(ray_session):
     got = {r["event_id"]: r["roll_cents"] for r in out}
     # order: eid 1 (200), eid 2 (100), eid 3 (400), eid 4 (800)
     assert got == {1: 200, 2: 300, 3: 700, 4: 1300}
+
+
+def test_concurrent_sessions_overlap_counting(ray_session):
+    """A session spanning two windows counts in both; single-window
+    sessions count once."""
+    from spider_ray.ops.windows import concurrent_sessions
+
+    us = 1_000_000
+    rows = [
+        # user 1: one session 10:30 -> 11:10 (spans hours 10 and 11)
+        {"event_id": 1, "user_id": 1, "ts": 37800 * us, "value": 0.0},
+        {"event_id": 2, "user_id": 1, "ts": 40200 * us, "value": 0.0},
+        # user 2: one session entirely inside hour 10
+        {"event_id": 3, "user_id": 2, "ts": 36100 * us, "value": 0.0},
+    ]
+    import pyarrow as pa
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+        }
+    )
+    out = {r["window_start"]: r["n_sessions"]
+           for r in concurrent_sessions(ray.data.from_arrow(tbl)).take_all()}
+    assert out == {36000: 2, 39600: 1}
