@@ -250,6 +250,48 @@ def run_bench() -> dict:
     sessionize(events_se, gap_s=1800).count()
     queries["sessionize"] = round(time.perf_counter() - t0, 3)
 
+    # --- corpus-stats / sketch ops (round-2 additions) ---
+    from spider_ray.ops.corpusstats import (
+        decontaminate,
+        group_quantiles,
+        posting_lists,
+        top_terms_per_group,
+    )
+    from spider_ray.ops.sketch import kmv_distinct
+    from spider_ray.ops.windows import concurrent_sessions, rolling_user_sums
+
+    t0 = time.perf_counter()
+    group_quantiles(docs, group_col="lang", value_col="n_chars")
+    queries["lang_quantiles"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    top_terms_per_group(docs, group_col="lang", k=10).count()
+    queries["top_terms_per_lang"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    posting_lists(docs, max_ids=100).count()
+    queries["posting_lists"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    decontaminate(docs, n=3, bench_mod=97).count()
+    queries["decontaminate"] = round(time.perf_counter() - t0, 3)
+
+    events_kmv = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    t0 = time.perf_counter()
+    kmv_distinct(events_kmv, group_col="event_type", key_col="user_id", k=64).count()
+    queries["distinct_users_kmv"] = round(time.perf_counter() - t0, 3)
+
+    events_rw = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    t0 = time.perf_counter()
+    rolling_user_sums(events_rw, window_rows=3).count()
+    queries["rolling_user_sums"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    concurrent_sessions(events_rw, gap_s=1800, width_s=3600).count()
+    queries["concurrent_sessions"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),
