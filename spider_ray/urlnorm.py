@@ -340,12 +340,37 @@ def host_of_key(key: str) -> str:
     return h[:i] if i != -1 else h
 
 
+# authority-only twin of _HOST_OF_KEY_RE (scheme + path already stripped):
+# drop userinfo up to the LAST @, then bracket host or up to the first colon
+_HOST_AUTH_RE = r"^(?:.*@)?(?:\[([^\]]*)\]|([^:]*)).*$"
+
+
 def hosts_of_keys_arrow(keys):
     """Vectorized :func:`host_of_key` over a pyarrow string array (input
-    must already be lowercased, as URL keys are)."""
+    must already be lowercased, as URL keys are).
+
+    Hot-path shape: two cheap non-capturing regex passes (scheme strip +
+    authority-tail strip) cover the overwhelmingly common case; the full
+    userinfo/port/IPv6 handling (a 3x more expensive capture-group regex)
+    runs only on the rows that actually contain ``@``/``:``/``[`` — on a
+    typical web corpus that is ~0 rows."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    return pc.replace_substring_regex(keys, pattern=_HOST_OF_KEY_RE, replacement=r"\1\2")
+    chunked_in = isinstance(keys, pa.ChunkedArray)
+    h1 = pc.replace_substring_regex(keys, pattern=r"^[a-z0-9+.\-]+://", replacement="")
+    auth = pc.replace_substring_regex(h1, pattern=r"[/?#].*$", replacement="")
+    if isinstance(auth, pa.ChunkedArray):
+        auth = auth.combine_chunks()
+    rare = pc.fill_null(pc.match_substring_regex(auth, r"[@:\[]"), True)
+    if pc.any(rare).as_py():
+        fixed = pc.replace_substring_regex(
+            auth.filter(rare), pattern=_HOST_AUTH_RE, replacement=r"\1\2"
+        )
+        auth = pc.replace_with_mask(auth, rare, fixed)
+    # mirror replace_substring_regex's layout contract: chunked in -> chunked
+    # out (call sites rely on it, e.g. dictionary_encode().combine_chunks())
+    return pa.chunked_array([auth]) if chunked_in else auth
 
 
 def url_host_port(url: str) -> tuple[str, int | None]:
