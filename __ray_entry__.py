@@ -495,6 +495,14 @@ def q_rolling_user_sums(sf_dir: str):
     return rolling_user_sums(ev, window_rows=3)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition signal: total vs duplicate word
+    bigram occurrences, all-integer, shuffle-free per-row map."""
+    from spider_ray.ops.corpusstats import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
 def q_concurrent_sessions(sf_dir: str):
     """Sessions active per hour window — the interval-overlap join expressed
     as a bounded flat expansion + one groupby(window) shuffle."""
@@ -918,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_kmv": q_distinct_users_kmv,
         "rolling_user_sums": q_rolling_user_sums,
         "concurrent_sessions": q_concurrent_sessions,
+        "repetition_stats": q_repetition_stats,
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -1068,6 +1077,18 @@ def oracle_sql() -> dict[str, str]:
             r"WHERE gr.doc_id % 97 <> 0) "
             r"SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated "
             r"FROM documents d WHERE d.doc_id % 97 <> 0"
+        ),
+        "repetition_stats": (
+            r"WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w "
+            r"FROM documents), "
+            r"b AS (SELECT doc_id, unnest(list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]), "
+            r"p -> p[1] || ' ' || p[2])) AS bg FROM w), "
+            r"c AS (SELECT doc_id, bg, count(*) AS k FROM b GROUP BY 1, 2), "
+            r"agg AS (SELECT doc_id, sum(k) AS n_bigrams, "
+            r"sum(CASE WHEN k > 1 THEN k ELSE 0 END) AS n_dup_bigrams FROM c GROUP BY doc_id) "
+            r"SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams, "
+            r"coalesce(a.n_dup_bigrams, 0)::BIGINT AS n_dup_bigrams "
+            r"FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "concurrent_sessions": (
             "WITH e AS ("

@@ -276,6 +276,12 @@ def run_bench() -> dict:
     decontaminate(docs, n=3, bench_mod=97).count()
     queries["decontaminate"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.corpusstats import repetition_stats
+
+    t0 = time.perf_counter()
+    repetition_stats(docs).count()
+    queries["repetition_stats"] = round(time.perf_counter() - t0, 3)
+
     events_kmv = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
     )
@@ -319,16 +325,21 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        # best-of-K: single-node VM timings carry ±15-40% external noise
-        # (host-level neighbors); the fastest of K fresh processes is the
-        # standard throughput-capability protocol under one-sided noise
-        reps = int(os.environ.get("SCALE_REPS", "2"))
-        results = [run_once(ncpu) for _ in range(reps)]
-        return min(results, key=lambda r: r["value"])
-
+    # Ambient VM noise on this box is ±25-40% (documented in BASELINE.md) and
+    # drifts on a minutes scale, so lo/hi reps run INTERLEAVED as (lo, hi)
+    # pairs — both levels sample the same noise windows — and the reported
+    # efficiency is best-of-K per level.  Per-rep walls are emitted so the
+    # spread is visible instead of hidden behind a single ratio.
     lo, hi = int(os.environ.get("SCALE_LO", "2")), int(os.environ.get("SCALE_HI", "8"))
-    r_lo, r_hi = run(lo), run(hi)
+    reps = int(os.environ.get("SCALE_REPS", "2"))
+    lo_runs, hi_runs, pair_effs = [], [], []
+    for _ in range(reps):
+        r_lo, r_hi = run_once(lo), run_once(hi)
+        lo_runs.append(r_lo)
+        hi_runs.append(r_hi)
+        pair_effs.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -337,6 +348,9 @@ def run_scaling() -> dict:
         "cpus_hi": hi,
         "sec_lo": t_lo,
         "sec_hi": t_hi,
+        "sec_lo_reps": [r["value"] for r in lo_runs],
+        "sec_hi_reps": [r["value"] for r in hi_runs],
+        "pairwise_efficiency": pair_effs,
         "pages_per_sec_lo": r_lo["pages_per_sec"],
         "pages_per_sec_hi": r_hi["pages_per_sec"],
         "frontier_ops_per_sec_lo": r_lo["frontier_ops_per_sec"],

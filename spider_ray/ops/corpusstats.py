@@ -205,6 +205,49 @@ def posting_lists(
 
 
 # ---------------------------------------------------------------------------
+# within-doc repetition stats (Gopher repetition signals)
+# ---------------------------------------------------------------------------
+
+
+class RepetitionStats:
+    """Per-document duplicate word-bigram mass — the Gopher-style
+    "fraction of characters in duplicate n-grams" repetition signal, kept
+    in integer space: ``n_bigrams`` (total bigram occurrences) and
+    ``n_dup_bigrams`` (occurrences of bigrams appearing >= 2x in the doc).
+    Pure per-row map — embarrassingly parallel, no shuffle."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_total: list[int] = []
+        n_dup: list[int] = []
+        for t in batch.column(self.text_col).to_pylist():
+            toks = TOKEN_RE.findall((t or "").lower())
+            counts = Counter(zip(toks, toks[1:]))
+            tot = sum(counts.values())
+            dup = sum(k for k in counts.values() if k > 1)
+            n_total.append(tot)
+            n_dup.append(dup)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_bigrams": pa.array(n_total, pa.int64()),
+                "n_dup_bigrams": pa.array(n_dup, pa.int64()),
+            }
+        )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """``(doc_id, n_bigrams, n_dup_bigrams)`` for every document (docs with
+    fewer than two tokens report zeros)."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        RepetitionStats(text_col, id_col), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 

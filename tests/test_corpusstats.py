@@ -73,6 +73,21 @@ def test_decontaminate_planted_overlap(ray_session):
     assert out == {1: True, 2: False, 3: False}
 
 
+def test_repetition_stats_counts(ray_session):
+    """'a b a b a' has bigrams [ab, ba, ab, ba] -> 4 total, all duplicated;
+    a no-repeat doc has zero dup mass; short docs report zeros."""
+    from spider_ray.ops.corpusstats import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b a"},
+        {"doc_id": 1, "text": "x y z"},
+        {"doc_id": 2, "text": "solo"},
+    ]
+    out = {r["doc_id"]: (r["n_bigrams"], r["n_dup_bigrams"])
+           for r in repetition_stats(_docs_ds(rows)).take_all()}
+    assert out == {0: (4, 4), 1: (2, 0), 2: (0, 0)}
+
+
 def test_top_terms_ties_break_on_term(ray_session):
     from spider_ray.ops.corpusstats import top_terms_per_group
 

@@ -85,6 +85,7 @@ SQL_QUERIES = (
     "distinct_users_kmv",
     "rolling_user_sums",
     "concurrent_sessions",
+    "repetition_stats",
     "pricing_summary",
     "top_customers",
     "order_revenue",
