@@ -495,6 +495,22 @@ def q_rolling_user_sums(sf_dir: str):
     return rolling_user_sums(ev, window_rows=3)
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment (Knuth hash mod
+    100) — shuffle-free per-row map, SQL-replayable membership."""
+    from spider_ray.ops.sampling import dataset_split
+
+    return dataset_split(_docs(sf_dir), pct=(80, 10))
+
+
+def q_class_balance(sf_dir: str):
+    """Deterministic class balancing to the minority-lang size: per-lang
+    keep the lowest-(hash, doc_id) rows; one (lang, doc_id) shuffle."""
+    from spider_ray.ops.sampling import class_balance
+
+    return class_balance(_docs(sf_dir), class_col="lang", key_col="doc_id")
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition signal: total vs duplicate word
     bigram occurrences, all-integer, shuffle-free per-row map."""
@@ -927,6 +943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_sums": q_rolling_user_sums,
         "concurrent_sessions": q_concurrent_sessions,
         "repetition_stats": q_repetition_stats,
+        "dataset_split": q_dataset_split,
+        "class_balance": q_class_balance,
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
@@ -1077,6 +1095,20 @@ def oracle_sql() -> dict[str, str]:
             r"WHERE gr.doc_id % 97 <> 0) "
             r"SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated "
             r"FROM documents d WHERE d.doc_id % 97 <> 0"
+        ),
+        "dataset_split": (
+            "SELECT doc_id, CASE "
+            "WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80 THEN 'train' "
+            "WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
+        ),
+        "class_balance": (
+            "WITH n AS (SELECT min(cnt) AS k FROM "
+            "(SELECT count(*) AS cnt FROM documents GROUP BY lang)), "
+            "ranked AS (SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY (doc_id * 2654435761) % 4294967296, doc_id"
+            ") AS r FROM documents) "
+            "SELECT doc_id, lang FROM ranked, n WHERE r <= n.k"
         ),
         "repetition_stats": (
             r"WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w "

@@ -97,3 +97,56 @@ def stratified_sample(ds, rates: dict[str, float], key_col: str = "doc_id",
         return batch.filter(pa.array(h < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dataset_split(ds, key_col: str = "doc_id",
+                  pct: tuple[int, int] = (80, 10)):
+    """Deterministic train/val/test assignment: ``bucket = knuth(key) %
+    100``; train < pct[0], val < pct[0]+pct[1], test otherwise.  Pure
+    per-row map (no shuffle, no RNG state) — membership is reproducible
+    across re-runs, resumes and the SQL oracle.  Returns
+    ``(key, split)`` with split in {train, val, test}."""
+    train_lim, val_lim = pct[0], pct[0] + pct[1]
+
+    def label(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        b = _bucket(k) % 100
+        lab = np.where(b < train_lim, "train", np.where(b < val_lim, "val", "test"))
+        return pa.table(
+            {key_col: batch.column(key_col), "split": pa.array(lab.tolist(), pa.string())}
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def class_balance(ds, class_col: str = "lang", key_col: str = "doc_id",
+                  per_class: int | None = None):
+    """Deterministic class balancing: keep the ``n`` lowest-``(hash, key)``
+    rows of every class, where ``n`` = ``per_class`` or the minority-class
+    size.  The rank runs inside ``groupby(class).map_groups`` — one shuffle
+    of (class, key) pairs only; a class's rows never leave their group, and
+    the keep set is a pure function of the keys (SQL window replay).
+    Returns ``(key, class)`` for kept rows."""
+    import ray
+
+    counts_ds = ds.select_columns([class_col]).groupby(class_col).count()
+    counts = {
+        r[class_col]: r["count()"] for r in counts_ds.take_all()
+    }
+    n_keep = per_class if per_class is not None else min(counts.values())
+
+    pairs = ds.select_columns([key_col, class_col])
+
+    def per_class_rank(tbl: pa.Table) -> pa.Table:
+        k = tbl.column(key_col).to_numpy(zero_copy_only=False)
+        h = _bucket(k)
+        order = np.lexsort((k, h))[:n_keep]
+        return pa.table(
+            {
+                key_col: pa.array(k[order], pa.int64()),
+                class_col: pa.array([tbl.column(class_col)[0].as_py()] * len(order),
+                                    pa.string()),
+            }
+        )
+
+    return pairs.groupby(class_col).map_groups(per_class_rank, batch_format="pyarrow")

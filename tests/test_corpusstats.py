@@ -95,3 +95,28 @@ def test_top_terms_ties_break_on_term(ray_session):
     out = top_terms_per_group(_docs_ds(rows), k=2).take_all()
     out.sort(key=lambda r: r["rank"])
     assert [(r["term"], r["n"], r["rank"]) for r in out] == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_dataset_split_deterministic_and_partition(ray_session):
+    from spider_ray.ops.sampling import dataset_split, KNUTH
+
+    rows = [{"doc_id": i, "text": ""} for i in range(500)]
+    out = {r["doc_id"]: r["split"] for r in dataset_split(_docs_ds(rows)).take_all()}
+    assert len(out) == 500
+    for i, s in out.items():
+        b = (i * KNUTH) % (1 << 32) % 100
+        assert s == ("train" if b < 80 else "val" if b < 90 else "test")
+
+
+def test_class_balance_minority_size_and_determinism(ray_session):
+    from spider_ray.ops.sampling import class_balance
+
+    rows = [{"doc_id": i, "lang": "en" if i < 40 else "fr"} for i in range(50)]
+    out = class_balance(_docs_ds(rows)).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 10 and len(by_lang["fr"]) == 10  # minority = 10
+    out2 = class_balance(_docs_ds(rows)).take_all()
+    assert sorted((r["lang"], r["doc_id"]) for r in out) == \
+           sorted((r["lang"], r["doc_id"]) for r in out2)

@@ -86,6 +86,8 @@ SQL_QUERIES = (
     "rolling_user_sums",
     "concurrent_sessions",
     "repetition_stats",
+    "dataset_split",
+    "class_balance",
     "pricing_summary",
     "top_customers",
     "order_revenue",
