@@ -57,8 +57,17 @@ def group_quantiles(
     histogram rows; the final fold runs over the (small) histogram.
     """
     hist = ds.select_columns([group_col, value_col]).groupby([group_col, value_col]).count()
-    tbl = pa.concat_tables(
-        ray.get(hist.materialize().to_arrow_refs()), promote_options="default"
+    parts = ray.get(hist.materialize().to_arrow_refs())
+    if not parts:
+        return pa.table(
+            {group_col: pa.array([], pa.string())}
+            | {name: pa.array([], pa.int64()) for name in q_names}
+        )
+    tbl = pa.concat_tables(parts, promote_options="default")
+    # null group keys / null values carry no rank information — drop them
+    # (mirrors SQL: NULLs are excluded from quantile_disc aggregation)
+    tbl = tbl.filter(
+        pc.and_(pc.is_valid(tbl.column(group_col)), pc.is_valid(tbl.column(value_col)))
     )
     groups = tbl.column(group_col).to_pylist()
     values = tbl.column(value_col).to_numpy(zero_copy_only=False)
@@ -296,6 +305,14 @@ def decontaminate(
     split (``doc_id % bench_mod == 0`` — the deterministic stand-in for an
     eval set).  The classic train/test contamination check (e.g. GPT-3
     appendix C / PaLM-style 13-gram overlap, here n is configurable).
+
+    Broadcast-side sizing: the pattern assumes the benchmark side is a
+    genuinely SMALL external eval set (real decontamination runs against
+    fixed benchmarks — at most millions of grams).  The modulo split here
+    exists so the SQL oracle can replay the whole op on synthetic data; a
+    corpus-fraction bench side does NOT scale (its gram set grows with the
+    corpus) — at 100 TB, pass the eval set in as the small side rather than
+    deriving it from the corpus.
 
     Returns ``(doc_id, contaminated)`` for every NON-benchmark document.
     """

@@ -20,6 +20,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .numeric import round_sql as _round_sql
+
 
 def broadcast_join(ds, right: pa.Table, keys, right_keys=None,
                    join_type: str = "inner", concurrency: int | None = None):
@@ -55,7 +57,9 @@ def broadcast_join(ds, right: pa.Table, keys, right_keys=None,
 
 
 def _cents(col) -> pa.Array:
-    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+    from .numeric import to_cents
+
+    return to_cents(col)
 
 
 def order_priority_revenue(lineitem, orders, num_partitions: int = 16):
@@ -142,7 +146,7 @@ def pricing_summary(lineitem, ship_cutoff: str = "1998-09-01"):
                 "l_returnflag": b.column("l_returnflag"),
                 "l_linestatus": b.column("l_linestatus"),
                 "n_rows": pa.nulls(len(b), pa.int64()).fill_null(1),
-                "sum_qty": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+                "sum_qty": pc.cast(_round_sql(b.column("l_quantity")), pa.int64()),
                 "sum_base_cents": cents,
                 "sum_disc_x10000": disc_x,
                 "sum_charge_x1e6": charge_x,

@@ -126,14 +126,17 @@ def class_balance(ds, class_col: str = "lang", key_col: str = "doc_id",
     size.  The rank runs inside ``groupby(class).map_groups`` — one shuffle
     of (class, key) pairs only; a class's rows never leave their group, and
     the keep set is a pure function of the keys (SQL window replay).
-    Returns ``(key, class)`` for kept rows."""
-    import ray
+    Partitioning assumption (documented, like ``sessionize``): one class's
+    ``(key, hash)`` pairs fit in one group worker — 16 bytes/row, so ~10⁹
+    rows/class per 16 GB heap; beyond that, pick the keep set with
+    ``stratified_sample`` (rate = n/count) instead of an exact rank.
 
-    counts_ds = ds.select_columns([class_col]).groupby(class_col).count()
-    counts = {
-        r[class_col]: r["count()"] for r in counts_ds.take_all()
-    }
-    n_keep = per_class if per_class is not None else min(counts.values())
+    Returns ``(key, class)`` for kept rows."""
+    if per_class is not None:
+        n_keep = per_class
+    else:
+        counts_ds = ds.select_columns([class_col]).groupby(class_col).count()
+        n_keep = min(r["count()"] for r in counts_ds.take_all())
 
     pairs = ds.select_columns([key_col, class_col])
 

@@ -20,13 +20,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-KNUTH = 2654435761
-M32 = 1 << 32
+# ONE hash contract shared with the sampling ops (and replayed verbatim by
+# the SQL oracles) — do not fork the constant
+from .sampling import MOD as M32
+from .sampling import _bucket
 
 
 def _kmv_hash(keys: np.ndarray) -> np.ndarray:
     """Deterministic uniform-ish 32-bit hash, value range [1, 2^32]."""
-    return (keys.astype(np.uint64) * KNUTH) % M32 + 1
+    return _bucket(keys.astype(np.int64)) + 1
 
 
 class _KmvPartials:

@@ -31,6 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .numeric import to_cents
+
 
 def tumbling_window_counts(events, width_s: int = 3600):
     """``(window_start, event_type, n_events, sum_value_cents)`` — one row
@@ -42,7 +44,7 @@ def tumbling_window_counts(events, width_s: int = 3600):
             pc.cast(batch.column("ts"), pa.int64()), 1_000_000 * width_s
         )), pa.int64())
         win = pc.multiply(epoch, width_s)
-        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        cents = to_cents(batch.column("value"))
         t = pa.table(
             {
                 "window_start": win,
@@ -116,7 +118,9 @@ def concurrent_sessions(events, gap_s: int = 1800, width_s: int = 3600):
     cross join.  Output: ``(window_start, n_sessions)`` epoch-second
     windows."""
     width_us = width_s * 1_000_000
-    sess = sessionize(events, gap_s=gap_s)
+    # prune to the three columns sessionize touches BEFORE its groupby(user)
+    # exchange — event_type/value/props must not ride the shuffle
+    sess = sessionize(events.select_columns(["event_id", "user_id", "ts"]), gap_s=gap_s)
 
     def expand(batch: pa.Table) -> pa.Table:
         s = batch.column("start_us").to_numpy(zero_copy_only=False) // width_us
@@ -229,7 +233,7 @@ def rolling_user_sums(events, window_rows: int = 3):
 
     def prune(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64())
+        cents = to_cents(batch.column("value"))
         return pa.table(
             {
                 "event_id": batch.column("event_id"),
