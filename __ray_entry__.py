@@ -788,6 +788,15 @@ def q_host_pagerank(sf_dir: str):
     return host_pagerank(_corpus_for(sf_dir))
 
 
+def q_host_components(sf_dir: str):
+    """Connected components of the host graph: hash-to-min label
+    propagation, one join + one groupby-min per round, distributed
+    convergence check (golden = sequential union-find)."""
+    from spider_ray.ops.linkgraph import host_components
+
+    return host_components(_corpus_for(sf_dir))
+
+
 def q_fingerprints(sf_dir: str):
     from spider_ray.ops.textstats import Fingerprinter
 
@@ -962,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
         "host_pagerank": q_host_pagerank,
+        "host_components": q_host_components,
     }
 
 

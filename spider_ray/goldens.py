@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 18
+GOLDEN_VERSION = 19
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -890,6 +890,44 @@ def seq_host_degrees(edges: pa.Table) -> pa.Table:
     )
 
 
+def seq_host_components(edges: pa.Table) -> pa.Table:
+    """Connected components of the undirected host graph by plain
+    union-find; component id = min host string in the component.  The
+    independent sequential twin of ``ops/linkgraph.host_components``
+    (label-propagation min converges to exactly this labeling)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(
+        edges.column("src_host").to_pylist(), edges.column("dst_host").to_pylist()
+    ):
+        for h in (s, d):
+            if h not in parent:
+                parent[h] = h
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict[str, str] = {}
+    roots = {h: find(h) for h in parent}
+    for h, r in roots.items():
+        if r not in comp_min or h < comp_min[r]:
+            comp_min[r] = h
+    hosts = sorted(parent)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "component": pa.array([comp_min[roots[h]] for h in hosts], pa.string()),
+        }
+    )
+
+
 def seq_host_pagerank(edges: pa.Table, damping: float = 0.85, iters: int = 10) -> pa.Table:
     """Plain-loop PageRank with the pinned accumulation order (ascending
     (dst, src) edge order; ascending-host dangling sum; float64 throughout;
@@ -995,6 +1033,7 @@ GOLDEN_QUERIES = (
     "needs_js",
     "host_degrees",
     "host_pagerank",
+    "host_components",
 )
 
 
@@ -1026,6 +1065,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     tables["needs_js"] = seq_needs_js(sf_name)
     tables["host_degrees"] = seq_host_degrees(lg)
     tables["host_pagerank"] = seq_host_pagerank(lg)
+    tables["host_components"] = seq_host_components(lg)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_ops_goldens(sf_dir, tables)
     else:  # no documents table at this scale — multimodal is still derivable

@@ -274,3 +274,114 @@ def host_pagerank(
     import ray.data as rd
 
     return rd.from_arrow(ray.get(_iterate.remote(*refs)))
+
+
+def host_components(corpus_dir: str, max_iters: int = 50):
+    """Connected components of the (undirected) host link graph via
+    hash-to-min label propagation: every host starts labeled with itself;
+    each round, every host takes the MIN label (lexicographic) among itself
+    and its neighbors; converged when no label changes.  Rounds needed =
+    graph diameter (label-propagation min variant), each round = one
+    hash-shuffle join (labels ⋈ edges) + one ``groupby(host).min`` — no
+    driver-side graph state, labels live as a one-row-per-host Dataset
+    (hosts ≪ pages at any corpus scale).  The distributed twin of the
+    union-find golden (``goldens.seq_host_components``); output
+    ``(host, component)`` where component = min host string in the
+    component.
+
+    At web scale the min-string label converges slowly on long chains
+    (diameter rounds); ``max_iters`` bounds the work, and the convergence
+    check is a distributed count of changed labels, never a driver fold.
+    """
+    import ray.data as rd
+
+    edges = host_link_edges(corpus_dir)
+
+    def undirect(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.chunked_array(
+                    list(b.column("src_host").chunks) + list(b.column("dst_host").chunks)
+                ),
+                "nbr": pa.chunked_array(
+                    list(b.column("dst_host").chunks) + list(b.column("src_host").chunks)
+                ),
+            }
+        )
+
+    und = edges.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"host": b.column("host"), "label": b.column("host")})
+
+    labels = (
+        und.map_batches(
+            lambda b: pa.table({"host": b.column("host")}), batch_format="pyarrow"
+        )
+        .groupby("host")
+        .map_groups(
+            lambda t: pa.table({"host": t.column("host")[:1]}), batch_format="pyarrow"
+        )
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _min_label(b: pa.Table) -> pa.Table:
+        return (
+            b.select(["host", "label"])
+            .group_by(["host"])
+            .aggregate([("label", "min")])
+            .rename_columns(["host", "label"])
+        )
+
+    for _ in range(max_iters):
+        # neighbor messages: nbr receives src's current label
+        msgs = und.join(
+            labels, join_type="inner", num_partitions=8, on=("host",)
+        ).map_batches(
+            lambda b: pa.table({"host": b.column("nbr"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            labels.union(msgs)
+            .map_batches(_min_label, batch_format="pyarrow")
+            .groupby("host")
+            .map_groups(_min_label, batch_format="pyarrow")
+            .materialize()
+        )
+        # distributed convergence check: any host whose label shrank?
+        changed = (
+            new_labels.join(
+                labels.map_batches(
+                    lambda b: pa.table(
+                        {"host": b.column("host"), "old_label": b.column("label")}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=8,
+                on=("host",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "n": pc.cast(
+                            pc.not_equal(b.column("label"), b.column("old_label")),
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("n")
+        )
+        labels = new_labels
+        if not changed:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"host": b.column("host"), "component": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

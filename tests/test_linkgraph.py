@@ -68,3 +68,31 @@ def test_engine_matches_golden_sf0001():
     # determinism across runs (distributed re-execution, same bits)
     pr2 = host_pagerank(corpus).to_pandas().sort_values("host").reset_index(drop=True)
     assert pr2.equals(pr)
+
+
+def test_seq_host_components_two_islands():
+    import pyarrow as pa
+
+    from spider_ray.goldens import seq_host_components
+
+    edges = pa.table(
+        {
+            "src_host": pa.array(["b", "a", "x", "z"], pa.string()),
+            "dst_host": pa.array(["c", "b", "y", "y"], pa.string()),
+            "n_links": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    out = {r["host"]: r["component"] for r in seq_host_components(edges).to_pylist()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_matches_union_find_sf0001():
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.goldens import seq_host_components
+    from spider_ray.ops.linkgraph import host_components
+
+    corpus = ensure_scale("sf0.001")
+    got = host_components(corpus).to_pandas().sort_values("host").reset_index(drop=True)
+    want = seq_host_components(seq_link_graph("sf0.001")).to_pandas()
+    assert got.equals(want)
