@@ -1,0 +1,62 @@
+"""Resumable partitioned-Parquet output for operator results.
+
+The 100-TB output contract (SURVEY §7 / round brief): never one giant
+file — one directory per partition key, each written ATOMICALLY
+(tmp + rename), so a failed run re-executed with the same arguments skips
+every partition that already landed and rewrites only the missing ones.
+
+Shape: ONE ``groupby(key).map_groups`` shuffle routes each partition's rows
+to a single writer task; the writer emits a tiny ``(partition, n_rows,
+skipped)`` manifest row, so the driver never sees data — only the manifest.
+Partitioning assumption (documented): one partition's rows fit in one
+writer's heap; pick a key with bounded fan-in (host bucket, shard id, date)
+— the same rule as every ``map_groups`` op in this repo.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _sanitize(value: object) -> str:
+    s = str(value)
+    return "".join(c if c.isalnum() or c in "._-" else "_" for c in s) or "_"
+
+
+def write_partitioned(ds, out_dir: str, by: str, skip_existing: bool = True):
+    """Write ``ds`` under ``out_dir/<by>=<value>/part.parquet``, one
+    directory per distinct ``by`` value, atomically per partition.
+
+    Returns the manifest as a ``ray.data.Dataset`` of
+    ``(partition, n_rows, skipped)`` — ``skipped`` True when a completed
+    partition from a previous run was left untouched."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(tbl: pa.Table) -> pa.Table:
+        val = tbl.column(by)[0].as_py()
+        pdir = os.path.join(out_dir, f"{by}={_sanitize(val)}")
+        final = os.path.join(pdir, "part.parquet")
+        if skip_existing and os.path.exists(final):
+            return pa.table(
+                {
+                    "partition": pa.array([str(val)], pa.string()),
+                    "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                    "skipped": pa.array([True], pa.bool_()),
+                }
+            )
+        os.makedirs(pdir, exist_ok=True)
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)  # atomic on POSIX: readers see all-or-nothing
+        return pa.table(
+            {
+                "partition": pa.array([str(val)], pa.string()),
+                "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                "skipped": pa.array([False], pa.bool_()),
+            }
+        )
+
+    return ds.groupby(by).map_groups(write_group, batch_format="pyarrow")
