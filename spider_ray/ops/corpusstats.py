@@ -166,26 +166,37 @@ def top_terms_per_group(ds, group_col: str = "lang", text_col: str = "text", k: 
 # ---------------------------------------------------------------------------
 
 
-class _DocTermPairs:
-    """Per-batch DISTINCT ``(term, doc_id)`` pairs (per-doc dedup IS global
-    dedup: a doc_id appears in exactly one batch)."""
+class _PostingPartials:
+    """Per-batch posting combiner: per term, the batch-local document
+    frequency and the ``max_ids`` SMALLEST doc ids (the global smallest-k
+    of a union is the smallest-k of per-part smallest-ks, so capping per
+    batch is lossless).  The shuffle then moves ``term x n_batches`` rows
+    instead of ``term x n_docs`` — the difference between an inverted
+    index that shuffles postings and one that shuffles the corpus."""
 
-    def __init__(self, text_col: str, id_col: str):
+    def __init__(self, text_col: str, id_col: str, max_ids: int):
         self.text_col = text_col
         self.id_col = id_col
+        self.max_ids = max_ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        terms: list[str] = []
-        ids: list[int] = []
+        acc: dict[str, list[int]] = {}
         for did, t in zip(
             batch.column(self.id_col).to_pylist(),
             batch.column(self.text_col).to_pylist(),
         ):
             for tok in set(TOKEN_RE.findall((t or "").lower())):
-                terms.append(tok)
-                ids.append(did)
+                acc.setdefault(tok, []).append(did)
+        terms = sorted(acc)
         return pa.table(
-            {"term": pa.array(terms, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+            {
+                "term": pa.array(terms, pa.string()),
+                "df_part": pa.array([len(acc[t]) for t in terms], pa.int64()),
+                "ids_part": pa.array(
+                    [sorted(acc[t])[: self.max_ids] for t in terms],
+                    pa.list_(pa.int64()),
+                ),
+            }
         )
 
 
@@ -195,22 +206,30 @@ def posting_lists(
     """Inverted index: per term, document frequency + the first ``max_ids``
     doc ids (ascending) serialized as a comma-joined string.  ``df`` counts
     ALL documents; only the emitted posting is capped, so a
-    stopword-frequency term cannot materialize an unbounded row."""
-    pairs = ds.map_batches(_DocTermPairs(text_col, id_col), batch_format="pyarrow")
+    stopword-frequency term cannot materialize an unbounded row.  Per-batch
+    combiner partials (df + capped smallest-ids) keep the shuffle at
+    ``term x n_batches`` rows; a doc lives in one batch, so partial dfs sum
+    exactly."""
+    partials = ds.map_batches(
+        _PostingPartials(text_col, id_col, max_ids), batch_format="pyarrow"
+    )
 
-    def _posting(tbl: pa.Table) -> pa.Table:
-        ids = np.sort(tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+    def _merge(tbl: pa.Table) -> pa.Table:
+        df = int(pc.sum(tbl.column("df_part")).as_py())
+        ids = np.sort(
+            np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in tbl.column("ids_part").to_pylist()]
+            )
+        )[:max_ids]
         return pa.table(
             {
                 "term": pa.array([tbl.column("term")[0].as_py()], pa.string()),
-                "df": pa.array([len(ids)], pa.int64()),
-                "posting": pa.array(
-                    [",".join(map(str, ids[:max_ids]))], pa.string()
-                ),
+                "df": pa.array([df], pa.int64()),
+                "posting": pa.array([",".join(map(str, ids))], pa.string()),
             }
         )
 
-    return pairs.groupby("term").map_groups(_posting, batch_format="pyarrow")
+    return partials.groupby("term").map_groups(_merge, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
