@@ -519,6 +519,19 @@ def q_repetition_stats(sf_dir: str):
     return repetition_stats(_docs(sf_dir))
 
 
+def q_sliding_events(sf_dir: str):
+    """Sliding-window (1h window, 15min step) event counts — bounded flat
+    expansion + per-batch combiner, one (window, type) shuffle."""
+    import ray.data
+
+    from spider_ray.ops.windows import sliding_window_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    return sliding_window_counts(ev, width_s=3600, step_s=900)
+
+
 def q_concurrent_sessions(sf_dir: str):
     """Sessions active per hour window — the interval-overlap join expressed
     as a bounded flat expansion + one groupby(window) shuffle."""
@@ -951,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_kmv": q_distinct_users_kmv,
         "rolling_user_sums": q_rolling_user_sums,
         "concurrent_sessions": q_concurrent_sessions,
+        "sliding_events": q_sliding_events,
         "repetition_stats": q_repetition_stats,
         "dataset_split": q_dataset_split,
         "class_balance": q_class_balance,
@@ -1131,6 +1145,13 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams, "
             r"coalesce(a.n_dup_bigrams, 0)::BIGINT AS n_dup_bigrams "
             r"FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "sliding_events": (
+            "WITH x AS (SELECT event_type, "
+            "(epoch_us(ts) // 900000000) * 900 - k.k * 900 AS window_start "
+            "FROM events, unnest(generate_series(0, 3)) AS k(k)) "
+            "SELECT window_start::BIGINT AS window_start, event_type, "
+            "count(*)::BIGINT AS n_events FROM x GROUP BY 1, 2"
         ),
         "concurrent_sessions": (
             "WITH e AS ("

@@ -75,6 +75,57 @@ def tumbling_window_counts(events, width_s: int = 3600):
     )
 
 
+def sliding_window_counts(events, width_s: int = 3600, step_s: int = 900):
+    """Sliding-window event counts: every event lands in the
+    ``width_s / step_s`` windows covering it (window starts aligned to
+    ``step_s``).  Bounded flat expansion (the overlap factor) + one
+    ``groupby(window, type)`` shuffle of already-partial counts — the
+    sliding twin of :func:`tumbling_window_counts`.  Output:
+    ``(window_start, event_type, n_events)`` epoch-second windows."""
+    assert width_s % step_s == 0, "width must be a multiple of step"
+    k = width_s // step_s
+    step_us = step_s * 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        types = batch.column("event_type")
+        base = (ts // step_us) * step_s  # newest window start, epoch seconds
+        n = len(ts)
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * step_s, n
+        )
+        t = pa.table(
+            {
+                "window_start": pa.array(starts, pa.int64()),
+                "event_type": pc.take(
+                    types, pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+                ),
+                "n_events": pa.array(np.ones(n * k, dtype=np.int64)),
+            }
+        )
+        # per-batch combiner: collapse to partial counts before the shuffle
+        return (
+            t.group_by(["window_start", "event_type"])
+            .aggregate([("n_events", "sum")])
+            .rename_columns(["window_start", "event_type", "n_events"])
+        )
+
+    partials = events.select_columns(["ts", "event_type"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+    agg = partials.groupby(["window_start", "event_type"]).sum("n_events")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b.column("window_start"),
+                "event_type": b.column("event_type"),
+                "n_events": pc.cast(b.column("sum(n_events)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def sessionize(events, gap_s: int = 1800):
     """``(user_id, session_id, n_events, start_us, end_us)`` — sessions are
     maximal runs of a user's events with inter-event gaps <= ``gap_s``;

@@ -85,6 +85,7 @@ SQL_QUERIES = (
     "distinct_users_kmv",
     "rolling_user_sums",
     "concurrent_sessions",
+    "sliding_events",
     "repetition_stats",
     "dataset_split",
     "class_balance",

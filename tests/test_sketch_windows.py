@@ -91,3 +91,23 @@ def test_concurrent_sessions_overlap_counting(ray_session):
     out = {r["window_start"]: r["n_sessions"]
            for r in concurrent_sessions(ray.data.from_arrow(tbl)).take_all()}
     assert out == {36000: 2, 39600: 1}
+
+
+def test_sliding_window_counts_overlap(ray_session):
+    """width=4, step=1: each event lands in exactly 4 windows; counts at
+    a window = events within [start, start+4)."""
+    import pyarrow as pa
+    import ray.data
+
+    from spider_ray.ops.windows import sliding_window_counts
+
+    us = 1_000_000
+    tbl = pa.table(
+        {
+            "ts": pa.array([10 * us, 11 * us], pa.timestamp("us")),
+            "event_type": pa.array(["a", "a"], pa.string()),
+        }
+    )
+    out = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in sliding_window_counts(ray.data.from_arrow(tbl), width_s=4, step_s=1).take_all()}
+    assert out == {(7, "a"): 1, (8, "a"): 2, (9, "a"): 2, (10, "a"): 2, (11, "a"): 1}
