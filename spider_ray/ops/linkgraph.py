@@ -276,7 +276,7 @@ def host_pagerank(
     return rd.from_arrow(ray.get(_iterate.remote(*refs)))
 
 
-def host_components(corpus_dir: str, max_iters: int = 50):
+def host_components_labelprop(corpus_dir: str, max_iters: int = 50):
     """Connected components of the (undirected) host link graph via
     hash-to-min label propagation: every host starts labeled with itself;
     each round, every host takes the MIN label (lexicographic) among itself
@@ -385,3 +385,56 @@ def host_components(corpus_dir: str, max_iters: int = 50):
         ),
         batch_format="pyarrow",
     )
+
+
+def host_components(corpus_dir: str, max_iters: int = 50):
+    """``(host, component)`` — connected components of the undirected host
+    graph; component = min host string in the component.
+
+    Same dispatch as :func:`host_pagerank`: the distributed parse
+    aggregates edges down to ONE ROW PER DISTINCT HOST PAIR, and the HOST
+    graph is orders of magnitude smaller than the page corpus (10^8 hosts
+    x 16-byte digests fits one task at full web scale), so the union-find
+    runs in a single remote kernel task over the edge block refs — the
+    driver never holds the edges.  :func:`host_components_labelprop` is
+    the fully-distributed label-propagation variant for a host graph that
+    outgrows one task (parity-tested against this kernel)."""
+    import ray
+
+    edges = host_link_edges(corpus_dir).materialize()
+    refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def _components(*blocks: pa.Table) -> pa.Table:
+        # vectorized min-label propagation (independent of the union-find
+        # golden): labels start as host indices (hosts sorted, so min index
+        # == lexicographic min host); each round every endpoint takes the
+        # min label across its edges; converged when no label changes.
+        tbl = pa.concat_tables([b for b in blocks if b.num_rows])
+        src_s, dst_s = tbl.column("src_host"), tbl.column("dst_host")
+        hosts_arr = pc.unique(pa.chunked_array(list(src_s.chunks) + list(dst_s.chunks)))
+        hosts = sorted(hosts_arr.to_pylist())
+        idx = {h: i for i, h in enumerate(hosts)}
+        src = np.fromiter((idx[h] for h in src_s.to_pylist()), np.int64, len(tbl))
+        dst = np.fromiter((idx[h] for h in dst_s.to_pylist()), np.int64, len(tbl))
+        labels = np.arange(len(hosts), dtype=np.int64)
+        for _ in range(max_iters):
+            prev = labels.copy()
+            msg = np.minimum(labels[src], labels[dst])
+            np.minimum.at(labels, src, msg)
+            np.minimum.at(labels, dst, msg)
+            # pointer-jump: chase labels toward their component min to
+            # converge in O(log diameter) rounds instead of O(diameter)
+            labels = labels[labels]
+            if np.array_equal(labels, prev):
+                break
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "component": pa.array([hosts[l] for l in labels], pa.string()),
+            }
+        )
+
+    import ray.data as rd
+
+    return rd.from_arrow(ray.get(_components.remote(*refs)))

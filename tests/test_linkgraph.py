@@ -96,3 +96,17 @@ def test_host_components_matches_union_find_sf0001():
     got = host_components(corpus).to_pandas().sort_values("host").reset_index(drop=True)
     want = seq_host_components(seq_link_graph("sf0.001")).to_pandas()
     assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_labelprop_matches_kernel_sf0001():
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.ops.linkgraph import host_components, host_components_labelprop
+
+    corpus = ensure_scale("sf0.001")
+    fast = host_components(corpus).to_pandas().sort_values("host").reset_index(drop=True)
+    dist = (
+        host_components_labelprop(corpus)
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    )
+    assert fast.equals(dist)
