@@ -298,6 +298,15 @@ def run_bench() -> dict:
     concurrent_sessions(events_rw, gap_s=1800, width_s=3600).count()
     queries["concurrent_sessions"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.windows import sliding_window_counts
+
+    events_sw = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    t0 = time.perf_counter()
+    sliding_window_counts(events_sw, width_s=3600, step_s=900).count()
+    queries["sliding_events"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),
