@@ -297,8 +297,9 @@ class _Decontaminator:
         self.bench_mod = bench_mod
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).combine_chunks(), dtype=np.int64)
-        batch = batch.filter(pa.array(ids % self.bench_mod != 0))
+        if self.bench_mod:  # 0 = external eval set, no corpus rows excluded
+            ids = np.asarray(batch.column(self.id_col).combine_chunks(), dtype=np.int64)
+            batch = batch.filter(pa.array(ids % self.bench_mod != 0))
         bench = self.bench
         flags = [
             not _word_ngrams(t, self.n).isdisjoint(bench)
@@ -319,6 +320,7 @@ def decontaminate(
     n: int = 3,
     bench_mod: int = 97,
     concurrency: int | tuple[int, int] = (2, 8),
+    bench_texts: list[str] | None = None,
 ):
     """Flag corpus documents sharing any word ``n``-gram with the benchmark
     split (``doc_id % bench_mod == 0`` — the deterministic stand-in for an
@@ -333,8 +335,25 @@ def decontaminate(
     corpus) — at 100 TB, pass the eval set in as the small side rather than
     deriving it from the corpus.
 
+    ``bench_texts`` is that production path: pass the external eval set's
+    documents directly and EVERY corpus doc is checked against them (no
+    modulo split; ``bench_mod`` is ignored for splitting).
+
     Returns ``(doc_id, contaminated)`` for every NON-benchmark document.
     """
+    if bench_texts is not None:
+        grams: set[str] = set()
+        for t in bench_texts:
+            grams |= _word_ngrams(t, n)
+        bench_ref = ray.put(grams)
+        return ds.map_batches(
+            _Decontaminator,
+            # bench_mod=0 sentinel: no corpus rows are benchmark rows
+            fn_constructor_args=(bench_ref, text_col, id_col, n, 0),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+
     def _grams_of(batch: pa.Table) -> pa.Table:
         # vectorized benchmark-split mask (no per-row python filter stage)
         ids = np.asarray(batch.column(id_col).combine_chunks(), dtype=np.int64)

@@ -120,3 +120,43 @@ def test_class_balance_minority_size_and_determinism(ray_session):
     out2 = class_balance(_docs_ds(rows)).take_all()
     assert sorted((r["lang"], r["doc_id"]) for r in out) == \
            sorted((r["lang"], r["doc_id"]) for r in out2)
+
+
+def test_decontaminate_external_eval_set(ray_session):
+    """bench_texts path: every corpus doc checked against the external set,
+    none excluded."""
+    from spider_ray.ops.corpusstats import decontaminate
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "text": "unrelated words here"},
+    ]
+    out = {r["doc_id"]: r["contaminated"] for r in decontaminate(
+        _docs_ds(rows), n=3, concurrency=1,
+        bench_texts=["xxx alpha beta gamma yyy"],
+    ).take_all()}
+    assert out == {0: True, 1: False}
+
+
+def test_posting_partial_merge_lossless(ray_session):
+    """Property: capped per-batch smallest-ids merge == brute-force posting
+    over any repartitioning."""
+    import random
+
+    from spider_ray.ops.corpusstats import posting_lists
+
+    rng = random.Random(5)
+    vocab = ["w%d" % i for i in range(6)]
+    rows = [{"doc_id": i, "text": " ".join(rng.sample(vocab, rng.randint(1, 4)))}
+            for i in range(200)]
+    brute: dict[str, list[int]] = {}
+    for r in rows:
+        for t in set(r["text"].split()):
+            brute.setdefault(t, []).append(r["doc_id"])
+    for parts in (1, 7):
+        ds = _docs_ds(rows).repartition(parts)
+        out = {r["term"]: r for r in posting_lists(ds, max_ids=5).take_all()}
+        assert set(out) == set(brute)
+        for t, ids in brute.items():
+            assert out[t]["df"] == len(ids)
+            assert out[t]["posting"] == ",".join(map(str, sorted(ids)[:5]))
