@@ -9,6 +9,9 @@ Usage::
         [--respect-robots] [--delay-ms N] [--normalize] [--sitemap]
     python -m spider_ray.cli scrape --corpus DIR --seeds URL --jsonl out.jsonl
     python -m spider_ray.cli download --corpus DIR --seeds URL --target-dir DIR
+    python -m spider_ray.cli ops list
+    python -m spider_ray.cli ops run <query> --sf-dir DIR
+        [--out DIR [--partition-by COL]] [--limit N]
 
 ``crawl`` writes parsed pages + checkpoints; ``scrape`` additionally emits
 JSONL (url, title, description, text) like the reference CLI's scrape
@@ -22,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -48,6 +52,63 @@ def build_config(args) -> "CrawlConfig":
     if args.budget:
         cfg = cfg.with_limit(args.budget)
     return cfg
+
+
+def _ops_main(args, started_ray: bool) -> int:
+    """``ops list`` / ``ops run <query>``: every driver-contract pipeline is
+    also a CLI entry point, so the whole operator catalog is reachable
+    without writing Python.  Results print as JSONL or land as (optionally
+    partitioned, resumable) Parquet."""
+    import importlib.util
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_spider_entry", os.path.join(root, "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries = mod.queries()
+    try:
+        if args.action == "list":
+            for name in sorted(queries):
+                print(name)
+            return 0
+        if not args.query or args.query not in queries:
+            print(f"unknown query {args.query!r}; see `ops list`", file=sys.stderr)
+            return 2
+        res = queries[args.query](args.sf_dir)
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        if isinstance(res, pa.Table):
+            ds = rd.from_arrow(res)
+        elif hasattr(res, "map_batches"):
+            ds = res
+        else:  # pandas
+            ds = rd.from_pandas(res)
+
+        if args.out:
+            if args.partition_by:
+                from .ops.io import write_partitioned
+
+                manifest = write_partitioned(ds, args.out, by=args.partition_by).take_all()
+                print(_json.dumps({"out": args.out, "partitions": len(manifest),
+                                   "rows": sum(m["n_rows"] for m in manifest),
+                                   "skipped": sum(m["skipped"] for m in manifest)}))
+            else:
+                ds.write_parquet(args.out)
+                print(_json.dumps({"out": args.out, "rows": ds.count()}))
+        else:
+            for row in ds.take(args.limit):
+                print(_json.dumps(row, default=str))
+        return 0
+    finally:
+        import ray
+
+        if started_ray:
+            ray.shutdown()
 
 
 def main(argv=None) -> int:
@@ -87,6 +148,18 @@ def main(argv=None) -> int:
         p.add_argument("--target-dir", default="./_temp_spider_downloads/",
                        help="download destination (spider_cli DOWNLOAD default)")
         p.add_argument("--num-cpus", type=int)
+    # ops: run any driver-contract pipeline over an sf-shaped table dir
+    p = sub.add_parser("ops", help="list / run the training-data operators")
+    p.add_argument("action", choices=("list", "run"))
+    p.add_argument("query", nargs="?", help="query name from `ops list`")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="directory holding documents/events/... parquet tables")
+    p.add_argument("--out", help="write result parquet here instead of printing")
+    p.add_argument("--partition-by", help="with --out: one directory per value "
+                                          "of this column (atomic, resumable)")
+    p.add_argument("--limit", type=int, default=10,
+                   help="rows to print without --out")
+    p.add_argument("--num-cpus", type=int)
     args = parser.parse_args(argv)
 
     import ray
@@ -98,6 +171,9 @@ def main(argv=None) -> int:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(address="local", **kwargs)
         started_ray = True
+
+    if args.command == "ops":
+        return _ops_main(args, started_ray)
 
     from .config import CrawlJob
     from .pipelines.crawl import RayCrawler

@@ -205,3 +205,19 @@ def test_download_pages_manifest(ray_session, tmp_path):
         path = got[r["url"]]
         assert path == build_local_path(dest, urlsplit(r["url"]).path or "/")
         assert open(path, "rb").read() == r["html"]
+
+
+def test_cli_ops_list_and_run(ray_session, tmp_path, capsys):
+    from spider_ray.cli import main
+
+    assert main(["ops", "list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "lang_quantiles" in names and "exact_dedup" in names
+
+    out = str(tmp_path / "split_out")
+    assert main(["ops", "run", "dataset_split", "--sf-dir", "/root/testdata/sf0.01",
+                 "--out", out, "--partition-by", "split"]) == 0
+    import json as _json
+
+    m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["partitions"] == 3 and m["rows"] == 500
