@@ -511,6 +511,14 @@ def q_class_balance(sf_dir: str):
     return class_balance(_docs(sf_dir), class_col="lang", key_col="doc_id")
 
 
+def q_length_rank(sf_dir: str):
+    """ROW_NUMBER window primitive: per-lang rank by (n_chars DESC, doc_id)
+    — one 3-column groupby(lang) shuffle."""
+    from spider_ray.ops.corpusstats import group_rank
+
+    return group_rank(_docs(sf_dir))
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition signal: total vs duplicate word
     bigram occurrences, all-integer, shuffle-free per-row map."""
@@ -966,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": q_concurrent_sessions,
         "sliding_events": q_sliding_events,
         "repetition_stats": q_repetition_stats,
+        "length_rank": q_length_rank,
         "dataset_split": q_dataset_split,
         "class_balance": q_class_balance,
         "top_k_similarity": q_top_k_similarity,
@@ -1119,6 +1128,11 @@ def oracle_sql() -> dict[str, str]:
             r"WHERE gr.doc_id % 97 <> 0) "
             r"SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated "
             r"FROM documents d WHERE d.doc_id % 97 <> 0"
+        ),
+        "length_rank": (
+            "SELECT doc_id, lang, n_chars, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)::BIGINT "
+            "AS rank FROM documents"
         ),
         "dataset_split": (
             "SELECT doc_id, CASE "

@@ -233,6 +233,44 @@ def posting_lists(
 
 
 # ---------------------------------------------------------------------------
+# per-group ranking (the ROW_NUMBER window primitive)
+# ---------------------------------------------------------------------------
+
+
+def group_rank(
+    ds,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Per-group dense row numbering: rank 1..n within each group ordered by
+    ``(value DESC, id ASC)`` — the SQL ``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY v DESC, id)`` window as one ``groupby(group).map_groups``
+    shuffle of only the three needed columns.  Same partitioning assumption
+    as every map_groups op here (one group's (id, value) pairs fit one
+    worker: 16 bytes/row).  Output ``(id, group, value, rank)``."""
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -vals))
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                group_col: tbl.column(group_col).take(order),
+                value_col: pa.array(vals[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, group_col, value_col])
+        .groupby(group_col)
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # within-doc repetition stats (Gopher repetition signals)
 # ---------------------------------------------------------------------------
 

@@ -87,6 +87,7 @@ SQL_QUERIES = (
     "concurrent_sessions",
     "sliding_events",
     "repetition_stats",
+    "length_rank",
     "dataset_split",
     "class_balance",
     "pricing_summary",
