@@ -317,6 +317,10 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
 # benchmark decontamination
 # ---------------------------------------------------------------------------
 
+# hard ceiling on the driver-assembled benchmark gram set (modulo path only;
+# ~50M grams × ~40 B ≈ 2 GB — past this the input wasn't an eval set)
+_MAX_DRIVER_GRAMS = 50_000_000
+
 
 def _word_ngrams(text: str, n: int) -> set[str]:
     toks = TOKEN_RE.findall((text or "").lower())
@@ -410,6 +414,16 @@ def decontaminate(
     bench_grams: set[str] = set()
     for part in gram_parts:
         bench_grams.update(part.column("g").to_pylist())
+        if len(bench_grams) > _MAX_DRIVER_GRAMS:
+            # the modulo path is the SQL-oracle-replayable form; a bench
+            # side this large means it was derived from a corpus-scale
+            # input — fail loudly instead of driver-OOMing (use
+            # bench_texts= with a real, small eval set at scale)
+            raise ValueError(
+                f"decontaminate: benchmark gram set exceeded {_MAX_DRIVER_GRAMS:,} "
+                "entries — the modulo split is for oracle replay on small "
+                "fixtures; at scale pass the eval set via bench_texts="
+            )
     bench_ref = ray.put(bench_grams)
 
     return ds.map_batches(

@@ -11,6 +11,15 @@ skipped)`` manifest row, so the driver never sees data — only the manifest.
 Partitioning assumption (documented): one partition's rows fit in one
 writer's heap; pick a key with bounded fan-in (host bucket, shard id, date)
 — the same rule as every ``map_groups`` op in this repo.
+
+STORAGE CONTRACT (multi-node): ``out_dir`` MUST be on shared storage
+visible to every Ray worker (NFS / object-store mount / fuse).  The
+``skip_existing`` resume check runs ``os.path.exists`` on whichever worker
+executes the partition's task — on node-local disks outputs would scatter
+across nodes and completed partitions would silently re-write.  When shared
+storage can't be assumed, read the previous run's manifest on the DRIVER
+and pass its finished partition keys as ``completed=`` — that check is
+location-independent.
 """
 
 from __future__ import annotations
@@ -26,20 +35,32 @@ def _sanitize(value: object) -> str:
     return "".join(c if c.isalnum() or c in "._-" else "_" for c in s) or "_"
 
 
-def write_partitioned(ds, out_dir: str, by: str, skip_existing: bool = True):
+def write_partitioned(
+    ds,
+    out_dir: str,
+    by: str,
+    skip_existing: bool = True,
+    completed: frozenset | set | None = None,
+):
     """Write ``ds`` under ``out_dir/<by>=<value>/part.parquet``, one
     directory per distinct ``by`` value, atomically per partition.
+
+    ``out_dir`` must be on storage shared by all workers (module contract);
+    alternatively pass ``completed`` — partition key strings already
+    finished per a driver-held manifest — which is honored regardless of
+    where the previous run's files landed.
 
     Returns the manifest as a ``ray.data.Dataset`` of
     ``(partition, n_rows, skipped)`` — ``skipped`` True when a completed
     partition from a previous run was left untouched."""
     os.makedirs(out_dir, exist_ok=True)
+    completed = frozenset(str(v) for v in completed) if completed else frozenset()
 
     def write_group(tbl: pa.Table) -> pa.Table:
         val = tbl.column(by)[0].as_py()
         pdir = os.path.join(out_dir, f"{by}={_sanitize(val)}")
         final = os.path.join(pdir, "part.parquet")
-        if skip_existing and os.path.exists(final):
+        if str(val) in completed or (skip_existing and os.path.exists(final)):
             return pa.table(
                 {
                     "partition": pa.array([str(val)], pa.string()),

@@ -254,7 +254,12 @@ def host_pagerank(
 
     @ray.remote
     def _iterate(*blocks: pa.Table) -> pa.Table:
-        tbl = pa.concat_tables([b for b in blocks if b.num_rows])
+        live = [b for b in blocks if b.num_rows]
+        if not live:  # corpus with no host links: empty result, not a crash
+            return pa.table(
+                {"host": pa.array([], pa.string()), "pagerank": pa.array([], pa.float64())}
+            )
+        tbl = pa.concat_tables(live)
         src_s = tbl.column("src_host")
         dst_s = tbl.column("dst_host")
         hosts_arr = pc.unique(pa.chunked_array(list(src_s.chunks) + list(dst_s.chunks)))
@@ -410,7 +415,12 @@ def host_components(corpus_dir: str, max_iters: int = 50):
         # golden): labels start as host indices (hosts sorted, so min index
         # == lexicographic min host); each round every endpoint takes the
         # min label across its edges; converged when no label changes.
-        tbl = pa.concat_tables([b for b in blocks if b.num_rows])
+        live = [b for b in blocks if b.num_rows]
+        if not live:  # corpus with no host links: empty result, not a crash
+            return pa.table(
+                {"host": pa.array([], pa.string()), "component": pa.array([], pa.string())}
+            )
+        tbl = pa.concat_tables(live)
         src_s, dst_s = tbl.column("src_host"), tbl.column("dst_host")
         hosts_arr = pc.unique(pa.chunked_array(list(src_s.chunks) + list(dst_s.chunks)))
         hosts = sorted(hosts_arr.to_pylist())

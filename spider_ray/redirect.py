@@ -126,7 +126,16 @@ class RedirectResolver:
     def _strict_match(self, target_host: str, crawl_host: str) -> bool:
         """Strict host gate (``website.rs:2645-2655``); ``domain_name`` is
         the raw host string (``page.rs:2931-2933``), so the tld branch is an
-        exact host comparison like the default branch."""
+        exact host comparison like the default branch.
+
+        INTENTIONAL DIVERGENCE from the reference: the subdomain branch
+        requires a dot boundary (``endswith('.' + crawl_host)``) where
+        ``website.rs:2653`` uses a bare ``ends_with`` suffix match.  The
+        bare suffix would let ``evilsite0.example`` match ``site0.example``
+        — a suffix-confusion hole; the hardened gate blocks that while
+        accepting every true subdomain.  Regression-tested in
+        tests/test_redirect.py (suffix-but-not-subdomain targets stay
+        blocked under Strict)."""
         if self.subdomains and target_host.endswith("." + crawl_host):
             return True
         return target_host == crawl_host

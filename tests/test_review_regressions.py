@@ -283,3 +283,28 @@ def test_ivf_top_k_fewer_rows_than_cells(ray_session):
     want = exact.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     # probing every cell == exact
     assert got.equals(want)
+
+
+# ---------------------------------------------------------------------------
+# link-graph kernels on a corpus with zero host links (round-2 advice:
+# pa.concat_tables([]) raised instead of returning an empty result)
+# ---------------------------------------------------------------------------
+
+
+def test_linkless_corpus_graph_ops_empty(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from spider_ray.ops.linkgraph import host_components, host_pagerank
+
+    tbl = pa.table(
+        {
+            "url": ["https://www.lonely.example/"],
+            "html": [b"<html><body><p>no links here</p></body></html>"],
+            "status": pa.array([200], pa.int32()),
+        }
+    )
+    cdir = tmp_path / "linkless"
+    cdir.mkdir()
+    pq.write_table(tbl, str(cdir / "part-0.parquet"))
+    assert host_pagerank(str(cdir)).count() == 0
+    assert host_components(str(cdir)).count() == 0
