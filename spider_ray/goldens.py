@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 19
+GOLDEN_VERSION = 20
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -312,9 +312,15 @@ def seq_minhash_pairs(
     n_bands: int = 16,
     shingle_size: int = 3,
     seed: int = 1337,
+    max_bucket: int = 256,
 ) -> pa.Table:
     """Sequential MinHash+LSH near-dup pairs: signature → band buckets →
-    candidate pairs → exact-Jaccard verify.  One process, plain dicts."""
+    candidate pairs → exact-Jaccard verify.  One process, plain dicts.
+
+    Oversized-bucket spec (mirrors ``ops.dedup.bucket_pairs``): a bucket
+    larger than ``max_bucket`` is chunked into consecutive runs of the
+    ascending id list; all pairs within each chunk plus one (bucket min,
+    chunk first) chain pair per later chunk."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -336,9 +342,13 @@ def seq_minhash_pairs(
     cand: set[tuple[int, int]] = set()
     for members in buckets.values():
         ms = sorted(set(members))
-        for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
-                cand.add((ms[i], ms[j]))
+        for start in range(0, len(ms), max_bucket):
+            chunk = ms[start : start + max_bucket]
+            if start > 0:
+                cand.add((ms[0], chunk[0]))
+            for i in range(len(chunk)):
+                for j in range(i + 1, len(chunk)):
+                    cand.add((chunk[i], chunk[j]))
     out_a, out_b = [], []
     for da, db in sorted(cand):
         sa, sb = shingle_sets[da], shingle_sets[db]

@@ -153,22 +153,58 @@ class MinHasher:
         )
 
 
-def minhash_lsh_candidates(ds, **kwargs):
+DEFAULT_MAX_BUCKET = 256
+
+
+def bucket_pairs(ids_sorted, max_bucket: int = DEFAULT_MAX_BUCKET):
+    """The pinned oversized-bucket pairing SPEC (shared with the sequential
+    golden, ``goldens.seq_minhash_pairs``):
+
+    * bucket size ``k <= max_bucket`` → all C(k,2) pairs (classic LSH);
+    * ``k > max_bucket`` → the ascending id list is CHUNKED into consecutive
+      runs of ``max_bucket``; all pairs within each chunk, PLUS one chain
+      pair (bucket min id, chunk's first id) per later chunk.
+
+    The chain pairs keep a degenerate bucket (e.g. 10⁶ byte-identical or
+    empty docs sharing every band signature on a real web corpus)
+    CONNECTED through the verify step — true duplicates still collapse to
+    one cluster — while the pair budget drops from O(k²) to
+    O(k·max_bucket).  Cross-chunk pairs between genuinely-different docs
+    that only collide in an oversized bucket are dropped by design
+    (documented recall loss on degenerate buckets only; every bucket
+    ≤ max_bucket is exhaustive).
+    """
+    k = len(ids_sorted)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for start in range(0, k, max_bucket):
+        chunk = ids_sorted[start : start + max_bucket]
+        if start > 0:
+            out_a.append(ids_sorted[0])
+            out_b.append(chunk[0])
+        n = len(chunk)
+        if n >= 2:
+            arr = np.asarray(chunk, dtype=np.int64)
+            ii, jj = np.triu_indices(n, 1)
+            out_a.extend(arr[ii].tolist())
+            out_b.extend(arr[jj].tolist())
+    return out_a, out_b
+
+
+def minhash_lsh_candidates(ds, max_bucket: int = DEFAULT_MAX_BUCKET, **kwargs):
     """Candidate near-dup pairs: minhash → band rows → groupby(band, hash) →
     pairs within a bucket.  Returns distinct (doc_a < doc_b) pairs.
 
-    Scale: bucket groups are tiny (docs sharing a band hash); the pair
-    explosion happens inside ``map_groups`` per bucket, never globally.
+    Scale: buckets are tiny for non-degenerate content, and oversized
+    buckets are chunk-capped by :func:`bucket_pairs` (pair budget
+    O(k·max_bucket) per bucket, never O(k²)); the pair generation happens
+    inside ``map_groups`` per bucket, never globally.
     """
     band_rows = ds.map_batches(MinHasher(**kwargs), batch_format="pyarrow", batch_size=256)
 
     def pairs_of_group(tbl: pa.Table) -> pa.Table:
         ids = sorted(set(tbl.column("doc_id").to_pylist()))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
+        out_a, out_b = bucket_pairs(ids, max_bucket)
         return pa.table(
             {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
         )
@@ -192,64 +228,160 @@ def jaccard(text_a: str, text_b: str, shingle_size: int = 3) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
-def minhash_dedup(ds, threshold: float = 0.8, **kwargs):
+def _nonempty_blocks_ds(mds):
+    """Rebuild a MATERIALIZED Dataset from only its non-empty blocks.
+
+    Filtered ``map_batches`` stages can emit 0-row blocks with an EMPTY
+    schema; Ray's hash-shuffle join aggregator rejects those ("No match …
+    for key field reference").  ``ray.get`` on Arrow block refs is
+    zero-copy (plasma mmap), so this inspects metadata without copying
+    data; the kept refs are reused in place."""
+    import ray
+    import ray.data as rd
+
+    refs = mds.to_arrow_refs()
+    keep = [r for r in refs if ray.get(r).num_rows]
+    return rd.from_arrow_refs(keep) if keep else None
+
+
+def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard over two sorted-unique shingle-hash arrays (same value
+    as the set form ``len(a&b)/max(1,len(a|b))``)."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / max(1, a.size + b.size - inter)
+
+
+def minhash_dedup(
+    ds,
+    threshold: float = 0.8,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    num_partitions: int | None = None,
+    **kwargs,
+):
     """Near-dup groups: LSH candidates verified by exact Jaccard ≥ threshold.
 
-    The verify step gathers ONLY the candidate docs' texts (candidate set ≪
-    corpus): the candidate doc-id set is broadcast via ``ray.put``, workers
-    filter their blocks against it (vectorized ``np.isin``), and just those
-    (doc_id, text) rows reach the driver/verify actors.  The corpus itself is
-    never materialized — the only driver-side state is O(candidate pairs).
+    The verify step is DISTRIBUTED end-to-end: candidate docs' shingle-hash
+    sets are computed in an actor pool (corpus filtered by the broadcast
+    candidate-ID vector — the only driver-side state, O(candidate pairs)),
+    then the pair list is hash-joined against that (doc_id → shingles) table
+    twice (``Dataset.join`` on doc_a, then doc_b) so each pair row carries
+    both shingle sets, and Jaccard is evaluated per batch.  No document text
+    or shingle set ever lands on the driver — at web-scale candidate rates
+    (20-50% of the corpus) the old gather-to-driver dict WAS a whole-dataset
+    materialization; the joins keep everything in the object store.
     Returns (doc_a, doc_b, jaccard) confirmed pairs.
     """
     import ray
+    import ray.data as rd
 
-    shingle_size = kwargs.get("shingle_size", 3)
-    candidates = minhash_lsh_candidates(ds, **kwargs).materialize()
+    id_column = kwargs.get("id_column", "doc_id")
+    text_column = kwargs.get("text_column", "text")
+    candidates = minhash_lsh_candidates(ds, max_bucket=max_bucket, **kwargs).materialize()
     cand_parts = [t for t in ray.get(candidates.to_arrow_refs()) if t.num_rows]
-    cand_ids: set[int] = set()
-    for t in cand_parts:
-        cand_ids.update(t.column("doc_a").to_pylist())
-        cand_ids.update(t.column("doc_b").to_pylist())
-
-    texts: dict[int, str] = {}
-    if cand_ids:
-        ids_ref = ray.put(np.fromiter(cand_ids, dtype=np.int64, count=len(cand_ids)))
-
-        class GatherTexts:
-            def __init__(self):
-                self.ids = ray.get(ids_ref)  # once per actor
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                mask = np.isin(
-                    batch.column("doc_id").to_numpy(zero_copy_only=False), self.ids
-                )
-                return batch.filter(pa.array(mask))
-
-        small = ds.select_columns(["doc_id", "text"]).map_batches(
-            GatherTexts, batch_format="pyarrow", concurrency=2
-        )
-        for batch in small.iter_batches(batch_format="pyarrow"):
-            texts.update(
-                zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist())
+    if not cand_parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
             )
-    texts_ref = ray.put(texts)
+        )
+    cand_ids = np.unique(
+        np.concatenate(
+            [np.asarray(t.column("doc_a")) for t in cand_parts]
+            + [np.asarray(t.column("doc_b")) for t in cand_parts]
+        )
+    )
+    ids_ref = ray.put(cand_ids)
+    hasher_kwargs = dict(kwargs)
 
-    class Verify:
+    class ShingleLists:
+        """Actor-pool stage: (doc_id, sorted shingle-hash list) for candidate
+        docs only (vectorized ``np.isin`` filter per block)."""
+
         def __init__(self):
-            self.texts = ray.get(texts_ref)
+            self.ids = ray.get(ids_ref)  # once per actor
+            self.hasher = MinHasher(**hasher_kwargs)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            a_ids = batch.column("doc_a").to_pylist()
-            b_ids = batch.column("doc_b").to_pylist()
-            jac = [
-                jaccard(self.texts.get(a, ""), self.texts.get(b, ""), shingle_size)
-                for a, b in zip(a_ids, b_ids)
+            mask = np.isin(
+                batch.column(id_column).to_numpy(zero_copy_only=False), self.ids
+            )
+            sub = batch.filter(pa.array(mask))
+            # sorted-unique uint64 hashes packed as LE bytes: hash joins
+            # (acero) don't carry list payload columns, binary they do
+            lists = [
+                np.unique(self.hasher.shingles(t)).tobytes()
+                for t in sub.column(text_column).to_pylist()
             ]
-            t = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-            return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+            return pa.table(
+                {
+                    "doc_id": sub.column(id_column),
+                    "sh": pa.array(lists, pa.large_binary()),
+                }
+            )
 
-    return candidates.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    sh = _nonempty_blocks_ds(
+        ds.select_columns([id_column, text_column])
+        .map_batches(ShingleLists, batch_format="pyarrow", concurrency=2)
+        .materialize()
+    )
+    candidates = _nonempty_blocks_ds(candidates)
+    assert sh is not None and candidates is not None  # cand_parts was non-empty
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    sh_a = sh.map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_id"), "sh_a": b.column("sh")}),
+        batch_format="pyarrow",
+    )
+    sh_b = sh.map_batches(
+        lambda b: pa.table({"doc_b": b.column("doc_id"), "sh_b": b.column("sh")}),
+        batch_format="pyarrow",
+    )
+    # materialize + strip between the joins: a hash-join partition that
+    # received no rows finalizes to an empty-SCHEMA block, which the next
+    # join's aggregator rejects (the working set here is pairs + shingle
+    # payloads — O(candidates), never the corpus)
+    j1 = _nonempty_blocks_ds(
+        candidates.join(
+            sh_a, join_type="inner", num_partitions=num_partitions, on=("doc_a",)
+        ).materialize()
+    )
+    if j1 is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    joined = j1.join(sh_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        jac = [
+            _jaccard_sorted(
+                np.frombuffer(a, dtype=np.uint64), np.frombuffer(b, dtype=np.uint64)
+            )
+            for a, b in zip(
+                batch.column("sh_a").to_pylist(), batch.column("sh_b").to_pylist()
+            )
+        ]
+        t = pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def near_dup_clusters(ds, threshold: float = 0.5, **kwargs) -> pa.Table:

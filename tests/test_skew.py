@@ -66,3 +66,66 @@ def test_politeness_caps_hot_host(skew_env):
     for wave in {w for w, _, _ in o.admitted_order if w > 0}:
         per_host = Counter(u.split("/")[2] for w, _, u in o.admitted_order if w == wave)
         assert per_host.get("www.site0.example", 0) <= 5  # ceil(1000/200)
+
+
+# ---------------------------------------------------------------------------
+# degenerate LSH band buckets (round-3 scale hardening): thousands of
+# identical docs share EVERY band signature on a real web corpus — the
+# capped/chunked pairing must keep the pair budget O(k*max_bucket) while the
+# chain pairs keep the component connected end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_degenerate_bucket_pair_budget_and_connectivity(ray_session):
+    import ray
+
+    from spider_ray.ops.dedup import minhash_lsh_candidates, near_dup_clusters
+
+    n, cap = 1000, 32
+    rows = [{"doc_id": i, "text": "identical body for every doc"} for i in range(n)]
+    ds = ray.data.from_items(rows)
+    kwargs = dict(num_perm=16, n_bands=4, max_bucket=cap)
+
+    cands = minhash_lsh_candidates(ds, **kwargs)
+    n_pairs = cands.count()
+    # every band produces the SAME bucket of all n ids → after cross-band
+    # dedup the candidate set is exactly one chunked bucket's pairs:
+    # ceil(n/cap) chunks of C(cap,2) + (chunks-1) chain pairs
+    import math
+    chunks = math.ceil(n / cap)
+    sizes = [min(cap, n - i * cap) for i in range(chunks)]
+    expected = sum(s * (s - 1) // 2 for s in sizes) + (chunks - 1)
+    assert n_pairs == expected  # bounded: ~15k, not C(1000,2)=499,500
+
+    clusters = near_dup_clusters(
+        ray.data.from_items(rows), threshold=0.5, **kwargs
+    )
+    # chain pairs keep all identical docs in ONE cluster rooted at min id
+    assert clusters.num_rows == n
+    assert set(clusters.column("cluster_id").to_pylist()) == {0}
+
+
+def test_degenerate_bucket_matches_sequential_golden(ray_session):
+    """Engine pair set == sequential golden under the same chunk spec."""
+    import ray
+
+    from spider_ray.goldens import seq_minhash_pairs
+    from spider_ray.ops.dedup import minhash_dedup
+
+    n, cap = 300, 16
+    ids = list(range(n))
+    texts = ["shared degenerate text" for _ in ids]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in zip(ids, texts)])
+    got = (
+        minhash_dedup(ds, threshold=0.5, num_perm=16, n_bands=4, max_bucket=cap)
+        .to_pandas()[["doc_a", "doc_b"]]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        seq_minhash_pairs(ids, texts, threshold=0.5, num_perm=16, n_bands=4, max_bucket=cap)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
