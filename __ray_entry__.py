@@ -706,9 +706,9 @@ def q_top_k_similarity(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (exact, recall 1.0): blocked matmul
-    against the broadcast normalized matrix; SQL oracle is the full
-    self-join."""
+    """Embedding-cosine near-dup pairs (exact, recall 1.0): block-pair
+    task fan-out — one remote task per unordered block pair, no
+    whole-matrix broadcast; SQL oracle is the full self-join."""
     from spider_ray.ops.similarity import cosine_near_dup
 
     return cosine_near_dup(_emb(sf_dir), threshold=0.4)

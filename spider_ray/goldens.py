@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 20
+GOLDEN_VERSION = 21
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -603,8 +603,9 @@ def seq_lsh_ann(sf_dir: str, k: int = 10, n_planes: int = 8, seed: int = 7) -> p
 
 
 def seq_ivf_ann(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4) -> pa.Table:
-    """Independent IVF-ANN recompute: centroids = embeddings of n_cells
-    evenly-spaced sorted vec_ids (normalized), cell assignment =
+    """Independent IVF-ANN recompute: centroids = embeddings of the n_cells
+    vec_ids with the smallest Knuth hash ``(id·2654435761) mod 2³²`` (ties
+    by id; ascending-id centroid order), cell assignment =
     argmax(round(cos,9)) (first-max → lowest cell), queries = 5 lowest
     vec_ids probing their nprobe best cells, exact cosine top-k over the
     probed union with the (−round(sim,9), vec_id) tie-break."""
@@ -616,7 +617,8 @@ def seq_ivf_ann(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4) ->
         emb.column("embedding").combine_chunks().flatten(), dtype=np.float64
     ).reshape(emb.num_rows, -1)[order]
     n = len(vec_ids)
-    sel_rows = (np.arange(n_cells, dtype=np.int64) * n) // n_cells
+    h = (vec_ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    sel_rows = np.sort(np.lexsort((vec_ids, h))[: min(n_cells, n)])
     cents = mat[sel_rows]
     cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -625,8 +627,9 @@ def seq_ivf_ann(sf_dir: str, k: int = 10, n_cells: int = 16, nprobe: int = 4) ->
     qn = mn[qrows]
     qsims = np.round(qn @ cents.T, 9)
     probed: set[int] = set()
+    actual_cells = cents.shape[0]
     for qi in range(len(qrows)):
-        probed.update(np.lexsort((np.arange(n_cells), -qsims[qi]))[:nprobe].tolist())
+        probed.update(np.lexsort((np.arange(actual_cells), -qsims[qi]))[:nprobe].tolist())
     keep = np.isin(cells, sorted(probed))
     cand_ids, cn = vec_ids[keep], mn[keep]
     sims = cn @ qn.T

@@ -4,7 +4,10 @@
   matrix (``ray.put`` once, read per actor in ``__init__`` — never re-shipped
   per batch), partial top-k per batch folded on the driver;
 * LSH-bucketed variant (random hyperplane signs) as the scale path: candidate
-  buckets shuffle only (bucket, vec_id), full vectors stay in their blocks.
+  buckets shuffle only (bucket, vec_id), full vectors stay in their blocks;
+* near-dup pairs: exact via block-pair task fan-out (two bounded blocks per
+  task, no whole-matrix broadcast), approximate via multi-table LSH buckets
+  (``cosine_near_dup_bucketed`` — exact within bucket, sub-quadratic).
 """
 
 from __future__ import annotations
@@ -171,28 +174,60 @@ def lsh_top_k(
     return brute_force_top_k(pruned, queries, k, column, id_column)
 
 
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1 << 32)
+
+
 def ivf_cells(
     ds, n_cells: int = 16, column: str = "embedding", id_column: str = "vec_id"
 ):
     """Deterministic, training-free IVF coarse quantizer: the centroids are
-    the embeddings of ``n_cells`` evenly-spaced vec_ids (sorted order).  No
-    k-means — the spec must be bit-replicable by the sequential oracle, and
-    at IVF scale the bucketing structure (inverted lists + nprobe) matters
-    far more than centroid optimality.  Returns (centroid_ids, centroids
-    normalized)."""
-    import ray
+    the embeddings of the ``n_cells`` vec_ids with the SMALLEST Knuth
+    multiplicative hash ``(id · 2654435761) mod 2³²`` (ties by id) — a
+    deterministic uniform sample, bit-replicable by the sequential oracle.
+    No k-means: at IVF scale the bucketing structure (inverted lists +
+    nprobe) matters far more than centroid optimality.
 
-    id_parts = ray.get(ds.select_columns([id_column]).materialize().to_arrow_refs())
-    ids = np.sort(np.concatenate([np.asarray(t.column(id_column)) for t in id_parts]))
-    n = len(ids)
-    # fewer vectors than cells → evenly-spaced picks repeat; collapse them so
-    # callers see the ACTUAL centroid count (len of the returned arrays)
-    sel = np.unique(ids[(np.arange(n_cells, dtype=np.int64) * n) // n_cells])
+    Fully distributed selection: each block emits its own top-``n_cells``
+    partial (by hash), the driver folds ≤ n_cells × n_blocks candidate rows
+    — the full id vector NEVER reaches the driver (the round-2 version
+    sorted every id driver-side and materialized the dataset twice).
+    Returns (centroid_ids ascending, centroids normalized in that order)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_column))
+        h = (ids.astype(np.uint64) * _KNUTH) % _MOD32
+        sel = np.lexsort((ids, h))[: min(n_cells, len(ids))]
+        return pa.table(
+            {
+                id_column: pa.array(ids[sel], pa.int64()),
+                "h": pa.array(h[sel], pa.uint64()),
+            }
+        )
+
+    cand = pa.concat_tables(
+        b
+        for b in ds.select_columns([id_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    )
+    ids = np.asarray(cand.column(id_column))
+    h = np.asarray(cand.column("h"))
+    sel = np.sort(ids[np.lexsort((ids, h))[: min(n_cells, len(ids))]])
+
+    # fetch just the selected rows' embeddings (n_cells rows)
+    sel_arr = pa.array(sel, pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.is_in(batch.column(id_column), value_set=sel_arr))
+
     cent_tbl = pa.concat_tables(
-        [
-            t.filter(pa.compute.is_in(t.column(id_column), value_set=pa.array(sel)))
-            for t in ray.get(ds.select_columns([id_column, column]).materialize().to_arrow_refs())
-        ]
+        b
+        for b in ds.select_columns([id_column, column])
+        .map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
     )
     order = np.argsort(np.asarray(cent_tbl.column(id_column)))
     cents = _batch_matrix(cent_tbl, column)[order]
@@ -241,72 +276,171 @@ def ivf_top_k(
     return brute_force_top_k(pruned, queries, k, column, id_column)
 
 
-class NearDupScorer:
-    """Actor-pool stage for embedding-cosine near-dup: each batch scores
-    against the broadcast normalized matrix (``ray.put`` once, read per actor
-    in ``__init__``) and emits (vec_a < vec_b, cos_sim) pairs at or above the
-    threshold.  Each unordered pair is emitted exactly once (the a<b filter —
-    a row meets every other row once as "a" and once as a column)."""
-
-    def __init__(self, mat_ids_ref, threshold: float, column: str, id_column: str):
-        import ray
-
-        self.mat, self.ids = ray.get(mat_ids_ref)  # mat already normalized
-        self.threshold = threshold
-        self.column = column
-        self.id_column = id_column
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _batch_matrix(batch, self.column)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = np.round(m @ self.mat.T, 9)
-        bids = np.asarray(batch.column(self.id_column))
-        ii, jj = np.nonzero(sims >= self.threshold)
-        a, b = bids[ii], self.ids[jj]
-        keep = a < b
-        return pa.table(
-            {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-                "cos_sim": pa.array(sims[ii[keep], jj[keep]], pa.float64()),
-            }
-        )
-
-
 def cosine_near_dup(
     ds,
     threshold: float = 0.4,
     column: str = "embedding",
     id_column: str = "vec_id",
-    concurrency: int = 2,
+    concurrency: int = 2,  # kept for API compat; block-pair tasks self-schedule
+    target_block_rows: int = 65536,
+    max_parallel_pairs: int = 64,
 ):
     """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, cos_sim ≥ t).
 
-    Exact (recall 1.0): every batch multiplies against the broadcast
-    normalized matrix — O(n²) dot products as blocked matmuls.  The matrix
-    is assembled in a REMOTE task from the dataset's own block refs and
-    broadcast through the object store — it never lands on the driver.
-    Scale path: beyond ~10⁶ rows swap the broadcast side for block-pair
-    task fan-out, or pre-filter with :class:`HyperplaneLSH` buckets
-    (approximate — recall < 1)."""
+    Exact (recall 1.0) and DISTRIBUTED: the slim (id, embedding) dataset is
+    split into P bounded blocks and one remote task per unordered block
+    pair (i ≤ j) computes the thresholded cross-products as a blocked
+    matmul.  No whole-matrix broadcast and no driver materialization —
+    peak memory per task is two blocks, results stream back as block refs.
+    O(P²) tasks is inherent to EXACT all-pairs; ``max_parallel_pairs``
+    bounds in-flight tasks so the object store never holds every pair
+    task's inputs at once.  For the approximate sub-quadratic path use
+    :func:`cosine_near_dup_bucketed` (LSH buckets, exact within bucket)."""
     import ray
+    import ray.data as rd
 
     slim = ds.select_columns([id_column, column]).materialize()
-    part_refs = slim.to_arrow_refs()
+    n = slim.count()
+    n_blocks = max(1, -(-n // target_block_rows))
+    if n_blocks > 1:
+        slim = slim.repartition(n_blocks).materialize()
+    part_refs = [r for r in slim.to_arrow_refs() if ray.get(r).num_rows]
+    if not part_refs:
+        return rd.from_arrow(_EMPTY_PAIRS)
 
     @ray.remote
-    def _assemble(*tables):
-        tables = [t for t in tables if t.num_rows]
-        ids = np.concatenate([np.asarray(t.column(id_column)) for t in tables])
-        mat = np.vstack([_batch_matrix(t, column) for t in tables])
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return mat, ids
+    def _block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = np.asarray(ta.column(id_column))
+        ib = np.asarray(tb.column(id_column))
+        ma = _batch_matrix(ta, column)
+        ma = ma / np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
+        if same:
+            mb, sims = ma, np.round(ma @ ma.T, 9)
+        else:
+            mb = _batch_matrix(tb, column)
+            mb = mb / np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
+            sims = np.round(ma @ mb.T, 9)
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b = ia[ii], ib[jj]
+        if same:
+            keep = a < b
+            a, b, s = a[keep], b[keep], sims[ii[keep], jj[keep]]
+        else:  # disjoint blocks: normalize each unordered pair to (min, max)
+            s = sims[ii, jj]
+            lo = np.minimum(a, b)
+            b = np.maximum(a, b)
+            a = lo
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "cos_sim": pa.array(s, pa.float64()),
+            }
+        )
 
-    mat_ids_ref = _assemble.remote(*part_refs)
-    return slim.map_batches(
-        NearDupScorer,
-        fn_constructor_args=(mat_ids_ref, threshold, column, id_column),
+    pending, out_refs = [], []
+    for i in range(len(part_refs)):
+        for j in range(i, len(part_refs)):
+            if len(pending) >= max_parallel_pairs:
+                done, pending = ray.wait(pending, num_returns=1)
+                out_refs.extend(done)
+            pending.append(_block_pair.remote(part_refs[i], part_refs[j], i == j))
+    out_refs.extend(pending)
+    return rd.from_arrow_refs(out_refs)
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "vec_a": pa.array([], pa.int64()),
+        "vec_b": pa.array([], pa.int64()),
+        "cos_sim": pa.array([], pa.float64()),
+    }
+)
+
+
+def cosine_near_dup_bucketed(
+    ds,
+    threshold: float = 0.4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    n_tables: int = 8,
+    n_planes: int = 6,
+    seed: int = 7,
+):
+    """Approximate near-dup pairs, sub-quadratic: ``n_tables`` independent
+    hyperplane-LSH tables bucket every vector; candidate pairs are vectors
+    sharing a bucket in ANY table, scored EXACTLY inside their bucket group
+    (cosine, same rounding/threshold as :func:`cosine_near_dup`).  The
+    shuffle moves (table, bucket, vec_id, packed embedding); recall < 1 by
+    construction — misses only pairs above threshold that collide in no
+    table (probability shrinks geometrically with ``n_tables``).  The
+    100-TB default for thresholded near-dup; the block-pair exact path is
+    the recall-1.0 baseline it's tested against."""
+    dim = len(ds.take(1)[0][column])
+    tables = [
+        HyperplaneLSH(dim, n_planes, seed=seed + 101 * t, column=column, id_column=id_column)
+        for t in range(n_tables)
+    ]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, column)
+        ids = batch.column(id_column)
+        packed = pa.array([row.tobytes() for row in m], pa.large_binary())
+        parts = []
+        for t, lsh in enumerate(tables):
+            parts.append(
+                pa.table(
+                    {
+                        "lsh_table": pa.array(np.full(len(batch), t, np.int32)),
+                        "bucket": pa.array(lsh.bucket_of(m), pa.int64()),
+                        "vec_id": ids,
+                        "vec": packed,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    rows = ds.select_columns([id_column, column]).map_batches(
+        bucketize, batch_format="pyarrow"
+    )
+
+    def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl.column("vec_id"))
+        order = np.argsort(ids)
+        ids = ids[order]
+        uniq_mask = np.ones(len(ids), bool)
+        uniq_mask[1:] = ids[1:] != ids[:-1]
+        ids = ids[uniq_mask]
+        if len(ids) < 2:
+            return _EMPTY_PAIRS
+        vecs = [tbl.column("vec")[int(i)].as_py() for i in order[uniq_mask]]
+        m = np.vstack([np.frombuffer(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = np.round(m @ m.T, 9)
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids[ii] < ids[jj]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii[keep]], pa.int64()),
+                "vec_b": pa.array(ids[jj[keep]], pa.int64()),
+                "cos_sim": pa.array(sims[ii[keep], jj[keep]], pa.float64()),
+            }
+        )
+
+    pairs = rows.groupby(["lsh_table", "bucket"]).map_groups(
+        pairs_of_bucket, batch_format="pyarrow"
+    )
+    # a pair can collide in several tables — keep one row per pair
+    from ray.data.aggregate import Min
+
+    agg = pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cos_sim"))
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_a": b.column("vec_a"),
+                "vec_b": b.column("vec_b"),
+                "cos_sim": b.column("min(cos_sim)"),
+            }
+        ),
         batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency,
     )

@@ -413,3 +413,79 @@ def test_host_boilerplate_removal(ray_session, tmp_path):
         out.loc["http://a/p4", "clean_text"] != out.loc["http://a/p4", "clean_text"]
     )
     assert out.loc["http://b/p1", "clean_text"] == "nav\nsolo"
+
+
+def test_cosine_near_dup_block_pairs_exact(emb_ds, ray_session):
+    """Block-pair fan-out (forced multi-block) == single-block exact result."""
+    from spider_ray.ops.similarity import cosine_near_dup
+
+    one = (
+        cosine_near_dup(emb_ds, threshold=0.3)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    many = (
+        cosine_near_dup(emb_ds, threshold=0.3, target_block_rows=64)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(one) > 0
+    assert many.equals(one)
+    # numpy reference on a small slice: exactness, not just self-consistency
+    import numpy as np
+
+    rows = emb_ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = np.round(mn @ mn.T, 9)
+    ii, jj = np.nonzero(sims >= 0.3)
+    keep = ids[ii] < ids[jj]
+    expect = sorted(zip(ids[ii[keep]].tolist(), ids[jj[keep]].tolist()))
+    assert list(zip(one["vec_a"], one["vec_b"])) == expect
+
+
+def test_cosine_near_dup_bucketed_recall(emb_ds, ray_session):
+    """Multi-table LSH bucketed near-dup: subset of exact pairs, identical
+    sims on found pairs, high recall with enough tables."""
+    from spider_ray.ops.similarity import cosine_near_dup, cosine_near_dup_bucketed
+
+    exact = cosine_near_dup(emb_ds, threshold=0.3).to_pandas()
+    approx = cosine_near_dup_bucketed(
+        emb_ds, threshold=0.3, n_tables=24, n_planes=3
+    ).to_pandas()
+    e = {(a, b): s for a, b, s in zip(exact.vec_a, exact.vec_b, exact.cos_sim)}
+    a = {(x, y): s for x, y, s in zip(approx.vec_a, approx.vec_b, approx.cos_sim)}
+    assert set(a) <= set(e)  # no false positives (exact scoring in-bucket)
+    for k, s in a.items():
+        assert s == e[k]
+    recall = len(a) / max(1, len(e))
+    assert recall >= 0.9, recall
+
+
+def test_ivf_cells_distributed_selection(ray_session):
+    """Centroid ids = n_cells smallest Knuth-hash ids, folded from per-block
+    partials — verified against the direct sequential computation on a
+    deliberately multi-block dataset."""
+    import ray
+
+    from spider_ray.ops.similarity import ivf_cells
+
+    rng = np.random.default_rng(3)
+    n, dim = 5000, 8
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in rng.normal(size=(n, dim))]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    ids, cents = ivf_cells(ds, n_cells=32)
+    h = (np.arange(n).astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    expect = np.sort(np.lexsort((np.arange(n), h))[:32])
+    assert np.array_equal(np.asarray(ids), expect)
+    assert cents.shape == (32, dim)
+    # normalized, ascending-id order
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
