@@ -61,31 +61,64 @@ def doc_frequencies(docs, text_col: str = "text"):
     )
 
 
-def _top_terms_for(text: str, df: dict[str, int], n_docs: int, k: int):
+def _top_terms_for(text: str, df: dict[str, int], n_docs: int, k: int,
+                   fallback_df: int = 1):
+    """``fallback_df`` is the df assumed for terms absent from the (pruned)
+    map — 1 under the exact hapax-elision scheme."""
     tf = Counter(TOKEN_RE.findall((text or "").lower()))
     scored = [
-        (t, c * (math.log((1 + n_docs) / (1 + df.get(t, 0))) + 1.0))
+        (t, c * (math.log((1 + n_docs) / (1 + df.get(t, fallback_df))) + 1.0))
         for t, c in tf.items()
     ]
     scored.sort(key=lambda x: (-x[1], x[0]))
     return scored[:k]
 
 
-def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
-                    id_col: str = "doc_id", concurrency: int = 4):
-    """``(doc_id, term, rank, score)`` — top-``k`` tf·idf terms per doc;
-    ``rank`` is 1-based, ``score`` rounded to 9 decimals."""
+def repeated_term_df_map(docs, text_col: str = "text") -> dict[str, int]:
+    """Broadcastable DF map holding ONLY terms with ``df >= 2``.
+
+    Exact-by-elision: every term in a document has df >= 1 by definition,
+    so a term absent from this map has df == 1 exactly — the scorer
+    substitutes 1 and the tf·idf value is unchanged.  On web corpora
+    hapax legomena are the bulk of the vocabulary (Heaps'-law tail), so
+    this cuts the broadcast from O(vocab) to O(repeated vocab) with zero
+    approximation.  (For a truly bounded broadcast at extreme vocabularies,
+    raise ``min_df`` in :func:`tfidf_top_terms` — approximate above the
+    elision threshold, documented there.)"""
     import ray
 
     df_tbl = doc_frequencies(docs, text_col).materialize()
-    n_docs = docs.count()
     df_map: dict[str, int] = {}
     for part in ray.get(df_tbl.to_arrow_refs()):
         # high-parallelism groupby emits empty partitions with an EMPTY
         # schema — skip them before touching columns
         if part.num_rows == 0 or "term" not in part.column_names:
             continue
-        df_map.update(zip(part.column("term").to_pylist(), part.column("df").to_pylist()))
+        terms = part.column("term").to_pylist()
+        dfs = part.column("df").to_pylist()
+        df_map.update((t, c) for t, c in zip(terms, dfs) if c >= 2)
+    return df_map
+
+
+def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id", concurrency: int = 4,
+                    min_df: int = 2):
+    """``(doc_id, term, rank, score)`` — top-``k`` tf·idf terms per doc;
+    ``rank`` is 1-based, ``score`` rounded to 9 decimals.
+
+    The broadcast DF table is pruned to terms with ``df >= min_df``; a
+    missing term scores with ``df = min_df - 1``.  At the default
+    ``min_df=2`` this is EXACT (a term absent from the map has df exactly
+    1 — see :func:`repeated_term_df_map`); ``min_df > 2`` additionally
+    bounds the broadcast at extreme vocabularies but over-weights terms
+    with ``1 < df < min_df`` (approximate, caller's trade)."""
+    import ray
+
+    n_docs = docs.count()
+    df_map = repeated_term_df_map(docs, text_col)
+    if min_df > 2:
+        df_map = {t: c for t, c in df_map.items() if c >= min_df}
+    fallback_df = min_df - 1
     df_ref = ray.put(df_map)
 
     class _Score:
@@ -98,7 +131,7 @@ def tfidf_top_terms(docs, k: int = 5, text_col: str = "text",
                 batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
             ):
                 for r, (term, score) in enumerate(
-                    _top_terms_for(t, self.df, n_docs, k), start=1
+                    _top_terms_for(t, self.df, n_docs, k, fallback_df), start=1
                 ):
                     ids_out.append(i)
                     terms_out.append(term)

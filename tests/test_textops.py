@@ -180,3 +180,34 @@ def test_shard_shuffle_deterministic(ray_session):
     # identical on re-run (no RNG state)
     out2 = shard_shuffle(_ds(t), n_shards=4).to_pandas().sort_values("pos")
     assert out2["doc_id"].tolist() == expect
+
+
+def test_tfidf_hapax_elision_bounded_broadcast(ray_session):
+    """The broadcast DF map holds only repeated terms (df>=2) — hapax terms
+    are elided with zero score change (exactness vs the sequential spec)."""
+    import ray
+
+    from spider_ray.goldens import seq_tfidf
+    from spider_ray.ops.tfidf import repeated_term_df_map, tfidf_top_terms
+
+    ids = list(range(40))
+    # each doc: 1 shared term + 5 unique hapax terms → vocab is ~86% hapax
+    texts = [f"shared uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e" for i in ids]
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                       "text": texts}))
+    df_map = repeated_term_df_map(ds)
+    assert df_map == {"shared": 40}  # 200 hapax terms elided from broadcast
+
+    got = (
+        tfidf_top_terms(ds, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        seq_tfidf(ids, texts, k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
