@@ -281,6 +281,22 @@ def q_extract_text_parity(sf_dir: str):
     )
 
 
+def q_scrape_markdown(sf_dir: str):
+    """Scrape content transform, markdown return-format (the reference CLI's
+    scrape default, spider_cli args.rs:123-125): distributed pruned read +
+    actor-pool converter; golden = sequential page-loop recompute."""
+    from spider_ray.markdown import transform_corpus
+
+    return transform_corpus(_corpus_for(sf_dir), "markdown")
+
+
+def q_scrape_commonmark(sf_dir: str):
+    """Commonmark return-format (spec-escaped markdown variant)."""
+    from spider_ray.markdown import transform_corpus
+
+    return transform_corpus(_corpus_for(sf_dir), "commonmark")
+
+
 def q_host_page_counts(sf_dir: str):
     import ray.data
 
@@ -943,6 +959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_queue": q_crawl_queue,
         "recrawl_diff": q_recrawl_diff,
         "extract_text_parity": q_extract_text_parity,
+        "scrape_markdown": q_scrape_markdown,
+        "scrape_commonmark": q_scrape_commonmark,
         "host_page_counts": q_host_page_counts,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,

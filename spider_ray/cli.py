@@ -147,6 +147,14 @@ def main(argv=None) -> int:
         p.add_argument("--jsonl")
         p.add_argument("--target-dir", default="./_temp_spider_downloads/",
                        help="download destination (spider_cli DOWNLOAD default)")
+        p.add_argument("--return-format",
+                       choices=("markdown", "commonmark", "raw", "text", "xml"),
+                       default="markdown",
+                       help="scrape content transform (spider_cli args.rs:123-125; "
+                            "markdown is the reference default)")
+        p.add_argument("--output-html", action="store_true",
+                       help="scrape: emit raw HTML content (reference --output-html "
+                            "overrides --return-format)")
         p.add_argument("--num-cpus", type=int)
     # ops: run any driver-contract pipeline over an sf-shaped table dir
     p = sub.add_parser("ops", help="list / run the training-data operators")
@@ -222,15 +230,32 @@ def main(argv=None) -> int:
     if args.command == "scrape" or args.jsonl:
         out = open(args.jsonl, "w") if args.jsonl else sys.stdout
         tbl = result.pages_table()
+        fmt = "raw" if args.output_html else args.return_format
+        content_by_url: dict[str, str] = {}
+        if tbl is not None and fmt != "text":
+            # distributed transform over the visited pages (pruned corpus
+            # read + actor-pool converter); "text" reuses the crawl's own
+            # extracted column
+            from .markdown import transform_corpus
+
+            ct = transform_corpus(args.corpus, fmt, urls=set(result.visited))
+            for batch in ct.iter_batches(batch_format="pyarrow"):
+                content_by_url.update(
+                    zip(batch.column("url").to_pylist(),
+                        batch.column("content").to_pylist())
+                )
         if tbl is not None:
             for i in range(tbl.num_rows):
+                url = tbl.column("url")[i].as_py()
+                text = tbl.column("text")[i].as_py()
                 out.write(
                     json.dumps(
                         {
-                            "url": tbl.column("url")[i].as_py(),
+                            "url": url,
                             "title": tbl.column("title")[i].as_py(),
                             "description": tbl.column("description")[i].as_py(),
-                            "text": tbl.column("text")[i].as_py(),
+                            "text": text,
+                            "content": text if fmt == "text" else content_by_url.get(url),
                             "status": tbl.column("status_code")[i].as_py(),
                         }
                     )

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 21
+GOLDEN_VERSION = 22
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -751,6 +751,41 @@ def seq_needs_js(sf_name: str) -> pa.Table:
     )
 
 
+def seq_scrape_transform(sf_name: str, return_format: str) -> pa.Table:
+    """Sequential recompute of the scrape content transform over the fixture
+    corpus: plain page-by-page loop (no Ray) applying the pinned converter
+    spec (``markdown.transform_html``) to every 200-status html page —
+    verifies the distributed transform plumbing (pruned read, visited
+    filter, actor-pool stage, batching/encoding); the converter itself is
+    pinned by its own 1:1 unit tables (tests/test_markdown.py)."""
+    from .fixtures import ensure_scale
+    from .markdown import transform_html
+
+    corpus_dir = ensure_scale(sf_name)
+    urls, contents = [], []
+    for path in sorted(
+        glob.glob(os.path.join(corpus_dir, "*", "*.parquet"))
+        or glob.glob(os.path.join(corpus_dir, "*.parquet"))
+    ):
+        t = pq.read_table(path, columns=["url", "html", "status"])
+        for u, h, s in zip(
+            t.column("url").to_pylist(),
+            t.column("html").to_pylist(),
+            t.column("status").to_pylist(),
+        ):
+            if s != 200 or u.endswith("robots.txt") or u.endswith("sitemap.xml"):
+                continue
+            urls.append(u)
+            contents.append(transform_html(h or b"", return_format))
+    order = sorted(range(len(urls)), key=lambda i: urls[i])
+    return pa.table(
+        {
+            "url": pa.array([urls[i] for i in order], pa.string()),
+            "content": pa.array([contents[i] for i in order], pa.string()),
+        }
+    )
+
+
 def seq_multimodal_audio(n_items: int = 48) -> pa.Table:
     """Expected audio metadata straight from the fake-codec payload SPEC
     (``FAKEAUD:{sr}:{n}:`` + int16 PCM from RandomState(id ^ 0xA0D10))."""
@@ -1047,6 +1082,8 @@ GOLDEN_QUERIES = (
     "host_degrees",
     "host_pagerank",
     "host_components",
+    "scrape_markdown",
+    "scrape_commonmark",
 )
 
 
@@ -1076,6 +1113,8 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     lg = seq_link_graph(sf_name)
     tables["link_graph"] = lg
     tables["needs_js"] = seq_needs_js(sf_name)
+    tables["scrape_markdown"] = seq_scrape_transform(sf_name, "markdown")
+    tables["scrape_commonmark"] = seq_scrape_transform(sf_name, "commonmark")
     tables["host_degrees"] = seq_host_degrees(lg)
     tables["host_pagerank"] = seq_host_pagerank(lg)
     tables["host_components"] = seq_host_components(lg)
