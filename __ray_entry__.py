@@ -228,6 +228,13 @@ def q_crawl_sitemap(sf_dir: str):
     return _visited_table(_crawl(sf_dir, "crawl_sitemap", keep_pages=False))
 
 
+def q_crawl_sitemap_auto(sf_dir: str):
+    """Sitemap autodiscovery (website.rs:12510-12546): conventional
+    /sitemap.xml 404s, so the homepage's <link rel=sitemap> path is used;
+    its orphan must be crawled."""
+    return _visited_table(_crawl(sf_dir, "crawl_sitemap_auto", keep_pages=False))
+
+
 def q_crawl_regex_filters(sf_dir: str):
     """Regex blacklist mode (RegexSet.is_match semantics): /sec1/, /sec2/
     and /dup/ URLs blocked at admission."""
@@ -955,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_subdomains": q_crawl_subdomains,
         "crawl_extra_links": q_crawl_extra_links,
         "crawl_sitemap": q_crawl_sitemap,
+        "crawl_sitemap_auto": q_crawl_sitemap_auto,
         "crawl_retry": q_crawl_retry,
         "crawl_queue": q_crawl_queue,
         "recrawl_diff": q_recrawl_diff,

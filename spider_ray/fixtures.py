@@ -260,6 +260,7 @@ def _build_host_rows(
             _add_seed_redirect_hosts(add)
             _add_nonhtml_pages(add, root)
             _add_flaky_pages(add, root)
+            _add_autosm_host(add)
 
     return rows, statuses
 
@@ -495,6 +496,40 @@ def corpus_as_dict(rows: list[dict]) -> dict[str, tuple]:
     }
 
 
+def _add_autosm_host(add):
+    """Sitemap-autodiscovery host (``website.rs:12510-12546``): there is NO
+    conventional ``/sitemap.xml`` row (404), but the homepage ``<head>``
+    carries ``<link rel="sitemap" href="/maps/custom-sitemap.xml">`` whose
+    urlset lists the linked section page plus an orphan reachable only via
+    that non-conventional sitemap path."""
+    root = "https://www.autosm.example/"
+    p = _PageBuilder(root, "autosm home")
+    p.head_extra.append('<link rel="sitemap" href="/maps/custom-sitemap.xml">')
+    p.heading("Autodiscovery host")
+    p.para("The sitemap lives at a non-conventional path.")
+    p.nav([("/s0", "Section zero")])
+    html, text = p.render()
+    add(root, html, text)
+    h, t = _mini_page(root + "s0", "autosm s0", ["Linked section page."])
+    add(root + "s0", h, t)
+    h, t = _mini_page(
+        root + "orphan/auto", "autosm orphan", ["Only the custom sitemap links here."]
+    )
+    add(root + "orphan/auto", h, t)
+    sm = (
+        '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+        f"<url><loc>{root}s0</loc></url>"
+        f"<url><loc>{root}orphan/auto</loc></url></urlset>"
+    )
+    # path ends with sitemap.xml so machine-page suffix filters apply
+    add(root + "maps/custom-sitemap.xml", sm, "")
+
+
+def autosm_seed() -> str:
+    """Seed of the sitemap-autodiscovery host."""
+    return "https://www.autosm.example/"
+
+
 def redirseed_seed() -> str:
     """Seed whose root 301s cross-host (the modify_selectors scenario)."""
     return "https://www.redirseed.example/"
@@ -605,7 +640,7 @@ SCALE_PARAMS = {
 }
 
 # bump when generator output changes so cached corpora auto-invalidate
-GENERATOR_VERSION = 5
+GENERATOR_VERSION = 6
 
 FIXTURE_BASE = "/tmp/spider_ray_fixtures"
 

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 22
+GOLDEN_VERSION = 23
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -123,6 +123,14 @@ def crawl_specs() -> dict[str, tuple]:
         # admitted through the normal chain, links NOT expanded — includes
         # the orphan page reachable only via the sitemap
         "crawl_sitemap": (CrawlConfig(ignore_sitemap=False), (0,), "visited"),
+        # sitemap AUTODISCOVERY (website.rs:12510-12546): the autosm host has
+        # no /sitemap.xml; its homepage <link rel="sitemap"> points at the
+        # non-conventional path whose urlset carries the orphan
+        "crawl_sitemap_auto": (
+            CrawlConfig(ignore_sitemap=False),
+            (_autosm_seed(),),
+            "visited",
+        ),
         # regex filter mode (lib.rs:431-439 RegexSet): blacklist patterns
         # matched unanchored against the full URL
         "crawl_regex_filters": (
@@ -157,6 +165,12 @@ def _hooks():
     from .functions import hooks
 
     return hooks
+
+
+def _autosm_seed() -> str:
+    from .fixtures import autosm_seed
+
+    return autosm_seed()
 
 
 def visited_table(admitted_order: list[tuple[int, int, str]]) -> pa.Table:
@@ -1060,6 +1074,7 @@ GOLDEN_QUERIES = (
     "crawl_subdomains",
     "crawl_extra_links",
     "crawl_sitemap",
+    "crawl_sitemap_auto",
     "crawl_retry",
     "crawl_queue",
     "recrawl_diff",

@@ -37,15 +37,56 @@ def parse_sitemap(xml: str | bytes) -> tuple[list[str], list[str]]:
     return urls, child_sitemaps
 
 
+def discover_sitemap_href(html: str | bytes) -> str | None:
+    """FIRST ``<link rel="sitemap" href>`` of the homepage — the reference
+    streams the root document through an lol_html handler on
+    ``link[rel="sitemap"]`` and stops at the first match
+    (``website.rs:12510-12546``)."""
+    from ..htmlparse import START, parse_attrs, tokenize
+
+    if isinstance(html, bytes):
+        from ..encoding import decode_html
+
+        html = decode_html(html)
+    for kind, tag, attrs_str, _raw in tokenize(html):
+        if kind == START and tag == "link":
+            rel = href = None
+            for k, v in parse_attrs(attrs_str or ""):
+                if k == "rel":
+                    rel = v
+                elif k == "href":
+                    href = v
+            if rel is not None and rel.lower() == "sitemap" and href:
+                return href
+    return None
+
+
 def collect_sitemap_urls(
     corpus_get, root: str, max_depth: int = 4, sitemap_path: str | None = None
 ) -> list[str]:
     """Fetch ``{root}{sitemap_path or 'sitemap.xml'}`` and recurse into child
     sitemaps, returning location URLs in document order (dedup, first-seen).
     ``sitemap_path`` mirrors ``Configuration.sitemap_url``
-    (configuration.rs:389-394)."""
+    (configuration.rs:389-394).
+
+    Autodiscovery fallback (``website.rs:11753-11830`` retry loop +
+    ``sitemap_parse`` at ``:12481-12560``): when the conventional/configured
+    sitemap URL is missing, the homepage is fetched once and the first
+    ``<link rel="sitemap" href>`` (resolved against the root) replaces the
+    sitemap URL — one correction attempt, like the reference's
+    ``attempted_correct`` flag."""
+    from urllib.parse import urljoin
+
     seen: dict[str, None] = {}
-    queue = [root + (sitemap_path or "sitemap.xml").lstrip("/")]
+    first = root + (sitemap_path or "sitemap.xml").lstrip("/")
+    status, body = corpus_get(first)[:2]
+    if body is None or status != 200:
+        rstatus, rbody = corpus_get(root)[:2]
+        if rstatus == 200 and rbody:
+            href = discover_sitemap_href(rbody)
+            if href:
+                first = urljoin(root, href)
+    queue = [first]
     visited_maps: set[str] = set()
     depth = 0
     while queue and depth < max_depth:
