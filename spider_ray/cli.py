@@ -147,6 +147,14 @@ def main(argv=None) -> int:
         p.add_argument("--jsonl")
         p.add_argument("--target-dir", default="./_temp_spider_downloads/",
                        help="download destination (spider_cli DOWNLOAD default)")
+        p.add_argument("--cron",
+                       help="6-field cron (sec min hour dom mon dow, e.g. '0/30 * "
+                            "* * * *'): re-run the crawl on schedule, diffing "
+                            "each cycle (website.rs with_cron/run_cron)")
+        p.add_argument("--cron-cycles", type=int, default=2,
+                       help="number of scheduled firings before exiting")
+        p.add_argument("--cron-state", default="./_spider_cron_state",
+                       help="signature-checkpoint dir for cycle diffs")
         p.add_argument("--return-format",
                        choices=("markdown", "commonmark", "raw", "text", "xml"),
                        default="markdown",
@@ -189,6 +197,24 @@ def main(argv=None) -> int:
 
     seeds = tuple(u for s in args.seeds for u in glob_expand_url(s))
     job = CrawlJob(seeds, build_config(args))
+
+    if args.command == "crawl" and args.cron:
+        from dataclasses import replace as _replace
+
+        from .pipelines.cron import CronRecrawler
+
+        if not job.config.normalize:  # cycle diffs need content signatures
+            job = CrawlJob(seeds, _replace(job.config, normalize=True))
+        runner = CronRecrawler(job, args.corpus, args.cron, args.cron_state)
+        for cyc in runner.run(max_cycles=args.cron_cycles):
+            print(json.dumps({
+                "cycle": cyc.cycle, "fired_at": cyc.fired_at,
+                "visited": cyc.visited, "changed": cyc.changed,
+                "unchanged": cyc.unchanged, "new": cyc.new, "gone": cyc.gone,
+            }), file=sys.stderr)
+        if started_ray:
+            ray.shutdown()
+        return 0
 
     # graceful stop: first SIGINT/SIGTERM requests a wave-barrier shutdown
     # (checkpoint stays resumable with --resume); a second signal kills hard
