@@ -94,6 +94,13 @@ def run_bench() -> dict:
     n_parsed = parsed.count()
     queries["parse_corpus"] = round(time.perf_counter() - t0, 3)
 
+    # --- scrape markdown transform over the entire corpus ------------------
+    from spider_ray.markdown import transform_corpus
+
+    t0 = time.perf_counter()
+    transform_corpus(corpus, "markdown", concurrency=(2, num_cpus)).count()
+    queries["scrape_markdown"] = round(time.perf_counter() - t0, 3)
+
     # --- host link-graph + PageRank over the entire corpus -----------------
     from spider_ray.ops.linkgraph import host_pagerank
 
