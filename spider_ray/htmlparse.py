@@ -43,6 +43,10 @@ _ATTR_RE = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s/>]*))?"
 )
 
+# Fast path for the dominant attribute shape: exactly one double-quoted
+# attribute (e.g. an anchor's ` href="..."`).
+_SINGLE_ATTR_RE = re.compile(r"\s*([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*\"([^\"]*)\"\s*")
+
 # Elements whose content is raw text per the HTML5 tokenizer.
 _RAW_TEXT = {"script", "style", "textarea", "title", "xmp"}
 
@@ -92,6 +96,12 @@ def tokenize(html: str):
 
 def parse_attrs(attrs_str: str) -> list[tuple[str, str | None]]:
     """Parse a tag's attribute string → ordered (name, decoded value) pairs."""
+    m = _SINGLE_ATTR_RE.fullmatch(attrs_str)
+    if m is not None:
+        val = m.group(2)
+        if "&" in val:
+            val = _htmllib.unescape(val)
+        return [(m.group(1).lower(), val)]
     out = []
     for m in _ATTR_RE.finditer(attrs_str):
         name = m.group(1)

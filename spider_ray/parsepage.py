@@ -17,6 +17,8 @@ from __future__ import annotations
 import html as _htmllib
 from dataclasses import dataclass
 
+import re
+
 from .hashing import stable_hash_u64
 from .htmlparse import (
     COMMENT,
@@ -25,7 +27,9 @@ from .htmlparse import (
     START,
     TEXT,
     _NORMALIZE_DELETE,
+    _RAW_CLOSE_RE,
     _RAW_TEXT,
+    _TOKEN_RE,
     _attr,
     parse_attrs,
     tokenize,
@@ -33,6 +37,20 @@ from .htmlparse import (
 from .scope import Selectors, choose_join_base, parent_host_match, push_link
 from .textextract import _SKIP_SUBTREE, _WS_RE, BLOCK_TAGS
 from .urlnorm import anchor_href_filtered, normalize_url, url_host_port
+
+# Tags whose START handling reads the self-closing flag (union of the three
+# consumers' tag sets) — everything else skips the rstrip/endswith check.
+_NEEDS_SC = frozenset(_RAW_TEXT | _NORMALIZE_DELETE | _SKIP_SUBTREE)
+
+# Tags the link/metadata pass reacts to (the chain at the top of the START
+# handler); all other tags skip straight to normalize/text handling.
+_LINKMETA_TAGS = frozenset({"head", "base", "meta", "title", "a", "script", "link"})
+
+# Normalized-output tag-string memos ("<p>" / "</p>"); capped so adversarial
+# html with unbounded distinct tag names can't grow them without limit.
+_OPEN_TAG_CACHE: dict[str, str] = {}
+_CLOSE_TAG_CACHE: dict[str, str] = {}
+_TAG_CACHE_MAX = 2048
 
 
 @dataclass
@@ -85,11 +103,73 @@ def parse_page(
             if joined:
                 blocks.append(joined)
 
-    for kind, tag, attrs_str, raw in tokenize(html):
-        if kind == START:
-            attrs = None
-            self_closing = (attrs_str or "").rstrip().endswith("/")
-            # ---- links + metadata ----
+    # ---- inlined tokenizer (htmlparse.tokenize merged into the handlers) ----
+    # Byte-identical to `for kind, ... in tokenize(html)` feeding the three
+    # handler groups (pinned by tests/test_parsepage.py's cross-check against
+    # the single-purpose functions); inlining removes the ~165 generator
+    # yields + tuple unpacks per page in the crawl's hottest loop
+    # (BASELINE.md phase profile: 89% of crawl wall is this stage).
+    want_sig = norm_out is not None
+    search = _TOKEN_RE.search
+    buf_append = buf.append
+    norm_append = norm_out.append if want_sig else None
+    open_cache = _OPEN_TAG_CACHE
+    close_cache = _CLOSE_TAG_CACHE
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            text = html[pos:]
+            if want_sig and not norm_skip:
+                norm_append(text)
+            if want_text and not text_skip:
+                buf_append(text)
+            break
+        start, end = m.span()
+        if start > pos:
+            text = html[pos:start]
+            if want_sig and not norm_skip:
+                norm_append(text)
+            if want_text and not text_skip:
+                buf_append(text)
+        pos = end
+        closing, tag, attrs_str = m.group(1, 2, 3)
+        if tag is None:  # comment / doctype / CDATA / processing instruction
+            if want_sig and not norm_skip:
+                norm_append(m.group(0))
+            continue
+        tag = tag.lower()
+        if closing:
+            # ---- END handlers ----
+            if tag == "head" and in_head:
+                in_head -= 1
+            if want_sig:
+                if tag in _NORMALIZE_DELETE:
+                    if norm_skip and tag not in _RAW_TEXT:
+                        norm_skip -= 1
+                elif not norm_skip:
+                    cached = close_cache.get(tag)
+                    if cached is None:
+                        cached = "</" + tag + ">"
+                        if len(close_cache) < _TAG_CACHE_MAX:
+                            close_cache[tag] = cached
+                    norm_append(cached)
+            if want_text:
+                if tag in _SKIP_SUBTREE:
+                    if text_skip and tag not in ("script", "style"):
+                        text_skip -= 1
+                    flush()
+                elif not text_skip and tag in BLOCK_TAGS:
+                    flush()
+            continue
+        attrs_str = attrs_str or ""
+        # self-closing flag is only read for tags in _NEEDS_SC — skip the
+        # rstrip/endswith allocation for everything else
+        self_closing = tag in _NEEDS_SC and attrs_str.rstrip().endswith("/")
+        attrs = None
+        # ---- START: links + metadata ----
+        if tag in _LINKMETA_TAGS:
             if tag == "head":
                 in_head += 1
             elif tag == "base" and base_element is None:
@@ -132,67 +212,77 @@ def parse_page(
                             key = abs_url.lower()
                             if key not in links:
                                 links[key] = abs_url
-            # ---- normalize ----
-            if norm_out is not None:
-                if tag in _NORMALIZE_DELETE:
-                    if tag not in _RAW_TEXT and not self_closing and tag != "base":
-                        norm_skip += 1
-                elif not norm_skip:
-                    if not attrs_str or attrs_str.isspace():
-                        norm_out.append(f"<{tag}>")
-                    else:
-                        if attrs is None:
-                            attrs = parse_attrs(attrs_str)
-                        kept = [
-                            (n, v)
-                            for n, v in attrs
-                            if not (tag == "a" and n == "href")
-                            and (n.startswith("data-") or n in ("id", "class"))
-                        ]
-                        attrs_out = "".join(
-                            f' {n}="{_htmllib.escape(v, quote=True)}"' if v is not None else f" {n}"
-                            for n, v in kept
-                        )
-                        norm_out.append(f"<{tag}{attrs_out}>")
-            # ---- text ----
-            if want_text:
-                if tag in _SKIP_SUBTREE:
-                    flush()
-                    if tag not in ("script", "style") and not self_closing:
-                        text_skip += 1
-                elif not text_skip and tag in BLOCK_TAGS:
-                    flush()
-        elif kind == END:
-            if tag == "head" and in_head:
-                in_head -= 1
-            if norm_out is not None:
-                if tag in _NORMALIZE_DELETE:
-                    if norm_skip and tag not in _RAW_TEXT:
-                        norm_skip -= 1
-                elif not norm_skip:
-                    norm_out.append(f"</{tag}>")
-            if want_text:
-                if tag in _SKIP_SUBTREE:
-                    if text_skip and tag not in ("script", "style"):
-                        text_skip -= 1
-                    flush()
-                elif not text_skip and tag in BLOCK_TAGS:
-                    flush()
-        elif kind == TEXT:
-            if norm_out is not None and not norm_skip:
-                norm_out.append(tag)
-            if want_text and not text_skip:
-                buf.append(tag)
-        elif kind == COMMENT:
-            if norm_out is not None and not norm_skip:
-                norm_out.append(tag)
-        elif kind == RAWTEXT:
-            if tag == "title" and title_in_head and raw:
-                title = raw
-            if norm_out is not None and tag not in _NORMALIZE_DELETE and not norm_skip:
-                norm_out.append(raw or "")
-            if want_text and not text_skip and tag == "textarea" and raw:
-                buf.append(raw)
+        # ---- START: normalize ----
+        if want_sig:
+            if tag in _NORMALIZE_DELETE:
+                if tag not in _RAW_TEXT and not self_closing and tag != "base":
+                    norm_skip += 1
+            elif not norm_skip:
+                if not attrs_str or attrs_str.isspace():
+                    cached = open_cache.get(tag)
+                    if cached is None:
+                        cached = "<" + tag + ">"
+                        if len(open_cache) < _TAG_CACHE_MAX:
+                            open_cache[tag] = cached
+                    norm_append(cached)
+                else:
+                    if attrs is None:
+                        attrs = parse_attrs(attrs_str)
+                    kept = [
+                        (nm, v)
+                        for nm, v in attrs
+                        if not (tag == "a" and nm == "href")
+                        and (nm.startswith("data-") or nm in ("id", "class"))
+                    ]
+                    attrs_out = "".join(
+                        f' {nm}="{_htmllib.escape(v, quote=True)}"' if v is not None else f" {nm}"
+                        for nm, v in kept
+                    )
+                    norm_append(f"<{tag}{attrs_out}>")
+        # ---- START: text ----
+        if want_text:
+            if tag in _SKIP_SUBTREE:
+                flush()
+                if tag not in ("script", "style") and not self_closing:
+                    text_skip += 1
+            elif not text_skip and tag in BLOCK_TAGS:
+                flush()
+        # ---- raw-text elements (script/style/textarea/title/xmp) ----
+        if self_closing or tag not in _RAW_TEXT:
+            continue
+        close = _RAW_CLOSE_RE.get(tag)
+        if close is None:
+            close = _RAW_CLOSE_RE[tag] = re.compile(rf"</{tag}\s*>", re.I)
+        cm = close.search(html, pos)
+        raw = html[pos:] if cm is None else html[pos : cm.start()]
+        if tag == "title" and title_in_head and raw:
+            title = raw
+        if want_sig and tag not in _NORMALIZE_DELETE and not norm_skip:
+            norm_append(raw or "")
+        if want_text and not text_skip and tag == "textarea" and raw:
+            buf_append(raw)
+        if cm is None:
+            break  # unterminated raw text: tokenize ends without an END token
+        pos = cm.end()
+        # implicit END of the raw-text element (tokenize yields END here)
+        if want_sig:
+            if tag in _NORMALIZE_DELETE:
+                if norm_skip and tag not in _RAW_TEXT:
+                    norm_skip -= 1
+            elif not norm_skip:
+                cached = close_cache.get(tag)
+                if cached is None:
+                    cached = "</" + tag + ">"
+                    if len(close_cache) < _TAG_CACHE_MAX:
+                        close_cache[tag] = cached
+                norm_append(cached)
+        if want_text:
+            if tag in _SKIP_SUBTREE:
+                if text_skip and tag not in ("script", "style"):
+                    text_skip -= 1
+                flush()
+            elif not text_skip and tag in BLOCK_TAGS:
+                flush()
     if want_text:
         flush()
 
