@@ -751,6 +751,17 @@ def q_near_dup_clusters(sf_dir: str):
     return near_dup_clusters(_docs(sf_dir), threshold=0.5)
 
 
+def q_near_dup_clusters_lp(sf_dir: str):
+    """Distributed twin of ``near_dup_clusters``: hash-to-min label
+    propagation over the verified pair graph (labels ⋈ pairs join +
+    groupby-min per round, zero driver-side graph state) — the scale path
+    for pair lists that outgrow one process.  Oracle = the same sequential
+    union-find golden (identical output by construction)."""
+    from spider_ray.ops.dedup import near_dup_clusters_labelprop
+
+    return near_dup_clusters_labelprop(_docs(sf_dir), threshold=0.5)
+
+
 def q_quality_scores(sf_dir: str):
     from spider_ray.ops.textstats import QualityScorer
 
@@ -1007,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_lp": q_near_dup_clusters_lp,
         "quality_scores": q_quality_scores,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -1029,8 +1041,15 @@ def oracle_sql() -> dict[str, str]:
 
     ensure_goldens("sf0.01")
     corpus_glob = f"{SF001_CORPUS}/*/*.parquet"
+    from spider_ray.goldens import golden_path
+
     return {
         **golden_sql("sf0.01"),
+        # the labelprop twin converges to the identical (doc_id, cluster_id)
+        # table as the union-find, so it shares the golden
+        "near_dup_clusters_lp": (
+            f"SELECT * FROM read_parquet('{golden_path('sf0.01', 'near_dup_clusters')}')"
+        ),
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"

@@ -428,6 +428,137 @@ def near_dup_clusters(ds, threshold: float = 0.5, **kwargs) -> pa.Table:
     )
 
 
+def near_dup_clusters_labelprop(
+    ds, threshold: float = 0.5, max_iters: int = 50, **kwargs
+):
+    """Distributed twin of :func:`near_dup_clusters`: connected components
+    over the verified MinHash pair graph via hash-to-min label propagation,
+    with NO driver-side graph state — for pair lists that outgrow one
+    process (a near-dup-heavy web corpus can emit pairs at a large fraction
+    of corpus size).
+
+    Every doc starts labeled with its own id; each round every doc pushes
+    its current MIN label to its pair-neighbors and keeps the min of what
+    it holds and what it receives.  The round is expressed JOIN-FREE as
+    two ``groupby(doc)`` shuffles over a tagged union (label rows +
+    edge rows co-grouped by doc → message rows → min-fold per doc), which
+    sidesteps the hash-join operator's empty-partition fragility and keeps
+    both exchanges on the SAME key.  Convergence is a distributed scalar:
+    labels are int64 doc ids that only ever decrease, so the global label
+    sum strictly decreases until fixpoint — no per-row old-vs-new compare
+    needed.  Near-dup components are shallow (dup clusters, not chains),
+    so rounds ≈ a small constant.  Output ``(doc_id, cluster_id)``,
+    cluster_id = min doc_id in the component — identical to the driver
+    union-find (parity-tested).
+    """
+    import ray.data as rd
+
+    pairs = minhash_dedup(ds, threshold=threshold, **kwargs).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+    def undirect(b: pa.Table) -> pa.Table:
+        # edge rows, tagged is_label=0: val = a neighbor of doc
+        return pa.table(
+            {
+                "doc": pa.chunked_array(
+                    list(b.column("doc_a").chunks) + list(b.column("doc_b").chunks)
+                ),
+                "val": pa.chunked_array(
+                    list(b.column("doc_b").chunks) + list(b.column("doc_a").chunks)
+                ),
+                "is_label": pa.nulls(2 * b.num_rows, pa.int8()).fill_null(0),
+            }
+        )
+
+    empty_out = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+    )
+
+    und = pairs.map_batches(undirect, batch_format="pyarrow").materialize()
+    if und.count() == 0:
+        return rd.from_arrow(empty_out)
+
+    # initial labels: every doc appearing in a pair, labeled with itself
+    labels = (
+        und.map_batches(
+            lambda b: pa.table({"doc": b.column("doc")}), batch_format="pyarrow"
+        )
+        .groupby("doc")
+        .map_groups(
+            lambda t: pa.table(
+                {
+                    "doc": t.column("doc")[:1],
+                    "val": t.column("doc")[:1],
+                    "is_label": pa.array([1], pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def emit_messages(group: pa.Table) -> pa.Table:
+        # one doc's label row + its edge rows: push the label to every
+        # neighbor, and to the doc itself (so an un-bettered label survives)
+        is_lab = group.column("is_label")
+        lab = pc.min(group.filter(pc.equal(is_lab, 1)).column("val")).as_py()
+        nbrs = group.filter(pc.equal(is_lab, 0)).column("val")
+        targets = pa.chunked_array(
+            list(nbrs.chunks) + [pa.array([group.column("doc")[0].as_py()], pa.int64())]
+        )
+        n = len(targets)
+        return pa.table(
+            {
+                "doc": targets,
+                "val": pa.nulls(n, pa.int64()).fill_null(lab),
+                "is_label": pa.nulls(n, pa.int8()).fill_null(1),
+            }
+        )
+
+    def _min_fold(b: pa.Table) -> pa.Table:
+        # per-batch combiner AND per-group finalizer: min val per doc
+        return (
+            b.select(["doc", "val"])
+            .group_by(["doc"])
+            .aggregate([("val", "min")])
+            .rename_columns(["doc", "val"])
+        )
+
+    def _relabel(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc": b.column("doc"),
+                "val": b.column("val"),
+                "is_label": pa.nulls(b.num_rows, pa.int8()).fill_null(1),
+            }
+        )
+
+    prev_sum: int | None = None
+    for _ in range(max_iters):
+        labels = (
+            labels.union(und)
+            .groupby("doc")
+            .map_groups(emit_messages, batch_format="pyarrow")
+            .map_batches(_min_fold, batch_format="pyarrow")
+            .groupby("doc")
+            .map_groups(_min_fold, batch_format="pyarrow")
+            .map_batches(_relabel, batch_format="pyarrow")
+            .materialize()
+        )
+        label_sum = labels.sum("val")
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc"), "cluster_id": b.column("val")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -55,6 +55,19 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 10
 
 
+def _join_partitions() -> int:
+    """Shuffle-join partition count sized to the cluster, not a constant:
+    one partition per CPU (min 8) keeps every core busy during the
+    labels ⋈ edges exchanges; a fixed small count would serialize a big
+    cluster's joins through a handful of reduce tasks."""
+    try:
+        import ray
+
+        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
 def _page_root(url: str) -> str | None:
     """scheme://authority/ of a page URL (crawl_root for link resolution)."""
     i = url.find("://")
@@ -342,7 +355,7 @@ def host_components_labelprop(corpus_dir: str, max_iters: int = 50):
     for _ in range(max_iters):
         # neighbor messages: nbr receives src's current label
         msgs = und.join(
-            labels, join_type="inner", num_partitions=8, on=("host",)
+            labels, join_type="inner", num_partitions=_join_partitions(), on=("host",)
         ).map_batches(
             lambda b: pa.table({"host": b.column("nbr"), "label": b.column("label")}),
             batch_format="pyarrow",
@@ -364,7 +377,7 @@ def host_components_labelprop(corpus_dir: str, max_iters: int = 50):
                     batch_format="pyarrow",
                 ),
                 join_type="inner",
-                num_partitions=8,
+                num_partitions=_join_partitions(),
                 on=("host",),
             )
             .map_batches(

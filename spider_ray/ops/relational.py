@@ -62,7 +62,7 @@ def _cents(col) -> pa.Array:
     return to_cents(col)
 
 
-def order_priority_revenue(lineitem, orders, num_partitions: int = 16):
+def order_priority_revenue(lineitem, orders, num_partitions: int | None = None):
     """Big×big hash-shuffle join demo: lineitem ⋈ orders on orderkey via
     Ray Data's native ``Dataset.join`` (both sides hash-partitioned on the
     key — the strategy for two streaming fact tables, vs ``broadcast_join``
@@ -84,6 +84,13 @@ def order_priority_revenue(lineitem, orders, num_partitions: int = 16):
                 ),
             }
         )
+
+    if num_partitions is None:
+        import ray
+
+        # one join partition per CPU (min 16) — a fixed small count would
+        # funnel a big cluster's shuffle through a handful of reduce tasks
+        num_partitions = max(16, int(ray.cluster_resources().get("CPU", 16)))
 
     slim = lineitem.map_batches(li_slim, batch_format="pyarrow")
     joined = slim.join(

@@ -91,6 +91,50 @@ def test_near_dup_clusters(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_near_dup_clusters_labelprop_parity(ray_session):
+    """The distributed label-propagation twin must produce the identical
+    (doc_id, cluster_id) table as the driver union-find, including the
+    empty-pair-list case."""
+    import ray.data
+
+    from spider_ray.ops.dedup import near_dup_clusters, near_dup_clusters_labelprop
+
+    base = "the quick brown fox jumps over the lazy dog and runs through the green forest all day"
+    other = "a totally separate passage about ships sailing across the wide open ocean under clear skies"
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 99],
+                "text": [
+                    base,
+                    base.replace("green", "dark"),
+                    base.replace("lazy", "sleepy"),
+                    other,
+                    other.replace("clear", "cloudy"),
+                    "completely different content about databases and query engines",
+                ],
+            }
+        )
+    )
+    kw = dict(threshold=0.5, num_perm=64, n_bands=16, shingle_size=3)
+    want = near_dup_clusters(ds, **kw)
+    got = (
+        near_dup_clusters_labelprop(ds, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want.column("doc_id").to_pylist()
+    assert got["cluster_id"].tolist() == want.column("cluster_id").to_pylist()
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["alpha beta gamma", "delta epsilon zeta"]})
+    )
+    out = near_dup_clusters_labelprop(empty, **kw)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "cluster_id"]
+
+
 def test_simhash(ray_session):
     import ray.data
 
