@@ -300,106 +300,124 @@ def host_components_labelprop(corpus_dir: str, max_iters: int = 50):
     each round, every host takes the MIN label (lexicographic) among itself
     and its neighbors; converged when no label changes.  Rounds needed =
     graph diameter (label-propagation min variant), each round = one
-    hash-shuffle join (labels ⋈ edges) + one ``groupby(host).min`` — no
-    driver-side graph state, labels live as a one-row-per-host Dataset
-    (hosts ≪ pages at any corpus scale).  The distributed twin of the
-    union-find golden (``goldens.seq_host_components``); output
-    ``(host, component)`` where component = min host string in the
-    component.
+    tagged-union ``groupby(host)`` co-group (label row + edge rows → label
+    messages) + one ``groupby(host)`` min-fold — no joins (the hash-join
+    operator chokes on empty partitions when partition count exceeds
+    distinct keys) and no driver-side graph state; labels live as a
+    one-row-per-host Dataset (hosts ≪ pages at any corpus scale).  The
+    distributed twin of the union-find golden
+    (``goldens.seq_host_components``); output ``(host, component)`` where
+    component = min host string in the component.
 
     At web scale the min-string label converges slowly on long chains
     (diameter rounds); ``max_iters`` bounds the work, and the convergence
-    check is a distributed count of changed labels, never a driver fold.
+    check rides the min-fold itself: each host's old label travels tagged
+    through the fold, so "any label changed this round" is a ``sum`` over
+    a changed flag computed in-group — never a driver fold, zero extra
+    shuffles.
     """
-    import ray.data as rd
-
     edges = host_link_edges(corpus_dir)
 
     def undirect(b: pa.Table) -> pa.Table:
+        # edge rows, own=0: val = a neighbor of host
         return pa.table(
             {
                 "host": pa.chunked_array(
                     list(b.column("src_host").chunks) + list(b.column("dst_host").chunks)
                 ),
-                "nbr": pa.chunked_array(
+                "val": pa.chunked_array(
                     list(b.column("dst_host").chunks) + list(b.column("src_host").chunks)
                 ),
+                "own": pa.nulls(2 * b.num_rows, pa.int8()).fill_null(0),
             }
         )
 
     und = edges.map_batches(undirect, batch_format="pyarrow").materialize()
 
-    def init_labels(b: pa.Table) -> pa.Table:
-        return pa.table({"host": b.column("host"), "label": b.column("host")})
-
+    # initial labels: every host appearing in an edge, labeled with itself
     labels = (
         und.map_batches(
             lambda b: pa.table({"host": b.column("host")}), batch_format="pyarrow"
         )
         .groupby("host")
         .map_groups(
-            lambda t: pa.table({"host": t.column("host")[:1]}), batch_format="pyarrow"
+            lambda t: pa.table(
+                {
+                    "host": t.column("host")[:1],
+                    "val": t.column("host")[:1],
+                    "own": pa.array([1], pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
         )
-        .map_batches(init_labels, batch_format="pyarrow")
         .materialize()
     )
 
-    def _min_label(b: pa.Table) -> pa.Table:
+    def emit_messages(group: pa.Table) -> pa.Table:
+        # one host's label row (own=1) + its edge rows (own=0): push the
+        # label to every neighbor as a candidate (own=0), and keep the
+        # host's own labeled row (own=1) so the fold can detect change
+        own_col = group.column("own")
+        lab = pc.min(group.filter(pc.equal(own_col, 1)).column("val")).as_py()
+        nbrs = group.filter(pc.equal(own_col, 0)).column("val")
+        host = group.column("host")[0].as_py()
+        targets = pa.chunked_array(
+            list(nbrs.chunks) + [pa.array([host], pa.string())]
+        )
+        n = len(targets)
+        return pa.table(
+            {
+                "host": targets,
+                "val": pa.nulls(n, pa.string()).fill_null(lab),
+                "own": pa.chunked_array(
+                    [pa.nulls(n - 1, pa.int8()).fill_null(0), pa.array([1], pa.int8())]
+                ),
+            }
+        )
+
+    def _min_fold_partial(b: pa.Table) -> pa.Table:
+        # per-batch combiner: min candidate per (host, own) — keeps the
+        # own-labeled row distinct so the finalizer can compare old vs new
         return (
-            b.select(["host", "label"])
-            .group_by(["host"])
-            .aggregate([("label", "min")])
-            .rename_columns(["host", "label"])
+            b.select(["host", "val", "own"])
+            .group_by(["host", "own"])
+            .aggregate([("val", "min")])
+            .rename_columns(["host", "own", "val"])
+        )
+
+    def _min_fold_final(group: pa.Table) -> pa.Table:
+        # one host's candidate rows: new label = min over all; changed if
+        # it beats the host's own previous label
+        new_lab = pc.min(group.column("val")).as_py()
+        own_col = group.column("own")
+        old_lab = pc.min(group.filter(pc.equal(own_col, 1)).column("val")).as_py()
+        return pa.table(
+            {
+                "host": group.column("host")[:1],
+                "val": pa.array([new_lab], pa.string()),
+                "own": pa.array([1], pa.int8()),
+                "changed": pa.array([int(new_lab != old_lab)], pa.int64()),
+            }
         )
 
     for _ in range(max_iters):
-        # neighbor messages: nbr receives src's current label
-        msgs = und.join(
-            labels, join_type="inner", num_partitions=_join_partitions(), on=("host",)
-        ).map_batches(
-            lambda b: pa.table({"host": b.column("nbr"), "label": b.column("label")}),
-            batch_format="pyarrow",
-        )
-        new_labels = (
-            labels.union(msgs)
-            .map_batches(_min_label, batch_format="pyarrow")
+        labels = (
+            labels.union(und)
             .groupby("host")
-            .map_groups(_min_label, batch_format="pyarrow")
+            .map_groups(emit_messages, batch_format="pyarrow")
+            .map_batches(_min_fold_partial, batch_format="pyarrow")
+            .groupby("host")
+            .map_groups(_min_fold_final, batch_format="pyarrow")
             .materialize()
         )
-        # distributed convergence check: any host whose label shrank?
-        changed = (
-            new_labels.join(
-                labels.map_batches(
-                    lambda b: pa.table(
-                        {"host": b.column("host"), "old_label": b.column("label")}
-                    ),
-                    batch_format="pyarrow",
-                ),
-                join_type="inner",
-                num_partitions=_join_partitions(),
-                on=("host",),
-            )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "n": pc.cast(
-                            pc.not_equal(b.column("label"), b.column("old_label")),
-                            pa.int64(),
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .sum("n")
-        )
-        labels = new_labels
+        changed = labels.sum("changed")
+        labels = labels.drop_columns(["changed"])
         if not changed:
             break
 
     return labels.map_batches(
         lambda b: pa.table(
-            {"host": b.column("host"), "component": b.column("label")}
+            {"host": b.column("host"), "component": b.column("val")}
         ),
         batch_format="pyarrow",
     )

@@ -3,6 +3,8 @@ plus kernel-level invariants."""
 
 from __future__ import annotations
 
+import datetime
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -96,6 +98,42 @@ def test_host_components_matches_union_find_sf0001():
     got = host_components(corpus).to_pandas().sort_values("host").reset_index(drop=True)
     want = seq_host_components(seq_link_graph("sf0.001")).to_pandas()
     assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_labelprop_tiny_graph(tmp_path):
+    """A 2-host graph: distinct-key count far below the shuffle partition
+    count (the empty-partition regime that breaks hash joins) must still
+    converge to one component."""
+    from spider_ray.fixtures import write_corpus_parquet
+    from spider_ray.ops.linkgraph import host_components_labelprop
+
+    rows = [
+        {
+            "url": "https://www.site0.example/",
+            "warc_ts": datetime.datetime(2026, 1, 1),
+            "html": b'<html><body><a href="https://www.site1.example/">x</a></body></html>',
+            "text": "x",
+            "lang": "en",
+            "status": 200,
+        },
+        {
+            "url": "https://www.site1.example/",
+            "warc_ts": datetime.datetime(2026, 1, 1),
+            "html": b'<html><body><a href="https://www.site0.example/">y</a></body></html>',
+            "text": "y",
+            "lang": "en",
+            "status": 200,
+        },
+    ]
+    corpus = str(tmp_path / "corpus")
+    write_corpus_parquet(rows, corpus, n_buckets=2)
+    out = (
+        host_components_labelprop(corpus)
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    )
+    assert out["host"].tolist() == ["www.site0.example", "www.site1.example"]
+    assert out["component"].tolist() == ["www.site0.example", "www.site0.example"]
 
 
 @pytest.mark.usefixtures("ray_session")
