@@ -133,13 +133,16 @@ class GopherQuality:
 #           -> (host, line, n_pages=1) partials -> ONE groupby(host, line)
 #           shuffle of partials.  A line is boilerplate when it appears on
 #           >= min_pages pages AND >= pct% of the host's pages.
-#   pass 2  map_batches actor pool: the boilerplate set (small by
-#           construction: O(hosts x template-lines), NOT O(corpus)) is
-#           ray.put ONCE and looked up per line; pages rebuild with order
-#           preserved.
+#   pass 2  strip: broadcast (boiler set ray.put once, actor-pool lookup)
+#           while the set is small, or a single shuffle-by-host cogroup of
+#           pages + boiler lines when it isn't — auto-selected by a
+#           distributed count (see host_boilerplate_removal docstring).
 #
-# Driver-side materialization is limited to the per-host page counts
-# (O(hosts)) and the filtered boilerplate set — never page text.
+# The boiler set itself is derived with zero driver-side dicts: host page
+# totals and per-(host,line) counts are co-grouped by host via a tagged
+# union + groupby(host).  The driver only ever folds the final filtered
+# boiler lines, and only on the broadcast path — never page text, never
+# per-host totals.
 # ---------------------------------------------------------------------------
 
 
@@ -236,10 +239,29 @@ def host_boilerplate_removal(
     min_pages: int = 2,
     pct: int = 10,
     concurrency: int | None = None,
+    strip_mode: str = "auto",
+    broadcast_max_lines: int = 2_000_000,
 ):
     """Remove per-host boilerplate lines from a web corpus (see module
     comment).  A line is boilerplate on host H iff it occurs on
-    ``>= min_pages`` of H's pages and on ``>= pct%`` of them."""
+    ``>= min_pages`` of H's pages and on ``>= pct%`` of them.
+
+    Scale design: the boilerplate set is computed FULLY DISTRIBUTED — host
+    page totals and per-(host,line) page counts are co-grouped by host via
+    a tagged union + ``groupby(host)`` (no hash join, no driver-side host
+    or vocabulary dict).  The strip pass then picks one of two shapes:
+
+    * ``broadcast`` (default while the boiler set is small): the filtered
+      boiler lines are ``ray.put`` once and every strip actor reads the
+      shared copy — zero extra shuffle of page text.
+    * ``cogroup`` (the 10⁸-host path): pages and boiler lines shuffle ONCE
+      by host and each host's pages are stripped in-group — driver never
+      holds a line.  Assumes one host's pages fit one task (salt hot hosts
+      upstream if not).
+
+    ``strip_mode="auto"`` counts the boiler-line Dataset (a distributed
+    scalar) and switches at ``broadcast_max_lines``.
+    """
     import ray
     import ray.data
     import pyarrow.compute as pc
@@ -247,7 +269,7 @@ def host_boilerplate_removal(
     cols = ["url", "text"]
     pages = ray.data.read_parquet(corpus_dir, columns=cols)
 
-    # host page totals: tiny (O(hosts)) aggregate, materialized on driver
+    # per-host page totals: distributed groupby, tagged is_total=1
     def host_partials(batch: pa.Table) -> pa.Table:
         batch = _corpus_page_filter(batch)
         hosts = (
@@ -262,45 +284,131 @@ def host_boilerplate_removal(
             .rename_columns(["host", "n"])
         )
 
-    tot_rows = (
+    totals_tagged = (
         pages.map_batches(host_partials, batch_format="pyarrow")
         .groupby("host")
         .sum("n")
-        .take_all()
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("host"),
+                    "line": pa.nulls(b.num_rows, pa.string()),
+                    "n": pc.cast(b.column("sum(n)"), pa.int64()),
+                    "is_total": pa.nulls(b.num_rows, pa.int8()).fill_null(1),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
-    host_tot = {r["host"]: int(r["sum(n)"]) for r in tot_rows}
 
-    line_counts = (
+    counts_tagged = (
         pages.map_batches(_line_partials, batch_format="pyarrow")
         .groupby(["host", "line"])
         .sum("n_pages")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("host"),
+                    "line": b.column("line"),
+                    "n": pc.cast(b.column("sum(n_pages)"), pa.int64()),
+                    "is_total": pa.nulls(b.num_rows, pa.int8()).fill_null(0),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
-    def boiler_only(batch: pa.Table) -> pa.Table:
-        n = pc.cast(batch.column("sum(n_pages)"), pa.int64())
-        tot = pa.array(
-            [host_tot.get(h, 0) for h in batch.column("host").to_pylist()],
-            pa.int64(),
-        )
+    def boiler_of_host(group: pa.Table) -> pa.Table:
+        # one host's total row + its (line, n_pages) candidates
+        is_tot = group.column("is_total")
+        tot = pc.max(group.filter(pc.equal(is_tot, 1)).column("n")).as_py() or 0
+        cand = group.filter(pc.equal(is_tot, 0))
+        n = cand.column("n")
         keep = pc.and_(
             pc.greater_equal(n, min_pages),
-            pc.greater_equal(pc.multiply(n, 100), pc.multiply(tot, pct)),
+            pc.greater_equal(pc.multiply(n, 100), pa.scalar(tot * pct, pa.int64())),
         )
-        return batch.filter(keep).select(["host", "line"])
+        return cand.filter(keep).select(["host", "line"])
 
-    boiler_rows = line_counts.map_batches(
-        boiler_only, batch_format="pyarrow"
-    ).take_all()
-    boiler: dict[str, set[str]] = {}
-    for r in boiler_rows:
-        boiler.setdefault(r["host"], set()).add(r["line"])
-    boiler_ref = ray.put({h: frozenset(s) for h, s in boiler.items()})
+    boiler_ds = (
+        totals_tagged.union(counts_tagged)
+        .groupby("host")
+        .map_groups(boiler_of_host, batch_format="pyarrow")
+        .materialize()
+    )
 
-    # autoscaling pool with min=1: a fixed-size pool equal to the CPU count
-    # would starve the upstream read tasks on a small cluster (deadlock)
-    return pages.map_batches(
-        _BoilerplateStrip,
-        fn_constructor_args=(boiler_ref,),
+    if strip_mode == "broadcast" or (
+        strip_mode == "auto" and boiler_ds.count() <= broadcast_max_lines
+    ):
+        boiler: dict[str, set[str]] = {}
+        for batch in boiler_ds.iter_batches(batch_format="pyarrow"):
+            for h, ln in zip(
+                batch.column("host").to_pylist(), batch.column("line").to_pylist()
+            ):
+                boiler.setdefault(h, set()).add(ln)
+        boiler_ref = ray.put({h: frozenset(s) for h, s in boiler.items()})
+
+        # autoscaling pool with min=1: a fixed-size pool equal to the CPU
+        # count would starve the upstream read tasks on a small cluster
+        return pages.map_batches(
+            _BoilerplateStrip,
+            fn_constructor_args=(boiler_ref,),
+            batch_format="pyarrow",
+            concurrency=concurrency or (1, 8),
+        )
+
+    # cogroup strip: pages + boiler lines shuffle once by host
+    def page_tagged(batch: pa.Table) -> pa.Table:
+        batch = _corpus_page_filter(batch)
+        hosts = (
+            _hosts_of(batch.column("url"))
+            if len(batch)
+            else pa.array([], pa.string())
+        )
+        return pa.table(
+            {
+                "host": hosts,
+                "url": batch.column("url"),
+                "payload": batch.column("text"),
+                "is_page": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
+            }
+        )
+
+    lines_tagged = boiler_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "host": b.column("host"),
+                "url": pa.nulls(b.num_rows, pa.string()),
+                "payload": b.column("line"),
+                "is_page": pa.nulls(b.num_rows, pa.int8()).fill_null(0),
+            }
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+    )
+
+    def strip_group(group: pa.Table) -> pa.Table:
+        is_pg = group.column("is_page")
+        bset = set(group.filter(pc.equal(is_pg, 0)).column("payload").to_pylist())
+        pg = group.filter(pc.equal(is_pg, 1))
+        out_n, out_rm, out_txt = [], [], []
+        for text in pg.column("payload").to_pylist():
+            lines = text.split("\n")
+            kept = [ln for ln in lines if ln not in bset]
+            out_n.append(len(lines))
+            out_rm.append(len(lines) - len(kept))
+            out_txt.append("\n".join(kept) if kept else None)
+        return pa.table(
+            {
+                "url": pg.column("url"),
+                "n_lines": pa.array(out_n, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return (
+        pages.map_batches(page_tagged, batch_format="pyarrow")
+        .union(lines_tagged)
+        .groupby("host")
+        .map_groups(strip_group, batch_format="pyarrow")
     )

@@ -459,6 +459,40 @@ def test_host_boilerplate_removal(ray_session, tmp_path):
     assert out.loc["http://b/p1", "clean_text"] == "nav\nsolo"
 
 
+def test_host_boilerplate_removal_cogroup_parity(ray_session, tmp_path):
+    """The shuffle-by-host cogroup strip (the 10⁸-host path) must produce
+    the identical table as the broadcast strip."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.ops.textclean import host_boilerplate_removal
+
+    rows = {
+        "url": [
+            "http://a/p1", "http://a/p2", "http://a/p3", "http://a/p4",
+            "http://b/p1", "http://a/robots.txt",
+        ],
+        "text": [
+            "nav\nbody one\nnav",
+            "nav\nonce",
+            "body three",
+            "nav",
+            "nav\nsolo",
+            "ignored",
+        ],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "part-0.parquet")
+    kw = dict(min_pages=2, pct=10)
+    want = (
+        host_boilerplate_removal(str(tmp_path), strip_mode="broadcast", **kw)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    got = (
+        host_boilerplate_removal(str(tmp_path), strip_mode="cogroup", **kw)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
 def test_cosine_near_dup_block_pairs_exact(emb_ds, ray_session):
     """Block-pair fan-out (forced multi-block) == single-block exact result."""
     from spider_ray.ops.similarity import cosine_near_dup
