@@ -17,8 +17,11 @@ the individual operators in this package:
 Stage order matters and is part of the spec: quality first (cheapest,
 biggest cut), exact dedup before near-dup (shrinks the pair-generation
 input), sampling last (rates apply to the deduped population).  Every
-stage is a Dataset transform; the only driver-side state is the near-dup
-drop set (O(cluster members), not O(corpus)) broadcast via ``ray.put``.
+stage is a Dataset transform; survivor/drop filtering goes through
+``ops/joins.semi_join_ids`` (broadcast frozenset while the id side is
+small, shuffle-by-id cogroup when it is a corpus-scale fraction), so the
+only driver-side state is the near-dup cluster membership
+(O(cluster members), not O(corpus)).
 """
 
 from __future__ import annotations
@@ -35,10 +38,11 @@ TOKEN_RE = re.compile(r"\S+")
 
 def curate_corpus(docs, rates: dict[str, float], near_dup_threshold: float = 0.5):
     """``(doc_id, lang, n_tokens)`` for the curated survivor set."""
-    import ray
+    import pyarrow.compute as pc
 
     from ..hashing import stable_hash_str
     from .dedup import near_dup_clusters
+    from .joins import semi_join_ids
     from .sampling import stratified_sample
 
     gq = GopherQuality()
@@ -65,44 +69,30 @@ def curate_corpus(docs, rates: dict[str, float], near_dup_threshold: float = 0.5
         kept.map_batches(hashed, batch_format="pyarrow")
         .groupby("text_hash")
         .min("doc_id")
+        .map_batches(
+            lambda b: pa.table({"doc_id": b.column("min(doc_id)")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    winner_ids: set[int] = set()
-    for part in ray.get(winners_ds.materialize().to_arrow_refs()):
-        if part.num_rows == 0 or "min(doc_id)" not in part.column_names:
-            continue
-        winner_ids.update(part.column("min(doc_id)").to_pylist())
-
-    class _IdFilter:
-        def __init__(self, ref):
-            self.keep = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pylist()
-            return batch.filter(pa.array([i in self.keep for i in ids]))
-
-    winners_ref = ray.put(frozenset(winner_ids))
-    # modest fractional-CPU pools: two of these run in one pipeline and must
-    # not starve upstream tasks on small sessions
-    exact_survivors = kept.map_batches(
-        _IdFilter, fn_constructor_args=(winners_ref,),
-        batch_format="pyarrow", concurrency=2, num_cpus=0.25,
+    # survivor filter via the semi-join primitive: broadcast frozenset
+    # while the winner set is small, one shuffle-by-id cogroup when it is
+    # a corpus-scale fraction — the driver never folds O(corpus) ids
+    exact_survivors = semi_join_ids(
+        kept, winners_ds, id_column="doc_id", concurrency=2
     )
 
     # near-dup clusters over the exact-dedup survivors: only each cluster's
-    # representative (min doc_id) survives
+    # representative (min doc_id) survives.  The driver union-find is exact
+    # and O(cluster members); swap in near_dup_clusters_labelprop for a
+    # pair list that outgrows one process.
     clusters = near_dup_clusters(exact_survivors, threshold=near_dup_threshold)
-    drop = {
-        d
-        for d, c in zip(
-            clusters.column("doc_id").to_pylist(),
-            clusters.column("cluster_id").to_pylist(),
-        )
-        if d != c
-    }
-    keep_ref = ray.put(frozenset(winner_ids - drop))
-    survivors = kept.map_batches(
-        _IdFilter, fn_constructor_args=(keep_ref,),
-        batch_format="pyarrow", concurrency=2, num_cpus=0.25,
+    mask = pc.invert(
+        pc.equal(clusters.column("doc_id"), clusters.column("cluster_id"))
+    )
+    drop_tbl = clusters.filter(mask).select(["doc_id"])
+    survivors = semi_join_ids(
+        exact_survivors, drop_tbl, id_column="doc_id", anti=True, concurrency=2
     )
     sampled = stratified_sample(survivors, rates)
 

@@ -935,8 +935,20 @@ class RayCrawler:
             )
             task = _fetch_parse_task_remote()
             # concurrency_limit = worker-permit cap (configuration.rs:478):
-            # submit in a sliding window of that many in-flight tasks
-            window = self.config.concurrency_limit or len(descriptors)
+            # submit in a sliding window of that many in-flight tasks.
+            # SPIDER_RAY_PARSE_INFLIGHT caps the window when no semantic
+            # limit is set: the fused decompress+parse task is memory-
+            # bandwidth-heavy, and past the node's bandwidth saturation
+            # point extra readers slow each other down (measured on the
+            # bench box: 16 in-flight beats 32 by ~25%).  Per-NODE knob —
+            # on a multi-node cluster each node schedules its own tasks,
+            # so the right value tracks node memory channels, not cluster
+            # CPU count.
+            window = (
+                self.config.concurrency_limit
+                or int(os.environ.get("SPIDER_RAY_PARSE_INFLIGHT", "0"))
+                or len(descriptors)
+            )
             queue = list(descriptors)
             pending = [
                 task.remote(queue.pop(), parser_ref)

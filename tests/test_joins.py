@@ -1,0 +1,61 @@
+"""semi_join_ids: broadcast vs cogroup parity, semi vs anti, table id side."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from spider_ray.ops.joins import semi_join_ids
+
+
+@pytest.fixture()
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": ["a", "b", "c", "d", "e"],
+                "lang": ["en", "en", "fr", "fr", "de"],
+            }
+        )
+    )
+
+
+IDS = pa.table({"doc_id": pa.array([2, 4, 4, 9], pa.int64())})  # dup + miss
+
+
+def _sorted(ds):
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_semi_broadcast_vs_cogroup(docs):
+    want = _sorted(semi_join_ids(docs, IDS, mode="broadcast"))
+    got = _sorted(semi_join_ids(docs, IDS, mode="cogroup"))
+    assert want["doc_id"].tolist() == [2, 4]
+    assert got.equals(want)
+    assert list(got.columns) == ["doc_id", "text", "lang"]
+
+
+def test_anti_broadcast_vs_cogroup(docs):
+    want = _sorted(semi_join_ids(docs, IDS, anti=True, mode="broadcast"))
+    got = _sorted(semi_join_ids(docs, IDS, anti=True, mode="cogroup"))
+    assert want["doc_id"].tolist() == [1, 3, 5]
+    assert got.equals(want)
+
+
+def test_empty_id_side(docs):
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    assert semi_join_ids(docs, empty, mode="broadcast").count() == 0
+    assert semi_join_ids(docs, empty, anti=True, mode="broadcast").count() == 5
+    assert semi_join_ids(docs, empty, mode="cogroup").count() == 0
+    assert semi_join_ids(docs, empty, anti=True, mode="cogroup").count() == 5
+
+
+def test_dataset_id_side(docs, ray_session):
+    import ray.data
+
+    ids_ds = ray.data.from_arrow(IDS)
+    got = _sorted(semi_join_ids(docs, ids_ds, mode="auto"))
+    assert got["doc_id"].tolist() == [2, 4]
