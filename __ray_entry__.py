@@ -743,6 +743,19 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup(_docs(sf_dir), threshold=0.5).select_columns(["doc_a", "doc_b"])
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """n-gram (character-shingle) Jaccard near-dup pairs WITH the exact
+    similarity score: LSH blocking + distributed shingle-join verify
+    (``ops/dedup.minhash_dedup``), exposing the verified ``jaccard`` value
+    per pair.  Oracle = sequential recompute golden (same blocking spec,
+    identical integer-ratio float64)."""
+    from spider_ray.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir), threshold=0.5).select_columns(
+        ["doc_a", "doc_b", "jaccard"]
+    )
+
+
 def q_near_dup_clusters(sf_dir: str):
     """Connected components over the verified MinHash near-dup pair graph
     (cluster_id = min doc_id of the component)."""
@@ -1017,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_similarity": q_top_k_similarity,
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_lp": q_near_dup_clusters_lp,
         "quality_scores": q_quality_scores,

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 23
+GOLDEN_VERSION = 24
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -327,9 +327,12 @@ def seq_minhash_pairs(
     shingle_size: int = 3,
     seed: int = 1337,
     max_bucket: int = 256,
+    with_scores: bool = False,
 ) -> pa.Table:
     """Sequential MinHash+LSH near-dup pairs: signature → band buckets →
     candidate pairs → exact-Jaccard verify.  One process, plain dicts.
+    ``with_scores`` adds the exact n-gram-Jaccard value per verified pair
+    (the ``ngram_jaccard`` golden).
 
     Oversized-bucket spec (mirrors ``ops.dedup.bucket_pairs``): a bucket
     larger than ``max_bucket`` is chunked into consecutive runs of the
@@ -363,16 +366,18 @@ def seq_minhash_pairs(
             for i in range(len(chunk)):
                 for j in range(i + 1, len(chunk)):
                     cand.add((chunk[i], chunk[j]))
-    out_a, out_b = [], []
+    out_a, out_b, out_j = [], [], []
     for da, db in sorted(cand):
         sa, sb = shingle_sets[da], shingle_sets[db]
         jac = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
         if jac >= threshold:
             out_a.append(da)
             out_b.append(db)
-    return pa.table(
-        {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
-    )
+            out_j.append(jac)
+    cols = {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+    if with_scores:
+        cols["jaccard"] = pa.array(out_j, pa.float64())
+    return pa.table(cols)
 
 
 def seq_simhash64(text: str) -> int:
@@ -1029,6 +1034,9 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     out["minhash_pairs"] = seq_minhash_pairs(ids, texts, threshold=0.5)
+    out["ngram_jaccard"] = seq_minhash_pairs(
+        ids, texts, threshold=0.5, with_scores=True
+    )
     out["sequence_packing"] = seq_sequence_packing(ids, texts)
     out["tfidf_top_terms"] = seq_tfidf(ids, texts)
     langs = pq.read_table(
@@ -1079,6 +1087,7 @@ GOLDEN_QUERIES = (
     "crawl_queue",
     "recrawl_diff",
     "minhash_pairs",
+    "ngram_jaccard",
     "sequence_packing",
     "tfidf_top_terms",
     "curate_corpus",

@@ -93,6 +93,9 @@ SQL_QUERIES = (
     "pricing_summary",
     "top_customers",
     "order_revenue",
+    # shares the near_dup_clusters golden (oracle registered directly in
+    # oracle_sql(), not via GOLDEN_QUERIES)
+    "near_dup_clusters_lp",
 )
 
 
