@@ -147,11 +147,15 @@ def run_bench() -> dict:
     docs.map_batches(QualityScorer(), batch_format="pyarrow").count()
     queries["quality_scores"] = round(time.perf_counter() - t0, 3)
 
-    from spider_ray.ops.dedup import near_dup_clusters
+    from spider_ray.ops.dedup import near_dup_clusters, near_dup_clusters_labelprop
 
     t0 = time.perf_counter()
     near_dup_clusters(docs, threshold=0.5)
     queries["near_dup_clusters"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    near_dup_clusters_labelprop(docs, threshold=0.5).count()
+    queries["near_dup_clusters_lp"] = round(time.perf_counter() - t0, 3)
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvecs = np.array([r["embedding"] for r in emb.sort("vec_id").limit(8).take_all()],
