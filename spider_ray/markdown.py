@@ -393,7 +393,7 @@ class TransformStage:
 
 
 def transform_corpus(corpus_dir: str, return_format: str = "markdown",
-                     urls: set[str] | None = None, concurrency=(2, 8)):
+                     urls: set[str] | None = None, concurrency=None):
     """Distributed transform of a page corpus: pruned Parquet read →
     optional visited-set filter (broadcast once) → actor-pool transform.
     Returns a Dataset of (url, content)."""
@@ -432,15 +432,22 @@ def transform_corpus(corpus_dir: str, return_format: str = "markdown",
                 )
                 return batch.filter(pa.array(mask))
 
+        from .poolsize import autoscale_pool
+
         # fractional CPUs: two actor pools + read tasks must coexist on
         # small sessions without starving the streaming executor
         ds = ds.map_batches(
-            VisitedFilter, batch_format="pyarrow", concurrency=2, num_cpus=0.25
+            VisitedFilter,
+            batch_format="pyarrow",
+            concurrency=autoscale_pool(1),
+            num_cpus=0.25,
         )
+    from .poolsize import autoscale_pool
+
     return ds.map_batches(
         TransformStage,
         fn_constructor_args=(return_format,),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or autoscale_pool(2),
         num_cpus=0.5,
     )

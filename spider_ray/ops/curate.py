@@ -79,7 +79,7 @@ def curate_corpus(docs, rates: dict[str, float], near_dup_threshold: float = 0.5
     # while the winner set is small, one shuffle-by-id cogroup when it is
     # a corpus-scale fraction — the driver never folds O(corpus) ids
     exact_survivors = semi_join_ids(
-        kept, winners_ds, id_column="doc_id", concurrency=2
+        kept, winners_ds, id_column="doc_id"
     )
 
     # near-dup clusters over the exact-dedup survivors: only each cluster's
@@ -92,7 +92,7 @@ def curate_corpus(docs, rates: dict[str, float], near_dup_threshold: float = 0.5
     )
     drop_tbl = clusters.filter(mask).select(["doc_id"])
     survivors = semi_join_ids(
-        exact_survivors, drop_tbl, id_column="doc_id", anti=True, concurrency=2
+        exact_survivors, drop_tbl, id_column="doc_id", anti=True
     )
     sampled = stratified_sample(survivors, rates)
 

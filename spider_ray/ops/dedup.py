@@ -325,9 +325,13 @@ def minhash_dedup(
                 }
             )
 
+    from ..poolsize import autoscale_pool
+
     sh = _nonempty_blocks_ds(
         ds.select_columns([id_column, text_column])
-        .map_batches(ShingleLists, batch_format="pyarrow", concurrency=2)
+        .map_batches(
+            ShingleLists, batch_format="pyarrow", concurrency=autoscale_pool(2)
+        )
         .materialize()
     )
     candidates = _nonempty_blocks_ds(candidates)

@@ -81,12 +81,14 @@ def semi_join_ids(
         members = set()
         for batch in ids_ds.iter_batches(batch_format="pyarrow"):
             members.update(batch.column(id_column).to_pylist())
+        from ..poolsize import autoscale_pool
+
         ids_ref = ray.put(frozenset(members))
         return ds.map_batches(
             _IdSetFilter,
             fn_constructor_args=(ids_ref, id_column, anti),
             batch_format="pyarrow",
-            concurrency=concurrency or (1, 8),
+            concurrency=concurrency or autoscale_pool(1),
             num_cpus=0.25,
         )
 

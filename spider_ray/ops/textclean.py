@@ -348,13 +348,15 @@ def host_boilerplate_removal(
                 boiler.setdefault(h, set()).add(ln)
         boiler_ref = ray.put({h: frozenset(s) for h, s in boiler.items()})
 
+        from ..poolsize import autoscale_pool
+
         # autoscaling pool with min=1: a fixed-size pool equal to the CPU
         # count would starve the upstream read tasks on a small cluster
         return pages.map_batches(
             _BoilerplateStrip,
             fn_constructor_args=(boiler_ref,),
             batch_format="pyarrow",
-            concurrency=concurrency or (1, 8),
+            concurrency=concurrency or autoscale_pool(1),
         )
 
     # cogroup strip: pages + boiler lines shuffle once by host

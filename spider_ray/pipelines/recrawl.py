@@ -59,7 +59,11 @@ def recrawl_diff(prior_pages, fresh_pages_ds):
                 }
             )
 
-    diff_ds = fresh_pages_ds.map_batches(Diff, batch_format="pyarrow", concurrency=2)
+    from ..poolsize import autoscale_pool
+
+    diff_ds = fresh_pages_ds.map_batches(
+        Diff, batch_format="pyarrow", concurrency=autoscale_pool(2)
+    )
     fresh_urls = set()
     for b in fresh_pages_ds.select_columns(["url"]).iter_batches(batch_format="pyarrow"):
         fresh_urls.update(b.column("url").to_pylist())

@@ -1,0 +1,23 @@
+"""Actor-pool sizing: autoscaling bounds derived from cluster CPUs.
+
+A fixed actor count is wrong in both directions: a pool of 2 bottlenecks a
+256-node cluster, and a pool equal to the CPU count can starve upstream
+read tasks into deadlock on a small session.  Every stateful
+``map_batches`` stage therefore uses an AUTOSCALING pool ``(min_actors,
+max(floor, cluster CPUs))`` — Ray Data grows the pool only while upstream
+keeps it busy, so small sessions stay deadlock-free and big clusters get
+a pool that tracks their size.
+"""
+
+from __future__ import annotations
+
+
+def autoscale_pool(min_actors: int = 1, floor: int = 8) -> tuple[int, int]:
+    """``(min_actors, max(floor, cluster CPUs))`` for ``concurrency=``."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", floor))
+    except Exception:
+        cpus = floor
+    return (min_actors, max(floor, cpus))
