@@ -743,6 +743,35 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup(_docs(sf_dir), threshold=0.5).select_columns(["doc_a", "doc_b"])
 
 
+def q_dedup_against_ref(sf_dir: str):
+    """Incremental exact dedup: pages of every non-site0 host whose text
+    does not already appear on www.site0.example (the "reference corpus")
+    — the drop-what's-already-ingested pass of a continuously-crawled
+    corpus (``ops/dedup.dedup_against_corpus``: slim ref hashes + anti
+    semi-join, auto broadcast/cogroup)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from spider_ray.ops.dedup import dedup_against_corpus
+    from spider_ray.ops.textclean import _corpus_page_filter, _hosts_of
+
+    pages = ray.data.read_parquet(_corpus_for(sf_dir), columns=["url", "text"])
+
+    def side(want_ref: bool):
+        def split(b):
+            b = _corpus_page_filter(b)
+            if len(b) == 0:
+                return b
+            m = pc.equal(_hosts_of(b.column("url")), "www.site0.example")
+            return b.filter(m if want_ref else pc.invert(m))
+
+        return pages.map_batches(split, batch_format="pyarrow")
+
+    return dedup_against_corpus(side(False), side(True), column="text").select_columns(
+        ["url"]
+    )
+
+
 def q_ngram_jaccard(sf_dir: str):
     """n-gram (character-shingle) Jaccard near-dup pairs WITH the exact
     similarity score: LSH blocking + distributed shingle-join verify
@@ -1031,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_against_ref": q_dedup_against_ref,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_lp": q_near_dup_clusters_lp,
         "quality_scores": q_quality_scores,
@@ -1063,6 +1093,18 @@ def oracle_sql() -> dict[str, str]:
         # table as the union-find, so it shares the golden
         "near_dup_clusters_lp": (
             f"SELECT * FROM read_parquet('{golden_path('sf0.01', 'near_dup_clusters')}')"
+        ),
+        "dedup_against_ref": (
+            f"SELECT a.url FROM read_parquet('{corpus_glob}') a "
+            "WHERE split_part(split_part(a.url, '://', 2), '/', 1) <> 'www.site0.example' "
+            "AND a.text IS NOT NULL "
+            "AND a.url NOT LIKE '%robots.txt' AND a.url NOT LIKE '%sitemap.xml' "
+            "AND NOT EXISTS ("
+            f"SELECT 1 FROM read_parquet('{corpus_glob}') b "
+            "WHERE split_part(split_part(b.url, '://', 2), '/', 1) = 'www.site0.example' "
+            "AND b.text IS NOT NULL "
+            "AND b.url NOT LIKE '%robots.txt' AND b.url NOT LIKE '%sitemap.xml' "
+            "AND b.text = a.text)"
         ),
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "

@@ -84,6 +84,49 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 _MERSENNE = (1 << 61) - 1
 
 
+def dedup_against_corpus(
+    new_ds,
+    ref_ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    **join_kwargs,
+):
+    """Incremental exact dedup: rows of ``new_ds`` whose ``column`` value
+    does NOT already appear in ``ref_ds`` — the "drop what's already in the
+    training set" pass a continuously-crawled corpus runs before ingest.
+
+    Both sides hash the column in ``map_batches`` (stable 64-bit hash —
+    the same text≡hash convention as :func:`exact_dedup`; collision odds
+    ~n²/2⁶⁵), the reference side shrinks to a slim hash column, and the
+    filter is :func:`~spider_ray.ops.joins.semi_join_ids` in anti mode:
+    broadcast frozenset while the reference is small, one shuffle-by-hash
+    cogroup when it is corpus-scale.  ``new_ds``'s bytes move at most
+    once; the reference never moves more than its hashes.
+    """
+    from .joins import semi_join_ids
+
+    ref_hashes = ref_ds.map_batches(
+        lambda b: _text_hash_batch(b, column).select(["text_hash"]),
+        batch_format="pyarrow",
+    )
+
+    def with_hash(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "text_hash", _text_hash_batch(b, column).column("text_hash")
+        )
+
+    filtered = semi_join_ids(
+        new_ds.map_batches(with_hash, batch_format="pyarrow"),
+        ref_hashes,
+        id_column="text_hash",
+        anti=True,
+        **join_kwargs,
+    )
+    return filtered.map_batches(
+        lambda b: b.drop_columns(["text_hash"]), batch_format="pyarrow"
+    )
+
+
 class MinHasher:
     """Per-doc MinHash signatures over word shingles — actor-pool stage
     (permutation parameters built once per actor).

@@ -96,6 +96,7 @@ SQL_QUERIES = (
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
+    "dedup_against_ref",
 )
 
 

@@ -53,6 +53,38 @@ def test_empty_id_side(docs):
     assert semi_join_ids(docs, empty, anti=True, mode="cogroup").count() == 5
 
 
+def test_dedup_against_corpus_modes(ray_session):
+    """New-vs-reference exact dedup drops exactly the texts the reference
+    already holds, in both filter shapes."""
+    import ray.data
+
+    from spider_ray.ops.dedup import dedup_against_corpus
+
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "text": ["seen one", "fresh a", "seen two", "fresh b"],
+            }
+        )
+    )
+    ref = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["seen one", "seen two", "seen three"],
+            }
+        )
+    )
+    for mode in ("broadcast", "cogroup"):
+        out = (
+            dedup_against_corpus(new, ref, mode=mode)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [11, 13], mode
+        assert list(out.columns) == ["doc_id", "text"]
+
+
 def test_dataset_id_side(docs, ray_session):
     import ray.data
 
