@@ -91,9 +91,22 @@ def curate_corpus(docs, rates: dict[str, float], near_dup_threshold: float = 0.5
         pc.equal(clusters.column("doc_id"), clusters.column("cluster_id"))
     )
     drop_tbl = clusters.filter(mask).select(["doc_id"])
-    survivors = semi_join_ids(
-        exact_survivors, drop_tbl, id_column="doc_id", anti=True
-    )
+    # fuse the two survivor filters into ONE pass over the wide side:
+    # survivors = kept ∩ (winners − drop).  drop is O(cluster members) and
+    # already driver-side, so subtracting it from the slim winner-id
+    # Dataset is a plain broadcast filter; the corpus text is then
+    # filtered exactly once by the semi join.
+    import ray
+
+    drop_ref = ray.put(frozenset(drop_tbl.column("doc_id").to_pylist()))
+
+    def minus_drop(b: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = b.column("doc_id").to_pylist()
+        return b.filter(pa.array([i not in drop for i in ids], pa.bool_()))
+
+    keep_ids = winners_ds.map_batches(minus_drop, batch_format="pyarrow")
+    survivors = semi_join_ids(kept, keep_ids, id_column="doc_id")
     sampled = stratified_sample(survivors, rates)
 
     def manifest(batch: pa.Table) -> pa.Table:
