@@ -70,8 +70,20 @@ _VOID = {
 _WS_RE = re.compile(r"\s+")
 _CM_ESCAPE_RE = re.compile(r"([\\`*_\[\]])")
 
+# ASCII characters re \s matches besides the plain space — a clean ASCII
+# string containing none of these (and no double space) is already in
+# collapsed form, so the regex can be skipped (hot path: one _collapse per
+# text node per page)
+_WS_OTHERS = ("\t", "\n", "\r", "\x0b", "\x0c", "\x1c", "\x1d", "\x1e", "\x1f")
+
 
 def _collapse(s: str) -> str:
+    if (
+        "  " not in s
+        and s.isascii()
+        and not any(c in s for c in _WS_OTHERS)
+    ):
+        return s
     return _WS_RE.sub(" ", s)
 
 
