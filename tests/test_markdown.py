@@ -129,3 +129,32 @@ def test_transform_corpus_distributed_matches_sequential(ray_session):
     got = got.take(pa.compute.sort_indices(got, sort_keys=[("url", "ascending")]))
     assert got.column("url").to_pylist() == want.column("url").to_pylist()
     assert got.column("content").to_pylist() == want.column("content").to_pylist()
+
+
+# --- property: the converter is total and deterministic on arbitrary soup ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SOUP_ATOMS = st.sampled_from(
+    [
+        "<div>", "</div>", "<p>", "</p>", "<li>", "<ul>", "</ul>", "<table>",
+        "<tr>", "<td>", "</td>", "<a href='x'>", "</a>", "<br>", "<pre>",
+        "</pre>", "<b>", "</b>", "<h2>", "</h2>", "<!--", "-->", "<script>",
+        "</script>", "&amp;", "&#x41;", "text", " ", "\n", "\t", " ",
+        "日本語", "<", ">", '"', "'", "`*_[]", "<img src=x>", "<blockquote>",
+    ]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_SOUP_ATOMS, max_size=40).map("".join),
+       st.sampled_from(["markdown", "commonmark", "text", "xml", "raw"]))
+def test_transform_html_total_and_deterministic(soup, fmt):
+    """Any tag soup converts without raising, deterministically, in every
+    return format (the CLI accepts arbitrary fetched bytes)."""
+    from spider_ray.markdown import transform_html
+
+    a = transform_html(soup, fmt)
+    b = transform_html(soup, fmt)
+    assert isinstance(a, str) and a == b
