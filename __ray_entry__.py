@@ -743,6 +743,16 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup(_docs(sf_dir), threshold=0.5).select_columns(["doc_a", "doc_b"])
 
 
+def q_simhash_near_dup(sf_dir: str):
+    """SimHash near-dup pairs with hamming ≤ 3: banded 4×16-bit blocking
+    (exact by pigeonhole at this radius), signature travels with the band
+    rows so verify is an in-group XOR-popcount — no joins, no driver
+    state.  Oracle = independent sequential recompute golden."""
+    from spider_ray.ops.dedup import simhash_near_dup
+
+    return simhash_near_dup(_docs(sf_dir), max_hamming=3)
+
+
 def q_dedup_against_ref(sf_dir: str):
     """Incremental exact dedup: pages of every non-site0 host whose text
     does not already appear on www.site0.example (the "reference corpus")
@@ -1061,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_against_ref": q_dedup_against_ref,
+        "simhash_near_dup": q_simhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_lp": q_near_dup_clusters_lp,
         "quality_scores": q_quality_scores,

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 24
+GOLDEN_VERSION = 25
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -399,6 +399,52 @@ def seq_simhash64(text: str) -> int:
         if v > 0:
             out |= 1 << i
     return out
+
+
+def seq_simhash_near_dup(
+    ids: list[int],
+    texts: list[str],
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> pa.Table:
+    """Sequential SimHash near-dup pairs: 4×16-bit band buckets → in-bucket
+    pairs (same oversized-bucket chunk/chain spec as the MinHash golden) →
+    XOR-popcount verify ≤ ``max_hamming`` → cross-band dedup.  Plain dicts
+    and loops, independent of ``ops.dedup.simhash_near_dup``."""
+    sig_of = {d: seq_simhash64(t) for d, t in zip(ids, texts)}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d in ids:
+        s = sig_of[d]
+        for band in range(4):
+            buckets.setdefault((band, (s >> (16 * band)) & 0xFFFF), []).append(d)
+    seen: set[tuple[int, int]] = set()
+    out_a, out_b, out_h = [], [], []
+    for members in buckets.values():
+        ms = sorted(set(members))
+        cand: list[tuple[int, int]] = []
+        for start in range(0, len(ms), max_bucket):
+            chunk = ms[start : start + max_bucket]
+            if start > 0:
+                cand.append((ms[0], chunk[0]))
+            for i in range(len(chunk)):
+                for j in range(i + 1, len(chunk)):
+                    cand.append((chunk[i], chunk[j]))
+        for da, db in cand:
+            if (da, db) in seen:
+                continue
+            h = bin(sig_of[da] ^ sig_of[db]).count("1")
+            if h <= max_hamming:
+                seen.add((da, db))
+                out_a.append(da)
+                out_b.append(db)
+                out_h.append(h)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "hamming": pa.array(out_h, pa.int64()),
+        }
+    )
 
 
 def seq_lang_counts(texts: list[str]) -> pa.Table:
@@ -1054,6 +1100,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
             "simhash": pa.array([seq_simhash64(t) for t in texts], pa.uint64()),
         }
     )
+    out["simhash_near_dup"] = seq_simhash_near_dup(ids, texts, max_hamming=3)
     out["lang_id"] = seq_lang_counts(texts)
     out["fingerprints"] = seq_fingerprints(ids, texts)
     out["multimodal_decode"] = seq_multimodal_decode(64)
@@ -1096,6 +1143,7 @@ GOLDEN_QUERIES = (
     "lsh_ann",
     "ivf_ann",
     "simhash",
+    "simhash_near_dup",
     "lang_id",
     "fingerprints",
     "multimodal_decode",

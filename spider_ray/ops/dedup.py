@@ -650,3 +650,104 @@ def simhash_signatures(ds, **kwargs):
 
 def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def _bucket_pair_indices(k: int, max_bucket: int):
+    """Index-pair form of the pinned oversized-bucket spec (see
+    :func:`bucket_pairs`): all pairs within consecutive ``max_bucket``
+    chunks of the (sorted) member list + one chain pair (first member,
+    chunk head) per later chunk."""
+    out_i: list[int] = []
+    out_j: list[int] = []
+    for start in range(0, k, max_bucket):
+        n = min(max_bucket, k - start)
+        if start > 0:
+            out_i.append(0)
+            out_j.append(start)
+        if n >= 2:
+            ii, jj = np.triu_indices(n, 1)
+            out_i.extend((ii + start).tolist())
+            out_j.extend((jj + start).tolist())
+    return np.asarray(out_i, np.int64), np.asarray(out_j, np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no bit_count)."""
+    if x.size == 0:
+        return np.zeros(0, np.int64)
+    return (
+        np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def simhash_near_dup(
+    ds,
+    max_hamming: int = 3,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    **kwargs,
+):
+    """SimHash near-dup pairs ``(doc_a, doc_b, hamming)`` with
+    ``hamming ≤ max_hamming``.
+
+    Banded blocking over the 64-bit signature (4 × 16-bit bands): a pair
+    differing in ≤ 3 bits leaves at least one band untouched (pigeonhole),
+    so for ``max_hamming ≤ 3`` the candidate set is EXACT — no recall loss
+    except inside oversized buckets, which chunk under the same pinned cap
+    spec as the MinHash path (:func:`bucket_pairs`).
+
+    Scale shape: signatures are a stateless ``map_batches`` stage; the
+    signature TRAVELS WITH the band rows, so in-bucket verification is a
+    vectorized XOR-popcount inside the band ``groupby`` — no join against
+    a signature table, no driver-side state.  Cross-band duplicates
+    collapse with one (doc_a, doc_b) groupby of the verified (tiny) pair
+    list.
+    """
+    sigs = simhash_signatures(ds, **kwargs)
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        sig = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        bands = np.repeat(np.arange(4, dtype=np.int8), n)
+        bits = np.concatenate(
+            [(sig >> np.uint64(16 * band)) & np.uint64(0xFFFF) for band in range(4)]
+        )
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int8()),
+                "bits": pa.array(bits, pa.uint64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "sig": pa.array(np.tile(sig, 4), pa.uint64()),
+            }
+        )
+
+    def pairs_of_bucket(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = tbl.column("sig").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")
+        # distinct members (a doc appears once per band bucket by
+        # construction, but be safe under batch re-chunking)
+        ids, sig = ids[order], sig[order]
+        keep = np.ones(len(ids), bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, sig = ids[keep], sig[keep]
+        ii, jj = _bucket_pair_indices(len(ids), max_bucket)
+        ham = _popcount64(sig[ii] ^ sig[jj])
+        m = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ii][m], pa.int64()),
+                "doc_b": pa.array(ids[jj][m], pa.int64()),
+                "hamming": pa.array(ham[m], pa.int64()),
+            }
+        )
+
+    return (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "bits"])
+        .map_groups(pairs_of_bucket, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )

@@ -151,6 +151,33 @@ def test_simhash(ray_session):
     assert SimHasher.simhash64("") == 0
 
 
+def test_simhash_near_dup_exact_at_radius_3(ray_session):
+    """Banded blocking at hamming ≤ 3 is exhaustive (pigeonhole): the op's
+    pair set must equal the brute-force all-pairs filter."""
+    import ray.data
+
+    from spider_ray.ops.dedup import SimHasher, hamming_distance, simhash_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [base] * 3 + [
+        base.replace("gamma", f"word{i}") + f" tail{i % 4}" for i in range(30)
+    ]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup(ds, max_hamming=3).take_all()
+    }
+    sigs = [SimHasher.simhash64(t) for t in texts]
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = hamming_distance(sigs[i], sigs[j])
+            if h <= 3:
+                want[(i, j)] = h
+    assert got == want and len(want) >= 3
+
+
 def test_brute_force_top_k_matches_numpy(emb_ds):
     from spider_ray.ops.similarity import brute_force_top_k
 
