@@ -157,6 +157,12 @@ def run_bench() -> dict:
     near_dup_clusters_labelprop(docs, threshold=0.5).count()
     queries["near_dup_clusters_lp"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.dedup import simhash_near_dup
+
+    t0 = time.perf_counter()
+    simhash_near_dup(docs, max_hamming=3).count()
+    queries["simhash_near_dup"] = round(time.perf_counter() - t0, 3)
+
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qvecs = np.array([r["embedding"] for r in emb.sort("vec_id").limit(8).take_all()],
                      dtype=np.float64)
