@@ -990,6 +990,82 @@ def q_multimodal_frames(sf_dir: str):
     )
 
 
+def q_dup_ngram_spans(sf_dir: str):
+    """Exact-substring dedup, n-gram form (Lee et al. 2021): corpus-wide
+    duplicated k-token windows merged into per-doc spans — two bounded
+    shuffles, no driver state (golden = sequential recompute)."""
+    from spider_ray.ops.spans import dup_ngram_spans
+
+    return dup_ngram_spans(_docs(sf_dir))
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Deterministic streaming k-means (Lloyd's, integer-quantized partial
+    sums; golden = sequential numpy recompute of the pinned spec)."""
+    from spider_ray.ops.cluster import kmeans_assign
+
+    return kmeans_assign(_emb(sf_dir))
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): greedy semantic dedup within k-means
+    clusters; pairwise work never leaves a cluster group."""
+    from spider_ray.ops.cluster import semdedup
+
+    return semdedup(_emb(sf_dir))
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Corpus unigram LM -> per-doc log-prob (perplexity-proxy quality
+    score); broadcast dict pruned to repeated terms (hapax elision)."""
+    from spider_ray.ops.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir))
+
+
+def q_heuristic_filter(sf_dir: str):
+    """C4-style doc-level heuristic filter (length / repetition gates),
+    integer-exact, shuffle-free."""
+    from spider_ray.ops.textstats import heuristic_filter
+
+    return heuristic_filter(_docs(sf_dir))
+
+
+def q_revenue_forecast(sf_dir: str):
+    """TPC-H-Q6-shaped pruned-read filter + scalar integer aggregate."""
+    import ray.data
+
+    from spider_ray.ops.relational import revenue_forecast
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    return revenue_forecast(li)
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped 3-table pipeline: segment semi-join -> big×big
+    Dataset.join -> (orderkey, date) rollup -> deterministic top-10."""
+    import ray.data
+
+    from spider_ray.ops.relational import shipping_priority
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    return shipping_priority(li, orders, cust, num_partitions=8)
+
+
 def entry() -> Any:
     """Flagship: full crawl of the sf0.001-scale synthetic web corpus."""
     from spider_ray.config import CrawlConfig, CrawlJob
@@ -1083,6 +1159,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "unigram_logprob": q_unigram_logprob,
+        "heuristic_filter": q_heuristic_filter,
+        "revenue_forecast": q_revenue_forecast,
+        "shipping_priority": q_shipping_priority,
         "needs_js": q_needs_js,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
@@ -1372,6 +1455,51 @@ def oracle_sql() -> dict[str, str]:
             f"string_agg(CASE WHEN b.line IS NULL THEN l.line END, chr(10) ORDER BY l.ord) AS clean_text "
             f"FROM lines l LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line "
             f"GROUP BY l.url"
+        ),
+        "unigram_logprob": (
+            r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term "
+            r"FROM documents), "
+            r"tot AS (SELECT count(*)::DOUBLE AS n FROM toks), "
+            r"freq AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term), "
+            r"lp AS (SELECT term, CAST(round(ln(c / (SELECT n FROM tot)) * 1000000) AS BIGINT) AS lp "
+            r"FROM freq), "
+            r"agg AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(l.lp)::BIGINT AS s "
+            r"FROM toks t JOIN lp l USING (term) GROUP BY t.doc_id) "
+            r"SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens, "
+            r"coalesce(a.s, 0)::BIGINT AS sum_logp_x1e6 "
+            r"FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "heuristic_filter": (
+            r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term "
+            r"FROM documents), "
+            r"c AS (SELECT doc_id, term, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2), "
+            r"agg AS (SELECT doc_id, sum(n)::BIGINT AS nw, count(*)::BIGINT AS nd, "
+            r"max(n)::BIGINT AS mx FROM c GROUP BY doc_id) "
+            r"SELECT d.doc_id, coalesce(a.nw, 0)::BIGINT AS n_words, "
+            r"coalesce(a.nd, 0)::BIGINT AS n_distinct, coalesce(a.mx, 0)::BIGINT AS max_tf, "
+            r"(coalesce(a.nw, 0) BETWEEN 10 AND 100000 AND 2*coalesce(a.nd, 0) >= coalesce(a.nw, 0) "
+            r"AND 8*coalesce(a.mx, 0) <= coalesce(a.nw, 0)) AS keep "
+            r"FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "revenue_forecast": (
+            "SELECT coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "CAST(round(l_discount*100) AS BIGINT)), 0)::BIGINT AS revenue_x10000, "
+            "count(*)::BIGINT AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 3 AND 6 AND l_quantity < 24"
+        ),
+        "shipping_priority": (
+            "WITH o AS (SELECT o_orderkey, o_orderdate FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01'), "
+            "l AS (SELECT l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)) AS rev "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'), "
+            "g AS (SELECT l_orderkey, epoch_us(o_orderdate)::BIGINT AS o_orderdate_us, "
+            "sum(rev)::BIGINT AS revenue_x10000 FROM l JOIN o ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2) "
+            "SELECT l_orderkey, o_orderdate_us, revenue_x10000 FROM g "
+            "ORDER BY revenue_x10000 DESC, l_orderkey LIMIT 10"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

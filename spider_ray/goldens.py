@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 25
+GOLDEN_VERSION = 26
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1091,9 +1091,12 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     out["curate_corpus"] = seq_curate(ids, texts, langs)
     out["near_dup_clusters"] = seq_near_dup_clusters(ids, texts, threshold=0.5)
     out["quality_scores"] = seq_quality(ids, texts)
+    out["dup_ngram_spans"] = seq_dup_ngram_spans(ids, texts)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         out["lsh_ann"] = seq_lsh_ann(sf_dir)
         out["ivf_ann"] = seq_ivf_ann(sf_dir)
+        out["kmeans_clusters"] = seq_kmeans_clusters(sf_dir)
+        out["semdedup"] = seq_semdedup(sf_dir)
     out["simhash"] = pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -1106,6 +1109,119 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     out["multimodal_decode"] = seq_multimodal_decode(64)
     out["multimodal_audio"] = seq_multimodal_audio(48)
     out["multimodal_frames"] = seq_multimodal_frames(24)
+
+
+def seq_dup_ngram_spans(
+    ids: list[int], texts: list[str], k: int = 8, min_count: int = 2
+) -> pa.Table:
+    """Sequential recompute of the duplicate n-gram span spec
+    (ops/spans.py): lowercase \\S+ tokens, k-token gram hashes, grams with
+    total corpus count >= min_count, per-doc merged [start, end) spans."""
+    tok_re = re.compile(r"\S+")
+    doc_grams: list[np.ndarray] = []
+    counts: Counter = Counter()
+    for t in texts:
+        toks = tok_re.findall((t or "").lower())
+        g = np.array(
+            [stable_hash_str(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)],
+            dtype=np.uint64,
+        )
+        doc_grams.append(g)
+        counts.update(g.tolist())
+    out_id, out_s, out_e = [], [], []
+    for doc_id, g in zip(ids, doc_grams):
+        spans: list[list[int]] = []
+        for i, h in enumerate(g.tolist()):
+            if counts[h] < min_count:
+                continue
+            s, e = i, i + k
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        for s, e in spans:
+            out_id.append(doc_id)
+            out_s.append(s)
+            out_e.append(e)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "span_start": pa.array(out_s, pa.int64()),
+            "span_end": pa.array(out_e, pa.int64()),
+        }
+    )
+
+
+def _seq_kmeans_centroids(
+    ids: np.ndarray, m: np.ndarray, k: int, iters: int
+) -> np.ndarray:
+    """Sequential Lloyd fit per the ops/cluster.py pinned spec: unit rows,
+    (knuth_hash, id)-sampled init ordered by id, round-9 argmax assignment,
+    int64-quantized (x1e6, half away from zero) centroid sums."""
+    hv = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    pick = np.lexsort((ids, hv))[:k]
+    centroids = m[pick][np.argsort(ids[pick], kind="stable")]
+    for _ in range(iters):
+        a = np.argmax(np.round(m @ centroids.T, 9), axis=1)
+        q = (np.sign(m) * np.floor(np.abs(m) * 1e6 + 0.5)).astype(np.int64)
+        sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, a, q)
+        np.add.at(cnt, a, 1)
+        nonempty = cnt > 0
+        new = centroids.copy()
+        new[nonempty] = (sums[nonempty] / 1e6) / cnt[nonempty, None]
+        centroids = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+    return centroids
+
+
+def _read_unit_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(emb.column("vec_id"), dtype=np.int64)
+    flat = np.asarray(emb.column("embedding").combine_chunks().flatten(), dtype=np.float64)
+    m = flat.reshape(len(ids), -1)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return ids, m
+
+
+def seq_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 4) -> pa.Table:
+    ids, m = _read_unit_embeddings(sf_dir)
+    centroids = _seq_kmeans_centroids(ids, m, k, iters)
+    a = np.argmax(np.round(m @ centroids.T, 9), axis=1)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def seq_semdedup(sf_dir: str, k: int = 8, iters: int = 4, tau: float = 0.45) -> pa.Table:
+    """Greedy within-cluster semantic dedup (SemDeDup) sequential spec."""
+    ids, m = _read_unit_embeddings(sf_dir)
+    centroids = _seq_kmeans_centroids(ids, m, k, iters)
+    a = np.argmax(np.round(m @ centroids.T, 9), axis=1)
+    out_id, out_cl, out_keep = [], [], []
+    for cl in range(k):
+        rows = np.nonzero(a == cl)[0]
+        rows = rows[np.argsort(ids[rows], kind="stable")]
+        kept: list[int] = []
+        for r in rows:
+            dup = bool(kept) and bool(
+                np.any(np.round(m[kept] @ m[r], 9) >= tau)
+            )
+            out_id.append(int(ids[r]))
+            out_cl.append(cl)
+            out_keep.append(not dup)
+            if not dup:
+                kept.append(r)
+    return pa.table(
+        {
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cluster": pa.array(out_cl, pa.int64()),
+            "keep": pa.array(out_keep, pa.bool_()),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1142,6 +1258,9 @@ GOLDEN_QUERIES = (
     "quality_scores",
     "lsh_ann",
     "ivf_ann",
+    "kmeans_clusters",
+    "semdedup",
+    "dup_ngram_spans",
     "simhash",
     "simhash_near_dup",
     "lang_id",

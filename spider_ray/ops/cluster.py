@@ -1,0 +1,196 @@
+"""Embedding clustering: deterministic k-means + SemDeDup-style dedup.
+
+``kmeans_fit`` is Lloyd's algorithm expressed as repeated streaming
+passes: each iteration is ONE ``map_batches`` over the dataset computing
+per-batch partial centroid sums, folded on the driver into the next k x d
+centroid matrix (k x d is tiny; the dataset itself never materializes).
+
+Determinism contract (the sequential golden recomputes it verbatim):
+
+* vectors are L2-normalized in float64;
+* the quantity folded across batches is the INTEGER quantization
+  ``round(x * 1e6)`` of each normalized component — integer partial sums
+  are immune to summation order, so block/batch boundaries cannot perturb
+  the centroids (same trick as the price-cents ops in ``relational.py``);
+* init: centroids are the vectors of the k ids with the smallest
+  ``(knuth_hash(id), id)`` — the repo's standard RNG-free sampler;
+* assignment: argmax cosine against unit centroids, first-index tie-break;
+  empty clusters keep their previous centroid.
+
+``semdedup`` (Abbas et al., 2023 — "SemDeDup") prunes semantic duplicates
+WITHIN each k-means cluster: the final centroid matrix rides along to a
+``groupby(cluster)`` that co-locates each cluster's vectors (no join —
+cluster ids are recomputed per batch from the broadcast k x d matrix),
+then a greedy sweep in id order drops any vector whose cosine to an
+already-kept vector rounds to >= tau.  The all-pairs work is confined to
+one cluster per task — the partitioning assumption is that a cluster fits
+one worker (pick k proportional to corpus size; SemDeDup itself uses
+k = 11k clusters for 100M+ docs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = 2654435761
+_MOD = 1 << 32
+_Q = 1_000_000.0
+
+
+def _unit_rows(batch: pa.Table, column: str) -> np.ndarray:
+    col = batch.column(column)
+    flat = np.asarray(col.combine_chunks().flatten(), dtype=np.float64)
+    m = flat.reshape(batch.num_rows, -1)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    # half-away-from-zero, matching the SQL round() contract (numeric.py)
+    return (np.sign(m) * np.floor(np.abs(m) * _Q + 0.5)).astype(np.int64)
+
+
+def _assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    # round-9 before argmax: BLAS GEMM blocking varies with batch shape, so
+    # raw last-ulp sims are not batch-size-invariant (repo round-9 contract)
+    return np.argmax(np.round(m @ centroids.T, 9), axis=1)
+
+
+def kmeans_fit(
+    ds,
+    k: int = 8,
+    iters: int = 4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+) -> np.ndarray:
+    """Fit and return the final unit k x d centroid matrix (float64)."""
+
+    # --- init: fold the per-block minimal (hash, id) sample of size k ---
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_column), dtype=np.int64)
+        m = _unit_rows(batch, column)
+        hv = (ids.astype(np.uint64) * _KNUTH) % _MOD
+        order = np.lexsort((ids, hv))[:k]
+        return pa.table(
+            {
+                "hv": pa.array(hv[order], pa.uint64()),
+                "id": pa.array(ids[order], pa.int64()),
+                "vec": pa.array(list(m[order]), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(init_partial, batch_format="pyarrow").take_all()
+    hv = np.array([r["hv"] for r in parts], dtype=np.uint64)
+    ids = np.array([r["id"] for r in parts], dtype=np.int64)
+    vecs = np.array([r["vec"] for r in parts], dtype=np.float64)
+    order = np.lexsort((ids, hv))[:k]
+    # id order (not hash order) pins the centroid indexing
+    centroids = vecs[order][np.argsort(ids[order], kind="stable")]
+
+    for _ in range(iters):
+
+        def iter_partial(batch: pa.Table, cents=centroids) -> pa.Table:
+            m = _unit_rows(batch, column)
+            a = _assign(m, cents)
+            q = _quantize(m)
+            sums = np.zeros((len(cents), m.shape[1]), dtype=np.int64)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            np.add.at(sums, a, q)
+            np.add.at(counts, a, 1)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(cents)), pa.int64()),
+                    "qsum": pa.array(list(sums), pa.list_(pa.int64())),
+                    "count": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(iter_partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids, dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in parts:
+            sums[r["cluster"]] += np.asarray(r["qsum"], dtype=np.int64)
+            counts[r["cluster"]] += r["count"]
+        nonempty = counts > 0
+        new = centroids.copy()
+        new[nonempty] = (sums[nonempty] / _Q) / counts[nonempty, None]
+        centroids = new / np.maximum(
+            np.linalg.norm(new, axis=1, keepdims=True), 1e-12
+        )
+
+    return centroids
+
+
+def kmeans_assign(
+    ds,
+    k: int = 8,
+    iters: int = 4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """(id, cluster) assignment Dataset after ``iters`` Lloyd iterations."""
+    centroids = kmeans_fit(ds, k=k, iters=iters, column=column, id_column=id_column)
+
+    def assign_batch(batch: pa.Table, cents=centroids) -> pa.Table:
+        m = _unit_rows(batch, column)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "cluster": pa.array(_assign(m, cents), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow")
+
+
+def semdedup(
+    ds,
+    k: int = 8,
+    iters: int = 4,
+    tau: float = 0.45,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """SemDeDup: greedy within-cluster semantic dedup.
+
+    Returns (id, cluster, keep) — ``keep`` is False iff an earlier id in
+    the same k-means cluster has ``round(cosine, 9) >= tau``.  The shuffle
+    moves (id, cluster, vector); pairwise work never leaves a cluster."""
+    centroids = kmeans_fit(ds, k=k, iters=iters, column=column, id_column=id_column)
+
+    def tag_cluster(batch: pa.Table, cents=centroids) -> pa.Table:
+        m = _unit_rows(batch, column)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                column: batch.column(column),
+                "cluster": pa.array(_assign(m, cents), pa.int64()),
+            }
+        )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_column), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        m = _unit_rows(group, column)[order]
+        ids = ids[order]
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        kept_rows: list[int] = []
+        for i in range(n):
+            if kept_rows:
+                sims = np.round(m[kept_rows] @ m[i], 9)
+                if np.any(sims >= tau):
+                    keep[i] = False
+                    continue
+            kept_rows.append(i)
+        cluster = group.column("cluster")[0].as_py()
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "cluster": pa.array([cluster] * n, pa.int64()),
+                "keep": pa.array(keep.tolist(), pa.bool_()),
+            }
+        )
+
+    tagged = ds.map_batches(tag_cluster, batch_format="pyarrow")
+    return tagged.groupby("cluster").map_groups(sweep, batch_format="pyarrow")

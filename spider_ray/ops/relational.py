@@ -198,3 +198,178 @@ def pricing_summary(lineitem, ship_cutoff: str = "1998-09-01"):
         ),
         batch_format="pyarrow",
     )
+
+
+def revenue_forecast(
+    lineitem,
+    ship_from: str = "1996-01-01",
+    ship_to: str = "1997-01-01",
+    disc_cents_lo: int = 3,
+    disc_cents_hi: int = 6,
+    max_qty: int = 24,
+):
+    """TPC-H Q6-shaped pruned-read filter + scalar aggregate, all-integer.
+
+    ``revenue_x10000 = Σ cents(l_extendedprice) · cents(l_discount)`` over
+    the shipdate/discount/quantity window.  Per-batch partials are single
+    rows; the driver folds a handful of integers — the minimal
+    filter-aggregate shape (callers prune columns at the read:
+    shipdate/discount/quantity/extendedprice only).
+    """
+    import pyarrow.compute as pc
+
+    lo = pa.scalar(ship_from).cast(pa.timestamp("us"))
+    hi = pa.scalar(ship_to).cast(pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = _cents(batch.column("l_discount"))
+        qty = batch.column("l_quantity")
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("l_shipdate"), lo),
+                pc.less(batch.column("l_shipdate"), hi),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc, disc_cents_lo),
+                    pc.less_equal(disc, disc_cents_hi),
+                ),
+                pc.less(qty, float(max_qty)),
+            ),
+        )
+        kept = batch.filter(mask)
+        rev = pc.sum(
+            pc.multiply(
+                _cents(kept.column("l_extendedprice")),
+                _cents(kept.column("l_discount")),
+            )
+        )
+        return pa.table(
+            {
+                "revenue_x10000": pa.array([rev.as_py() or 0], pa.int64()),
+                "n_rows": pa.array([kept.num_rows], pa.int64()),
+            }
+        )
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    folded = partials.sum(["revenue_x10000", "n_rows"]) or {}
+    return pa.table(
+        {
+            "revenue_x10000": pa.array(
+                [folded.get("sum(revenue_x10000)") or 0], pa.int64()
+            ),
+            "n_rows": pa.array([folded.get("sum(n_rows)") or 0], pa.int64()),
+        }
+    )
+
+
+def shipping_priority(
+    lineitem,
+    orders,
+    customer,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    top_n: int = 10,
+    num_partitions: int | None = None,
+):
+    """TPC-H Q3-shaped three-table pipeline: dimension semi-join (customer
+    segment -> order filter via ``joins.semi_join_ids`` — broadcast or
+    cogroup, auto-chosen by id count), then the big×big
+    lineitem ⋈ orders hash join (native ``Dataset.join``), per-batch
+    partial rollups, one (orderkey, orderdate) groupby, and a global
+    top-N by revenue with deterministic ties (revenue desc, orderkey asc).
+
+    Returns ``(l_orderkey, o_orderdate_us, revenue_x10000)`` — int64
+    epoch-µs date and cents-product revenue, summation-order-proof.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from .joins import semi_join_ids
+
+    cut = pa.scalar(cutoff).cast(pa.timestamp("us"))
+
+    cust_ids = customer.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": pc.cast(
+                    b.filter(pc.equal(b.column("c_mktsegment"), segment)).column(
+                        "c_custkey"
+                    ),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders_slim = orders.map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)).select(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders_seg = semi_join_ids(orders_slim, cust_ids, id_column="o_custkey").map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch.column("l_shipdate"), cut))
+        cents = _cents(kept.column("l_extendedprice"))
+        disc = _cents(kept.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": kept.column("l_orderkey"),
+                "revenue_x10000": pc.multiply(
+                    cents, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                ),
+            }
+        )
+
+    if num_partitions is None:
+        num_partitions = max(16, int(ray.cluster_resources().get("CPU", 16)))
+    joined = lineitem.map_batches(li_slim, batch_format="pyarrow").join(
+        orders_seg,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "o_orderdate_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "revenue_x10000": batch.column("revenue_x10000"),
+            }
+        )
+        return (
+            t.group_by(["l_orderkey", "o_orderdate_us"])
+            .aggregate([("revenue_x10000", "sum")])
+            .rename_columns(["l_orderkey", "o_orderdate_us", "revenue_x10000"])
+        )
+
+    rolled = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate_us"])
+        .sum("revenue_x10000")
+    )
+    top = (
+        rolled.map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "o_orderdate_us": b.column("o_orderdate_us"),
+                    "revenue_x10000": pc.cast(
+                        b.column("sum(revenue_x10000)"), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(key=["revenue_x10000", "l_orderkey"], descending=[True, False])
+        .limit(top_n)
+    )
+    return top

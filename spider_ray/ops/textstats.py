@@ -155,3 +155,142 @@ class Fingerprinter:
                 "fingerprint": pa.array(fps, pa.list_(pa.uint64())),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# corpus unigram language model -> per-doc log-prob (perplexity-proxy score)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
+                    concurrency: int = 4):
+    """Per-doc unigram log-probability — the standard perplexity-proxy
+    quality score (CCNet/RefinedWeb filter on LM perplexity, reduced to the
+    order-0 model so the oracle is exact SQL).
+
+    Pinned spec: tokens are lowercase ``\\S+`` runs; a term seen ``c``
+    times in a corpus of ``N`` tokens scores
+    ``lp(term) = round(ln(c / N) * 1e6)`` (half away from zero, int64);
+    a doc's score is the int64 sum of its tokens' ``lp``.
+
+    Shape: one ``map_batches`` emits per-batch partial term counts, a
+    ``groupby(term)`` folds them, and the scoring pass broadcasts ONLY the
+    repeated terms (count >= 2): a lookup miss is exactly count 1 with
+    ``lp = round(ln(1/N) * 1e6)`` — the same hapax-elision trick as
+    ``tfidf.py``, so the broadcast dict is bounded by the repeated-term
+    vocabulary, not the corpus vocabulary.
+    """
+    import math
+
+    import ray
+    import pyarrow.compute as pc
+
+    def term_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(text_column).to_pylist():
+            c.update(tok.lower() for tok in _TOKEN_RE.findall(t or ""))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(term_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+        .materialize()
+    )
+    total = int(counts.sum("sum(n)"))
+    repeated = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("sum(n)"), 2)),
+        batch_format="pyarrow",
+    ).take_all()
+
+    def _lp(c: int) -> int:
+        x = math.log(c / total) * 1e6
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    lp_map = {r["term"]: _lp(r["sum(n)"]) for r in repeated}
+    hapax_lp = _lp(1)
+    lp_ref = ray.put(lp_map)
+
+    class Scorer:
+        def __init__(self):
+            self.lp = ray.get(lp_ref) if not isinstance(lp_ref, dict) else lp_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = self.lp
+            ids, n_toks, sums = [], [], []
+            for doc_id, t in zip(
+                batch.column(id_column).to_pylist(),
+                batch.column(text_column).to_pylist(),
+            ):
+                toks = [tok.lower() for tok in _TOKEN_RE.findall(t or "")]
+                ids.append(doc_id)
+                n_toks.append(len(toks))
+                sums.append(sum(lp.get(tok, hapax_lp) for tok in toks))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(n_toks, pa.int64()),
+                    "sum_logp_x1e6": pa.array(sums, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
+    )
+
+
+class HeuristicFilter:
+    """C4-style document-level heuristic filter, integer-exact.
+
+    Per doc over lowercase ``\\S+`` tokens: ``n_words``, ``n_distinct``,
+    ``max_tf`` (count of the most frequent term); keep iff
+    ``10 <= n_words <= 100000`` (C4 length gate), ``2*n_distinct >=
+    n_words`` (repetition gate: a doc may not be half one-word padding)
+    and ``8*max_tf <= n_words`` (no single term above 12.5%).  Pure
+    per-doc map — no shuffle at any scale."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id"):
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, n_words, n_distinct, max_tf, keep = [], [], [], [], []
+        for doc_id, t in zip(
+            batch.column(self.id_column).to_pylist(),
+            batch.column(self.text_column).to_pylist(),
+        ):
+            c = Counter(tok.lower() for tok in _TOKEN_RE.findall(t or ""))
+            nw = sum(c.values())
+            nd = len(c)
+            mx = max(c.values()) if c else 0
+            ids.append(doc_id)
+            n_words.append(nw)
+            n_distinct.append(nd)
+            max_tf.append(mx)
+            keep.append(10 <= nw <= 100000 and 2 * nd >= nw and 8 * mx <= nw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "max_tf": pa.array(max_tf, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+
+def heuristic_filter(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """(doc_id, n_words, n_distinct, max_tf, keep) per document."""
+    return ds.map_batches(
+        HeuristicFilter(text_column=text_column, id_column=id_column),
+        batch_format="pyarrow",
+    )

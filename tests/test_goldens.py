@@ -93,6 +93,10 @@ SQL_QUERIES = (
     "pricing_summary",
     "top_customers",
     "order_revenue",
+    "unigram_logprob",
+    "heuristic_filter",
+    "revenue_forecast",
+    "shipping_priority",
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
