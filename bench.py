@@ -324,6 +324,59 @@ def run_bench() -> dict:
     sliding_window_counts(events_sw, width_s=3600, step_s=900).count()
     queries["sliding_events"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.spans import dup_ngram_spans
+
+    t0 = time.perf_counter()
+    dup_ngram_spans(docs).count()
+    queries["dup_ngram_spans"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.cluster import kmeans_assign, semdedup
+
+    emb_ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.perf_counter()
+    kmeans_assign(emb_ds).count()
+    queries["kmeans_clusters"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    semdedup(emb_ds).count()
+    queries["semdedup"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.textstats import heuristic_filter, unigram_logprob
+
+    t0 = time.perf_counter()
+    unigram_logprob(docs).count()
+    queries["unigram_logprob"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    heuristic_filter(docs).count()
+    queries["heuristic_filter"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.relational import revenue_forecast, shipping_priority
+
+    li_q6 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    t0 = time.perf_counter()
+    revenue_forecast(li_q6)
+    queries["revenue_forecast"] = round(time.perf_counter() - t0, 3)
+
+    li_q3 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    orders_q3 = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cust_q3 = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    t0 = time.perf_counter()
+    shipping_priority(li_q3, orders_q3, cust_q3).count()
+    queries["shipping_priority"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),
