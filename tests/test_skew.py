@@ -129,3 +129,64 @@ def test_degenerate_bucket_matches_sequential_golden(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+# ---------------------------------------------------------------------------
+# round-3 ops under degenerate skew: hot n-gram groups and collapsed clusters
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_hot_gram_stays_linear(ray_session):
+    """Identical docs put every occurrence in ONE gram group — the group
+    emit is linear in members (positions only), never pairwise."""
+    import ray
+
+    from spider_ray.ops.spans import dup_ngram_spans
+
+    n = 2000
+    rows = [{"doc_id": i, "text": "a b c d e f g h"} for i in range(n)]
+    out = dup_ngram_spans(ray.data.from_items(rows), k=8).to_pandas()
+    assert len(out) == n  # one merged span per doc, not O(n^2) rows
+    assert set(out["span_start"]) == {0} and set(out["span_end"]) == {8}
+
+
+def test_semdedup_collapsed_cluster_keeps_min_id(ray_session):
+    """All-identical vectors collapse into one cluster; the greedy sweep
+    keeps exactly the smallest id (kept set stays size 1 — O(n) work)."""
+    import pyarrow as pa
+    import ray.data
+
+    from spider_ray.ops.cluster import semdedup
+
+    n = 500
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([[1.0, 0.0, 0.0]] * n, pa.list_(pa.float32())),
+        }
+    )
+    out = semdedup(ray.data.from_arrow(t), k=4, iters=2, tau=0.9).to_pandas()
+    assert len(out) == n
+    kept = sorted(out[out["keep"]]["vec_id"])
+    assert kept == [0]
+    assert out["cluster"].nunique() == 1
+
+
+def test_kmeans_identical_vectors_no_nan(ray_session):
+    """Empty clusters keep their previous centroid — no NaN divisions;
+    ties assign to the first centroid index deterministically."""
+    import pyarrow as pa
+    import ray.data
+
+    from spider_ray.ops.cluster import kmeans_assign
+
+    n = 64
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([[0.5, 0.5]] * n, pa.list_(pa.float32())),
+        }
+    )
+    out = kmeans_assign(ray.data.from_arrow(t), k=4, iters=3).to_pandas()
+    assert len(out) == n
+    assert out["cluster"].nunique() == 1
