@@ -999,6 +999,15 @@ def q_dup_ngram_spans(sf_dir: str):
     return dup_ngram_spans(_docs(sf_dir))
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """Symmetric duplicate-span removal: cleaned text with every
+    corpus-duplicated k-gram span dropped (span rows co-grouped with doc
+    rows by doc_id — union + groupby, no join, no driver state)."""
+    from spider_ray.ops.spans import remove_dup_spans
+
+    return remove_dup_spans(_docs(sf_dir))
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Deterministic streaming k-means (Lloyd's, integer-quantized partial
     sums; golden = sequential numpy recompute of the pinned spec)."""
@@ -1160,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
         "dup_ngram_spans": q_dup_ngram_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "unigram_logprob": q_unigram_logprob,

@@ -324,11 +324,15 @@ def run_bench() -> dict:
     sliding_window_counts(events_sw, width_s=3600, step_s=900).count()
     queries["sliding_events"] = round(time.perf_counter() - t0, 3)
 
-    from spider_ray.ops.spans import dup_ngram_spans
+    from spider_ray.ops.spans import dup_ngram_spans, remove_dup_spans
 
     t0 = time.perf_counter()
     dup_ngram_spans(docs).count()
     queries["dup_ngram_spans"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    remove_dup_spans(docs).count()
+    queries["remove_dup_spans"] = round(time.perf_counter() - t0, 3)
 
     from spider_ray.ops.cluster import kmeans_assign, semdedup
 

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 26
+GOLDEN_VERSION = 27
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1092,6 +1092,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     out["near_dup_clusters"] = seq_near_dup_clusters(ids, texts, threshold=0.5)
     out["quality_scores"] = seq_quality(ids, texts)
     out["dup_ngram_spans"] = seq_dup_ngram_spans(ids, texts)
+    out["remove_dup_spans"] = seq_remove_dup_spans(ids, texts)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         out["lsh_ann"] = seq_lsh_ann(sf_dir)
         out["ivf_ann"] = seq_ivf_ann(sf_dir)
@@ -1148,6 +1149,41 @@ def seq_dup_ngram_spans(
             "doc_id": pa.array(out_id, pa.int64()),
             "span_start": pa.array(out_s, pa.int64()),
             "span_end": pa.array(out_e, pa.int64()),
+        }
+    )
+
+
+def seq_remove_dup_spans(
+    ids: list[int], texts: list[str], k: int = 8, min_count: int = 2
+) -> pa.Table:
+    """Sequential recompute of symmetric duplicate-span removal: lowercase
+    \\S+ tokens, corpus-duplicated k-gram spans dropped, survivors
+    re-joined with single spaces."""
+    spans = seq_dup_ngram_spans(ids, texts, k=k, min_count=min_count)
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, s, e in zip(
+        spans.column("doc_id").to_pylist(),
+        spans.column("span_start").to_pylist(),
+        spans.column("span_end").to_pylist(),
+    ):
+        by_doc.setdefault(doc_id, []).append((s, e))
+    tok_re = re.compile(r"\S+")
+    out_id, out_text, out_n, out_rm = [], [], [], []
+    for doc_id, t in zip(ids, texts):
+        toks = tok_re.findall((t or "").lower())
+        drop = np.zeros(len(toks), dtype=bool)
+        for s, e in by_doc.get(doc_id, ()):
+            drop[s:e] = True
+        out_id.append(doc_id)
+        out_text.append(" ".join(tok for tok, d in zip(toks, drop) if not d))
+        out_n.append(len(toks))
+        out_rm.append(int(drop.sum()))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "clean_text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "n_removed": pa.array(out_rm, pa.int64()),
         }
     )
 
@@ -1261,6 +1297,7 @@ GOLDEN_QUERIES = (
     "kmeans_clusters",
     "semdedup",
     "dup_ngram_spans",
+    "remove_dup_spans",
     "simhash",
     "simhash_near_dup",
     "lang_id",

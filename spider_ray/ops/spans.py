@@ -127,3 +127,79 @@ def dup_ngram_spans(
     grams = ds.map_batches(gram_rows, batch_format="pyarrow")
     hits = grams.groupby("gram").map_groups(dup_only, batch_format="pyarrow")
     return hits.groupby("doc_id").map_groups(spans_of_doc, batch_format="pyarrow")
+
+
+def remove_dup_spans(
+    ds,
+    k: int = 8,
+    min_count: int = 2,
+    column: str = "text",
+    id_column: str = "doc_id",
+):
+    """Cleaned text with every corpus-duplicated span's tokens dropped.
+
+    Pinned spec: tokens are lowercase ``\\S+`` runs; the surviving tokens
+    re-join with single spaces (whitespace normalizes — the tokenizer is
+    whitespace-splitting, so original spacing is not recoverable); spans
+    are the ``dup_ngram_spans`` output, removed symmetrically from every
+    doc.  To keep one canonical copy of fully-duplicated documents,
+    compose with ``dedup.exact_dedup`` winners first — symmetric span
+    removal plus exact-dup winner selection is deterministic where a
+    global "first occurrence" pick would need a second coordination pass.
+
+    Shape: the span rows and the doc rows co-locate through ONE tagged
+    ``groupby(doc_id)`` (union + map_groups — no hash join, no driver
+    state); a doc's spans are bounded by its own token count.
+
+    Output: (doc_id, clean_text, n_tokens, n_removed).
+    """
+    spans = dup_ngram_spans(
+        ds, k=k, min_count=min_count, column=column, id_column=id_column
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column(id_column),
+                "text": batch.column(column),
+                "span_start": pa.nulls(batch.num_rows, pa.int64()),
+                "span_end": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.nulls(batch.num_rows, pa.string()),
+                "span_start": batch.column("span_start"),
+                "span_end": batch.column("span_end"),
+            }
+        )
+
+    tagged = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        spans.map_batches(span_rows, batch_format="pyarrow")
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        doc_id = group.column("doc_id")[0].as_py()
+        texts = [t for t in group.column("text").to_pylist() if t is not None]
+        toks = _TOKEN_RE.findall((texts[0] if texts else "").lower())
+        drop = np.zeros(len(toks), dtype=bool)
+        for s, e in zip(
+            group.column("span_start").to_pylist(),
+            group.column("span_end").to_pylist(),
+        ):
+            if s is not None:
+                drop[s:e] = True
+        kept = [t for t, d in zip(toks, drop) if not d]
+        return pa.table(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "clean_text": pa.array([" ".join(kept)], pa.string()),
+                "n_tokens": pa.array([len(toks)], pa.int64()),
+                "n_removed": pa.array([int(drop.sum())], pa.int64()),
+            }
+        )
+
+    return tagged.groupby("doc_id").map_groups(rebuild, batch_format="pyarrow")

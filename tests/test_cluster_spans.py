@@ -70,6 +70,21 @@ class TestDupNgramSpans:
         rows = _rows(dup_ngram_spans(ds, k=8))
         assert rows == [(0, 0, 8), (1, 0, 8)]
 
+    def test_remove_dup_spans_cleans_symmetrically(self, ray_session):
+        from spider_ray.ops.spans import remove_dup_spans
+
+        shared = "a b c d e f g h"
+        ds = _docs_ds([f"{shared} tail0 only0", f"head1 {shared} tail1"])
+        rows = {r["doc_id"]: r for r in remove_dup_spans(ds, k=8).take_all()}
+        assert rows[0]["clean_text"] == "tail0 only0"
+        assert rows[1]["clean_text"] == "head1 tail1"
+        assert rows[0]["n_removed"] == 8 and rows[0]["n_tokens"] == 10
+        # docs without spans pass through (whitespace-normalized)
+        ds2 = _docs_ds(["No Duplicates Here at all", "and a different doc"])
+        rows2 = {r["doc_id"]: r for r in remove_dup_spans(ds2, k=8).take_all()}
+        assert rows2[0]["clean_text"] == "no duplicates here at all"
+        assert rows2[0]["n_removed"] == 0
+
 
 def _emb_ds(vecs):
     import ray.data
