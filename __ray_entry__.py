@@ -1024,6 +1024,29 @@ def q_semdedup(sf_dir: str):
     return semdedup(_emb(sf_dir))
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid sums (prototype/class-mean building
+    block): integer-quantized per-batch partials, one (label, dim)
+    groupby — batch-boundary-proof."""
+    from spider_ray.ops.cluster import label_centroids
+
+    return label_centroids(_emb(sf_dir))
+
+
+def q_user_features(sf_dir: str):
+    """Event-log -> per-user feature matrix (pivoted type counts, value
+    totals, first/last seen): per-batch combiner, one groupby(user)."""
+    import ray.data
+
+    from spider_ray.ops.features import user_features
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value", "ts"],
+    )
+    return user_features(ev)
+
+
 def q_unigram_logprob(sf_dir: str):
     """Corpus unigram LM -> per-doc log-prob (perplexity-proxy quality
     score); broadcast dict pruned to repeated terms (hapax elision)."""
@@ -1172,6 +1195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans": q_remove_dup_spans,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "label_centroids": q_label_centroids,
+        "user_features": q_user_features,
         "unigram_logprob": q_unigram_logprob,
         "heuristic_filter": q_heuristic_filter,
         "revenue_forecast": q_revenue_forecast,
@@ -1465,6 +1490,30 @@ def oracle_sql() -> dict[str, str]:
             f"string_agg(CASE WHEN b.line IS NULL THEN l.line END, chr(10) ORDER BY l.ord) AS clean_text "
             f"FROM lines l LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line "
             f"GROUP BY l.url"
+        ),
+        "label_centroids": (
+            "WITH x AS (SELECT label, unnest(embedding::DOUBLE[]) AS v, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
+            "SELECT label::BIGINT AS label, dim::BIGINT AS dim, "
+            "sum(CAST(round(v*1000000) AS BIGINT))::BIGINT AS qsum_x1e6, "
+            "count(*)::BIGINT AS n_vecs FROM x GROUP BY 1, 2"
+        ),
+        "user_features": (
+            "SELECT user_id, count(*)::BIGINT AS n_events, "
+            "(max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) + "
+            "max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) + "
+            "max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) + "
+            "max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) + "
+            "max(CASE WHEN event_type='view' THEN 1 ELSE 0 END))::BIGINT AS n_types, "
+            "sum(CAST(round(value*100) AS BIGINT))::BIGINT AS value_cents, "
+            "min(epoch_us(ts))::BIGINT AS first_us, "
+            "max(epoch_us(ts))::BIGINT AS last_us, "
+            "sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END)::BIGINT AS n_click, "
+            "sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT AS n_error, "
+            "sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase, "
+            "sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup, "
+            "sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END)::BIGINT AS n_view "
+            "FROM events GROUP BY user_id"
         ),
         "unigram_logprob": (
             r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term "

@@ -345,6 +345,22 @@ def run_bench() -> dict:
     semdedup(emb_ds).count()
     queries["semdedup"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.cluster import label_centroids
+
+    t0 = time.perf_counter()
+    label_centroids(emb_ds).count()
+    queries["label_centroids"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.features import user_features
+
+    ev_uf = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value", "ts"],
+    )
+    t0 = time.perf_counter()
+    user_features(ev_uf).count()
+    queries["user_features"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.textstats import heuristic_filter, unigram_logprob
 
     t0 = time.perf_counter()

@@ -194,3 +194,63 @@ def semdedup(
 
     tagged = ds.map_batches(tag_cluster, batch_format="pyarrow")
     return tagged.groupby("cluster").map_groups(sweep, batch_format="pyarrow")
+
+
+def label_centroids(
+    ds,
+    column: str = "embedding",
+    label_column: str = "label",
+):
+    """Per-label embedding centroid sums — the prototype-classifier /
+    class-mean building block, exact-integer end to end.
+
+    Emits (label, dim, qsum_x1e6, n_vecs) where ``qsum_x1e6`` is the int64
+    sum of ``round(component * 1e6)`` (half away from zero) over the
+    label's vectors; the caller divides ``qsum / 1e6 / n_vecs`` for the
+    float centroid.  Integer partial sums make the result independent of
+    batch/block boundaries; the shuffle moves only (labels x dims) rows
+    per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch.column(label_column)).astype(np.int64)
+        flat = np.asarray(
+            batch.column(column).combine_chunks().flatten(), dtype=np.float64
+        )
+        m = flat.reshape(batch.num_rows, -1)
+        q = _quantize(m)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), dtype=np.int64)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        np.add.at(counts, codes, 1)
+        n_dims = m.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, n_dims), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, n_dims + 1, dtype=np.int64), len(uniq)),
+                    pa.int64(),
+                ),
+                "qsum_x1e6": pa.array(sums.reshape(-1), pa.int64()),
+                "n_vecs": pa.array(np.repeat(counts, n_dims), pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .sum(["qsum_x1e6", "n_vecs"])
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "label": b.column("label"),
+                "dim": b.column("dim"),
+                "qsum_x1e6": pc.cast(b.column("sum(qsum_x1e6)"), pa.int64()),
+                "n_vecs": pc.cast(b.column("sum(n_vecs)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

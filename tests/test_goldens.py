@@ -95,6 +95,8 @@ SQL_QUERIES = (
     "order_revenue",
     "unigram_logprob",
     "heuristic_filter",
+    "label_centroids",
+    "user_features",
     "revenue_forecast",
     "shipping_priority",
     # shares the near_dup_clusters golden (oracle registered directly in
