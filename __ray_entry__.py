@@ -1055,6 +1055,14 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs(sf_dir))
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Order-1 (bigram) conditional log-prob per doc: one tagged count
+    shuffle, repeated-items-only broadcast (hapax elision)."""
+    from spider_ray.ops.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir))
+
+
 def q_heuristic_filter(sf_dir: str):
     """C4-style doc-level heuristic filter (length / repetition gates),
     integer-exact, shuffle-free."""
@@ -1198,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "user_features": q_user_features,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "heuristic_filter": q_heuristic_filter,
         "revenue_forecast": q_revenue_forecast,
         "shipping_priority": q_shipping_priority,
@@ -1525,6 +1534,24 @@ def oracle_sql() -> dict[str, str]:
             r"agg AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(l.lp)::BIGINT AS s "
             r"FROM toks t JOIN lp l USING (term) GROUP BY t.doc_id) "
             r"SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens, "
+            r"coalesce(a.s, 0)::BIGINT AS sum_logp_x1e6 "
+            r"FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "bigram_logprob": (
+            r"WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w "
+            r"FROM documents), "
+            r"bg AS (SELECT doc_id, unnest(list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]), "
+            r"p -> p[1] || ' ' || p[2])) AS b, unnest(w[1:len(w)-1]) AS prev FROM w), "
+            r"cb AS (SELECT b, count(*)::BIGINT AS c FROM bg GROUP BY b), "
+            r"cu AS (SELECT term, count(*)::BIGINT AS c FROM "
+            r"(SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents) "
+            r"GROUP BY term), "
+            r"scored AS (SELECT bg.doc_id, "
+            r"CAST(round(ln(cb.c::DOUBLE / cu.c) * 1000000) AS BIGINT) AS lp "
+            r"FROM bg JOIN cb ON bg.b = cb.b JOIN cu ON bg.prev = cu.term), "
+            r"agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp)::BIGINT AS s "
+            r"FROM scored GROUP BY doc_id) "
+            r"SELECT d.doc_id, coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams, "
             r"coalesce(a.s, 0)::BIGINT AS sum_logp_x1e6 "
             r"FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),

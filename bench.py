@@ -367,6 +367,12 @@ def run_bench() -> dict:
     unigram_logprob(docs).count()
     queries["unigram_logprob"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.textstats import bigram_logprob
+
+    t0 = time.perf_counter()
+    bigram_logprob(docs).count()
+    queries["bigram_logprob"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     heuristic_filter(docs).count()
     queries["heuristic_filter"] = round(time.perf_counter() - t0, 3)

@@ -294,3 +294,96 @@ def heuristic_filter(ds, text_column: str = "text", id_column: str = "doc_id"):
         HeuristicFilter(text_column=text_column, id_column=id_column),
         batch_format="pyarrow",
     )
+
+
+def bigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
+                   concurrency: int = 4):
+    """Per-doc order-1 (bigram) conditional log-probability — one step
+    closer to real LM perplexity than ``unigram_logprob``, still with an
+    exact SQL oracle.
+
+    Pinned spec: tokens are lowercase ``\\S+`` runs; each position i >= 2
+    scores ``lp = round(ln(c(w_{i-1} w_i) / c(w_{i-1})) * 1e6)`` (half
+    away from zero, int64); a doc's score is the int64 sum plus the
+    bigram count.
+
+    Scale: ONE tagged shuffle folds bigram and unigram counts together;
+    the scoring broadcast keeps only repeated items (count >= 2) — a
+    bigram miss is exactly count 1 (``lp = round(ln(1/c(prev)) * 1e6)``)
+    and a unigram miss is exactly count 1 (then its bigram count is also
+    1, so ``lp = 0``) — the hapax-elision trick, both dicts bounded by
+    the repeated vocabulary."""
+    import math
+
+    import ray
+    import pyarrow.compute as pc
+
+    SEP = " "
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column(text_column).to_pylist():
+            toks = [tok.lower() for tok in _TOKEN_RE.findall(t or "")]
+            uni.update(toks)
+            bi.update(
+                toks[i - 1] + SEP + toks[i] for i in range(1, len(toks))
+            )
+        keys = list(uni.keys()) + list(bi.keys())
+        kinds = [0] * len(uni) + [1] * len(bi)
+        ns = list(uni.values()) + list(bi.values())
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.int8()),
+                "key": pa.array(keys, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .sum("n")
+    )
+    repeated = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("sum(n)"), 2)),
+        batch_format="pyarrow",
+    ).take_all()
+    uni_map = {r["key"]: r["sum(n)"] for r in repeated if r["kind"] == 0}
+    bi_map = {r["key"]: r["sum(n)"] for r in repeated if r["kind"] == 1}
+    refs = ray.put((uni_map, bi_map))
+
+    class Scorer:
+        def __init__(self):
+            self.uni, self.bi = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            uni, bi = self.uni, self.bi
+            ids, n_bi, sums = [], [], []
+            for doc_id, t in zip(
+                batch.column(id_column).to_pylist(),
+                batch.column(text_column).to_pylist(),
+            ):
+                toks = [tok.lower() for tok in _TOKEN_RE.findall(t or "")]
+                s = 0
+                for i in range(1, len(toks)):
+                    cu = uni.get(toks[i - 1], 1)
+                    cb = bi.get(toks[i - 1] + SEP + toks[i], 1)
+                    x = math.log(cb / cu) * 1e6
+                    s += int(math.copysign(math.floor(abs(x) + 0.5), x))
+                ids.append(doc_id)
+                n_bi.append(max(len(toks) - 1, 0))
+                sums.append(s)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_bigrams": pa.array(n_bi, pa.int64()),
+                    "sum_logp_x1e6": pa.array(sums, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
+    )

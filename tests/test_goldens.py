@@ -94,6 +94,7 @@ SQL_QUERIES = (
     "top_customers",
     "order_revenue",
     "unigram_logprob",
+    "bigram_logprob",
     "heuristic_filter",
     "label_centroids",
     "user_features",
