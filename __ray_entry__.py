@@ -1071,6 +1071,63 @@ def q_heuristic_filter(sf_dir: str):
     return heuristic_filter(_docs(sf_dir))
 
 
+def q_interval_join(sf_dir: str):
+    """Non-equi range join (signup -> purchases within the hour): bucketed
+    replication (factor 2), two bounded shuffles, LEFT semantics without a
+    join — the attribution-window shape Ray Data has no primitive for."""
+    import ray.data
+
+    from spider_ray.ops.intervals import interval_join_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    return interval_join_counts(ev, window_s=3600)
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(day, event_type) via tagged-union partials — all
+    three grouping-set levels from one shuffle of combiner output."""
+    import ray.data
+
+    from spider_ray.ops.relational import events_rollup
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    return events_rollup(ev)
+
+
+MIX_WEIGHTS_X100 = {"src0": 250, "src1": 0, "src2": 130, "src3": 300}
+
+
+def q_source_mix(sf_dir: str):
+    """Training-mixture construction: weighted per-source doc repetition
+    (integer-hundredth epochs, Knuth-hash fractional membership) —
+    shuffle-free row-local expansion."""
+    from spider_ray.ops.sampling import source_mix
+
+    return source_mix(_docs(sf_dir), MIX_WEIGHTS_X100)
+
+
+def q_line_dedup(sf_dir: str):
+    """Corpus-global exact line (paragraph) dedup, first occurrence by
+    (url, idx) wins — RefinedWeb-style hygiene: explode -> groupby(line)
+    losers -> tagged co-group rebuild; two bounded shuffles, no joins."""
+    from spider_ray.ops.linededup import global_line_dedup
+
+    return global_line_dedup(_corpus_for(sf_dir))
+
+
+def q_normalize_text(sf_dir: str):
+    """CCNet-style pre-dedup normalization (lowercase, digits->0,
+    whitespace-run collapse, trim) — pure Arrow RE2 kernels."""
+    from spider_ray.ops.linededup import normalize_pages
+
+    return normalize_pages(_corpus_for(sf_dir))
+
+
 def q_revenue_forecast(sf_dir: str):
     """TPC-H-Q6-shaped pruned-read filter + scalar integer aggregate."""
     import ray.data
@@ -1208,6 +1265,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_logprob,
         "heuristic_filter": q_heuristic_filter,
+        "interval_join": q_interval_join,
+        "events_rollup": q_events_rollup,
+        "source_mix": q_source_mix,
+        "line_dedup": q_line_dedup,
+        "normalize_text": q_normalize_text,
         "revenue_forecast": q_revenue_forecast,
         "shipping_priority": q_shipping_priority,
         "needs_js": q_needs_js,
@@ -1566,6 +1628,55 @@ def oracle_sql() -> dict[str, str]:
             r"(coalesce(a.nw, 0) BETWEEN 10 AND 100000 AND 2*coalesce(a.nd, 0) >= coalesce(a.nw, 0) "
             r"AND 8*coalesce(a.mx, 0) <= coalesce(a.nw, 0)) AS keep "
             r"FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "interval_join": (
+            "SELECT w.event_id, epoch_us(w.ts)::BIGINT AS window_start_us, "
+            "count(p.ts)::BIGINT AS n_points, "
+            "coalesce(sum(CAST(round(p.value*100) AS BIGINT)), 0)::BIGINT AS point_cents "
+            "FROM events w LEFT JOIN events p ON p.event_type = 'purchase' "
+            "AND epoch_us(p.ts) >= epoch_us(w.ts) "
+            "AND epoch_us(p.ts) < epoch_us(w.ts) + 3600000000 "
+            "WHERE w.event_type = 'signup' GROUP BY 1, 2"
+        ),
+        "events_rollup": (
+            "SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_s, event_type, "
+            "count(*)::BIGINT AS n_events, "
+            "sum(CAST(round(value*100) AS BIGINT))::BIGINT AS value_cents "
+            "FROM events GROUP BY ROLLUP(day_s, event_type)"
+        ),
+        "source_mix": (
+            "WITH w AS (SELECT doc_id, source, "
+            "CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 0 "
+            "WHEN 'src2' THEN 130 WHEN 'src3' THEN 300 ELSE 100 END AS wx "
+            "FROM documents), "
+            "c AS (SELECT doc_id, source, (wx // 100) + "
+            "(CASE WHEN (doc_id * 2654435761) % 4294967296 < "
+            "((wx % 100) * 4294967296) // 100 THEN 1 ELSE 0 END) AS n FROM w) "
+            "SELECT doc_id, source, "
+            "unnest(generate_series(0, (n-1)::INT))::BIGINT AS copy_id "
+            "FROM c WHERE n > 0"
+        ),
+        "line_dedup": (
+            f"WITH pages AS (SELECT url, text FROM read_parquet('{corpus_glob}') "
+            "WHERE text IS NOT NULL AND url NOT LIKE '%robots.txt' "
+            "AND url NOT LIKE '%sitemap.xml'), "
+            "lines AS (SELECT url, unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS ord FROM pages), "
+            "ranked AS (SELECT url, line, ord, "
+            "(line = '' OR row_number() OVER (PARTITION BY line ORDER BY url, ord) = 1) "
+            "AS keep FROM lines) "
+            "SELECT url, count(*)::BIGINT AS n_lines, "
+            "sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed, "
+            "string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY ord) AS clean_text "
+            "FROM ranked GROUP BY url"
+        ),
+        "normalize_text": (
+            r"WITH x AS (SELECT url, trim(regexp_replace(regexp_replace(lower(text), "
+            r"'[0-9]', '0', 'g'), '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text "
+            f"FROM read_parquet('{corpus_glob}') "
+            "WHERE text IS NOT NULL AND url NOT LIKE '%robots.txt' "
+            "AND url NOT LIKE '%sitemap.xml') "
+            "SELECT url, norm_text, length(norm_text)::BIGINT AS n_chars FROM x"
         ),
         "revenue_forecast": (
             "SELECT coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "

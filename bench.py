@@ -403,6 +403,44 @@ def run_bench() -> dict:
     shipping_priority(li_q3, orders_q3, cust_q3).count()
     queries["shipping_priority"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.intervals import interval_join_counts
+
+    ev_ij = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    t0 = time.perf_counter()
+    interval_join_counts(ev_ij, window_s=3600).count()
+    queries["interval_join"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.relational import events_rollup
+
+    ev_ro = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+    t0 = time.perf_counter()
+    events_rollup(ev_ro).count()
+    queries["events_rollup"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.sampling import source_mix
+
+    docs_mix = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    t0 = time.perf_counter()
+    source_mix(docs_mix, {"src0": 250, "src1": 0, "src2": 130, "src3": 300}).count()
+    queries["source_mix"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.linededup import global_line_dedup, normalize_pages
+
+    t0 = time.perf_counter()
+    global_line_dedup(corpus).count()
+    queries["line_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    normalize_pages(corpus).count()
+    queries["normalize_text"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .numeric import round_sql as _round_sql
+from .numeric import to_cents
 
 
 def broadcast_join(ds, right: pa.Table, keys, right_keys=None,
@@ -373,3 +374,80 @@ def shipping_priority(
         .limit(top_n)
     )
     return top
+
+
+def events_rollup(events, width_s: int = 86400):
+    """GROUP BY ROLLUP(day, event_type) over the event log — leaf rows,
+    per-day subtotals and the grand total from ONE shuffle.
+
+    Grouping sets are a Ray Data gap; the classic distributed shape is a
+    tagged union: the per-batch combiner emits every partial row once per
+    rollup level — ``(day, type)``, ``(day, *)``, ``(*, *)`` — with
+    sentinel keys (day ``-1`` / type ``''``, impossible in real data), and
+    a single ``groupby`` folds all three levels together.  Shuffle volume
+    is 3× the combined partials (days × types per batch — tiny), never 3×
+    the data; the final map converts sentinels to SQL NULLs so the result
+    is exactly DuckDB's ``GROUP BY ROLLUP``.
+
+    Returns ``(day_s, event_type, n_events, value_cents)`` with the
+    standard nullable rollup columns.
+    """
+    w_us = width_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), w_us),
+            pa.scalar(width_s, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "day_s": day,
+                "event_type": batch.column("event_type"),
+                "n_events": pa.nulls(len(batch), pa.int64()).fill_null(1),
+                "value_cents": to_cents(batch.column("value")),
+            }
+        )
+        leaf = (
+            t.group_by(["day_s", "event_type"])
+            .aggregate([("n_events", "sum"), ("value_cents", "sum")])
+            .rename_columns(["day_s", "event_type", "n_events", "value_cents"])
+        )
+        day_lvl = pa.table(
+            {
+                "day_s": leaf.column("day_s"),
+                "event_type": pa.nulls(len(leaf), pa.string()).fill_null(""),
+                "n_events": leaf.column("n_events"),
+                "value_cents": leaf.column("value_cents"),
+            }
+        )
+        total = pa.table(
+            {
+                "day_s": pa.nulls(len(leaf), pa.int64()).fill_null(-1),
+                "event_type": pa.nulls(len(leaf), pa.string()).fill_null(""),
+                "n_events": leaf.column("n_events"),
+                "value_cents": leaf.column("value_cents"),
+            }
+        )
+        return pa.concat_tables([leaf, day_lvl, total])
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day_s", "event_type"])
+        .sum(["n_events", "value_cents"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        day = b.column("day_s")
+        etype = b.column("event_type")
+        return pa.table(
+            {
+                "day_s": pc.if_else(pc.equal(day, -1), pa.scalar(None, pa.int64()), day),
+                "event_type": pc.if_else(
+                    pc.equal(etype, ""), pa.scalar(None, pa.string()), etype
+                ),
+                "n_events": pc.cast(b.column("sum(n_events)"), pa.int64()),
+                "value_cents": pc.cast(b.column("sum(value_cents)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -153,3 +153,45 @@ def class_balance(ds, class_col: str = "lang", key_col: str = "doc_id",
         )
 
     return pairs.groupby(class_col).map_groups(per_class_rank, batch_format="pyarrow")
+
+
+def source_mix(ds, weights_x100: dict[str, int], default_x100: int = 100,
+               key_col: str = "doc_id", source_col: str = "source"):
+    """Weighted per-source repetition — the data-mixing pass that turns a
+    raw corpus into a training mixture (upweight books/wiki, downweight
+    low-quality web; the Pile / LLaMA "epochs per source" recipe).
+
+    Weights are integer hundredths (250 = 2.5 epochs) so the fractional
+    keep decision is exact in both engines: a doc gets ``w // 100`` full
+    copies plus one more iff ``knuth(key) < (w % 100) * 2^32 / 100`` —
+    the same reproducible membership hash as ``stratified_sample``, so a
+    2.5-weight source repeats every doc twice and a deterministic half of
+    them a third time.  Shuffle-free stateless ``map_batches`` (np.repeat
+    on the batch); emits ``(key, source, copy_id)`` — downstream training
+    shards consume copies like ordinary rows.  At 100 TB the op is pure
+    row-local expansion with output volume = Σ weights, no driver state.
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(batch.column(source_col))
+        w = np.full(len(k), default_x100, dtype=np.int64)
+        for s, wx in weights_x100.items():
+            w[src == s] = wx
+        n = w // 100 + (_bucket(k) < (w % 100).astype(np.uint64) * MOD // 100)
+        reps = n.astype(np.int64)
+        ends = np.cumsum(reps)
+        copy_id = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+            ends - reps, reps
+        )
+        return pa.table(
+            {
+                key_col: pa.array(np.repeat(k, reps), pa.int64()),
+                source_col: pa.array(np.repeat(src, reps), pa.string()),
+                "copy_id": pa.array(copy_id, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([key_col, source_col]).map_batches(
+        expand, batch_format="pyarrow"
+    )

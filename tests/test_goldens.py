@@ -100,6 +100,11 @@ SQL_QUERIES = (
     "user_features",
     "revenue_forecast",
     "shipping_priority",
+    "interval_join",
+    "events_rollup",
+    "source_mix",
+    "line_dedup",
+    "normalize_text",
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
