@@ -1128,6 +1128,51 @@ def q_normalize_text(sf_dir: str):
     return normalize_pages(_corpus_for(sf_dir))
 
 
+def q_chunk_documents(sf_dir: str):
+    """Token-window chunking (64-token windows, stride 48): shuffle-free
+    row-local flat expansion — the context-length splitter between
+    curation and sequence packing."""
+    from spider_ray.ops.chunking import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), chunk_tokens=64, stride=48)
+
+
+def q_global_sample(sf_dir: str):
+    """Exactly-k deterministic global sample: k smallest (knuth(id), id) —
+    per-batch combiner prunes to k candidates before the tiny sort."""
+    from spider_ray.ops.sampling import global_sample_k
+
+    return global_sample_k(_docs(sf_dir), k=100)
+
+
+def q_length_trim(sf_dir: str):
+    """Per-lang percentile band filter (p5..p95 of n_chars,
+    quantile_disc rank semantics): histogram fold -> broadcast edges."""
+    from spider_ray.ops.corpusstats import length_trim
+
+    return length_trim(_docs(sf_dir), q_lo=0.05, q_hi=0.95)
+
+
+BM25_QUERY_TERMS = ("sort", "hash", "join", "scan", "window")
+
+
+def q_bm25_scores(sf_dir: str):
+    """BM25 relevance of every doc against a fixed query-term set —
+    integer-exact per-term contributions (round(w*1e6) half-away), stats
+    fold broadcast once."""
+    from spider_ray.ops.bm25 import bm25_scores
+
+    return bm25_scores(_docs(sf_dir), BM25_QUERY_TERMS)
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-doc token Shannon entropy (integer-exact per-term rounding) —
+    doc-local, shuffle-free curation signal."""
+    from spider_ray.ops.entropy import token_entropy
+
+    return token_entropy(_docs(sf_dir))
+
+
 def q_revenue_forecast(sf_dir: str):
     """TPC-H-Q6-shaped pruned-read filter + scalar integer aggregate."""
     import ray.data
@@ -1270,6 +1315,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": q_source_mix,
         "line_dedup": q_line_dedup,
         "normalize_text": q_normalize_text,
+        "chunk_documents": q_chunk_documents,
+        "global_sample": q_global_sample,
+        "length_trim": q_length_trim,
+        "bm25_scores": q_bm25_scores,
+        "token_entropy": q_token_entropy,
         "revenue_forecast": q_revenue_forecast,
         "shipping_priority": q_shipping_priority,
         "needs_js": q_needs_js,
@@ -1677,6 +1727,64 @@ def oracle_sql() -> dict[str, str]:
             "WHERE text IS NOT NULL AND url NOT LIKE '%robots.txt' "
             "AND url NOT LIKE '%sitemap.xml') "
             "SELECT url, norm_text, length(norm_text)::BIGINT AS n_chars FROM x"
+        ),
+        "chunk_documents": (
+            r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w "
+            r"FROM documents), "
+            r"c AS (SELECT doc_id, w, unnest(generate_series(0, "
+            r"CASE WHEN len(w) = 0 THEN -1 ELSE (len(w)-1) // 48 END)) AS i FROM w) "
+            r"SELECT doc_id, i::BIGINT AS chunk_id, "
+            r"least(64, len(w) - i*48)::BIGINT AS n_tokens, "
+            r"array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text FROM c"
+        ),
+        "global_sample": (
+            "SELECT doc_id FROM documents "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id LIMIT 100"
+        ),
+        "length_trim": (
+            "WITH q AS (SELECT lang, quantile_disc(n_chars, 0.05) AS lo, "
+            "quantile_disc(n_chars, 0.95) AS hi FROM documents GROUP BY lang) "
+            "SELECT doc_id, d.lang, n_chars FROM documents d JOIN q ON d.lang = q.lang "
+            "WHERE n_chars BETWEEN lo AND hi"
+        ),
+        "bm25_scores": (
+            r"WITH toks AS (SELECT doc_id, list_transform("
+            r"regexp_extract_all(text, '\S+'), x -> lower(x)) AS w FROM documents), "
+            "dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks), "
+            "stats AS (SELECT count(*)::BIGINT AS n, "
+            "sum(dl)::DOUBLE / count(*) AS avgdl FROM dl), "
+            "q AS (SELECT unnest(['sort', 'hash', 'join', 'scan', 'window']) AS term), "
+            "tf AS (SELECT t.doc_id, q.term, "
+            "len(list_filter(t.w, x -> x = q.term))::BIGINT AS tf "
+            "FROM toks t CROSS JOIN q), "
+            "df AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::BIGINT AS df "
+            "FROM tf GROUP BY term), "
+            "scored AS (SELECT tf.doc_id, "
+            "CAST(round(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+            "(tf.tf * (1.2 + 1.0)) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) * 1000000) "
+            "AS BIGINT) AS v "
+            "FROM tf JOIN dl USING (doc_id) JOIN df USING (term) "
+            "CROSS JOIN stats s WHERE tf.tf > 0) "
+            "SELECT d.doc_id, coalesce(sum(v), 0)::BIGINT AS bm25_x1e6 "
+            "FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id "
+            "GROUP BY d.doc_id"
+        ),
+        "token_entropy": (
+            r"WITH toks AS (SELECT doc_id, unnest(list_transform("
+            r"regexp_extract_all(text, '\S+'), x -> lower(x))) AS term FROM documents), "
+            "n AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id), "
+            "c AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2), "
+            "v AS (SELECT c.doc_id, CAST(round(-((c.c::DOUBLE / n.n) * "
+            "ln(c.c::DOUBLE / n.n)) * 1000000000) AS BIGINT) AS v "
+            "FROM c JOIN n USING (doc_id)), "
+            "agg AS (SELECT doc_id, count(*)::BIGINT AS n_distinct, "
+            "sum(v)::BIGINT AS h FROM v GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(n.n, 0)::BIGINT AS n_tokens, "
+            "coalesce(a.n_distinct, 0)::BIGINT AS n_distinct, "
+            "coalesce(a.h, 0)::BIGINT AS entropy_x1e9 "
+            "FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id "
+            "LEFT JOIN agg a ON d.doc_id = a.doc_id"
         ),
         "revenue_forecast": (
             "SELECT coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT) * "

@@ -441,6 +441,36 @@ def run_bench() -> dict:
     normalize_pages(corpus).count()
     queries["normalize_text"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.chunking import chunk_documents
+
+    t0 = time.perf_counter()
+    chunk_documents(docs, chunk_tokens=64, stride=48).count()
+    queries["chunk_documents"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.sampling import global_sample_k
+
+    t0 = time.perf_counter()
+    global_sample_k(docs, k=100).count()
+    queries["global_sample"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.corpusstats import length_trim
+
+    t0 = time.perf_counter()
+    length_trim(docs).count()
+    queries["length_trim"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.bm25 import bm25_scores
+
+    t0 = time.perf_counter()
+    bm25_scores(docs, ("sort", "hash", "join", "scan", "window")).count()
+    queries["bm25_scores"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.entropy import token_entropy
+
+    t0 = time.perf_counter()
+    token_entropy(docs).count()
+    queries["token_entropy"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

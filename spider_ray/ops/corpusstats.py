@@ -432,3 +432,60 @@ def decontaminate(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def length_trim(ds, group_col: str = "lang", value_col: str = "n_chars",
+                id_col: str = "doc_id", q_lo: float = 0.05, q_hi: float = 0.95,
+                concurrency: int = 4):
+    """Per-group percentile outlier trim: keep rows whose ``value_col``
+    lies within the group's ``[q_lo, q_hi]`` ``quantile_disc`` band — the
+    standard length-outlier removal of corpus curation (truncated pages
+    and boilerplate megadocs sit in the tails of the per-language length
+    distribution).
+
+    Composes the ``group_quantiles`` histogram fold (shuffle carries only
+    ``(group, value, count)`` rows) with a broadcast band filter: the
+    per-group ``(lo, hi)`` edges — one row per group — ship once via
+    ``ray.put`` and every batch filters locally.  Returns
+    ``(id, group, value)`` for survivors.
+    """
+    edges = group_quantiles(
+        ds, group_col=group_col, value_col=value_col, qs=(q_lo, q_hi),
+        q_names=("lo", "hi"),
+    )
+    emap = {
+        g: (lo, hi)
+        for g, lo, hi in zip(
+            edges.column(group_col).to_pylist(),
+            edges.column("lo").to_pylist(),
+            edges.column("hi").to_pylist(),
+        )
+    }
+    edges_ref = ray.put(emap)
+
+    class Trim:
+        def __init__(self):
+            self.edges = ray.get(edges_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            gs = batch.column(group_col).to_pylist()
+            vs = batch.column(value_col).to_numpy(zero_copy_only=False)
+            keep = pa.array(
+                [
+                    g in self.edges and self.edges[g][0] <= v <= self.edges[g][1]
+                    for g, v in zip(gs, vs)
+                ],
+                pa.bool_(),
+            )
+            t = batch.filter(keep)
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    group_col: t.column(group_col),
+                    value_col: t.column(value_col),
+                }
+            )
+
+    return ds.select_columns([id_col, group_col, value_col]).map_batches(
+        Trim, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
+    )

@@ -195,3 +195,34 @@ def source_mix(ds, weights_x100: dict[str, int], default_x100: int = 100,
     return ds.select_columns([key_col, source_col]).map_batches(
         expand, batch_format="pyarrow"
     )
+
+
+def global_sample_k(ds, k: int, key_col: str = "doc_id"):
+    """Exactly-``k`` deterministic global sample — the corpus-wide sibling
+    of ``stratified_sample`` when the requirement is a fixed COUNT, not a
+    rate (eval-set carve-outs, pilot batches, human-review draws).
+
+    The sample is the ``k`` smallest rows by ``(knuth(key), key)`` — a
+    pure order statistic of the reproducible hash, so membership is
+    stable across runs, partitionings and engines.  Distributed shape:
+    each batch keeps only its own ``k`` smallest candidates (a combiner —
+    no batch can contribute more than ``k`` global winners), then one
+    ``sort + limit`` over the pruned partials.  The wide op sees at most
+    ``k × n_batches`` 16-byte rows, never the corpus; at 100 TB with
+    k=10⁴ that is megabytes.  Returns ``(key,)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _bucket(keys)
+        order = np.lexsort((keys, h))[:k]
+        return pa.table(
+            {
+                key_col: pa.array(keys[order], pa.int64()),
+                "h": pa.array(h[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([key_col]).map_batches(partial, batch_format="pyarrow")
+    out = parts.sort(["h", key_col]).limit(k)
+    return out.map_batches(lambda b: b.select([key_col]), batch_format="pyarrow")

@@ -105,6 +105,11 @@ SQL_QUERIES = (
     "source_mix",
     "line_dedup",
     "normalize_text",
+    "chunk_documents",
+    "global_sample",
+    "length_trim",
+    "bm25_scores",
+    "token_entropy",
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
