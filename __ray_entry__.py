@@ -1165,6 +1165,15 @@ def q_bm25_scores(sf_dir: str):
     return bm25_scores(_docs(sf_dir), BM25_QUERY_TERMS)
 
 
+def q_anchor_terms(sf_dir: str):
+    """Anchor-text aggregation per link target (top-10 terms by count):
+    combiner partials -> one bounded (target, term) shuffle -> per-target
+    rank; golden = sequential page-loop recompute of the pinned spec."""
+    from spider_ray.ops.anchors import anchor_text_terms
+
+    return anchor_text_terms(_corpus_for(sf_dir), k=10)
+
+
 def q_token_entropy(sf_dir: str):
     """Per-doc token Shannon entropy (integer-exact per-term rounding) —
     doc-local, shuffle-free curation signal."""
@@ -1320,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_trim": q_length_trim,
         "bm25_scores": q_bm25_scores,
         "token_entropy": q_token_entropy,
+        "anchor_terms": q_anchor_terms,
         "revenue_forecast": q_revenue_forecast,
         "shipping_priority": q_shipping_priority,
         "needs_js": q_needs_js,

@@ -471,6 +471,12 @@ def run_bench() -> dict:
     token_entropy(docs).count()
     queries["token_entropy"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.anchors import anchor_text_terms
+
+    t0 = time.perf_counter()
+    anchor_text_terms(corpus, k=10).count()
+    queries["anchor_terms"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

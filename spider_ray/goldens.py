@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 27
+GOLDEN_VERSION = 28
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -816,6 +816,49 @@ def seq_needs_js(sf_name: str) -> pa.Table:
     )
 
 
+def seq_anchor_terms(sf_name: str, k: int = 10) -> pa.Table:
+    """Sequential recompute of the anchor-text aggregation: plain page
+    loop over the corpus applying the pinned per-page extractor
+    (``ops/anchors.page_anchor_terms`` — pinned by its own unit tables in
+    tests/test_chunk_bm25_sample.py / test_ops), one Python Counter fold,
+    per-target (n DESC, term) top-k — no Ray, no combiner, no shuffle."""
+    from collections import Counter
+
+    from .fixtures import ensure_scale
+    from .ops.anchors import page_anchor_terms
+
+    corpus_dir = ensure_scale(sf_name)
+    counts: Counter = Counter()
+    for path in sorted(
+        glob.glob(os.path.join(corpus_dir, "*", "*.parquet"))
+        or glob.glob(os.path.join(corpus_dir, "*.parquet"))
+    ):
+        t = pq.read_table(path, columns=["url", "html"])
+        for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            if isinstance(h, (bytes, bytearray)):
+                h = h.decode("utf-8", "replace")
+            counts.update(page_anchor_terms(u, h))
+    per_target: dict[str, list[tuple[str, int]]] = {}
+    for (target, term), n in counts.items():
+        per_target.setdefault(target, []).append((term, n))
+    targets, terms, ns, ranks = [], [], [], []
+    for target in sorted(per_target):
+        pairs = sorted(per_target[target], key=lambda p: (-p[1], p[0]))[:k]
+        for rank, (term, n) in enumerate(pairs, 1):
+            targets.append(target)
+            terms.append(term)
+            ns.append(n)
+            ranks.append(rank)
+    return pa.table(
+        {
+            "target": pa.array(targets, pa.string()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+        }
+    )
+
+
 def seq_scrape_transform(sf_name: str, return_format: str) -> pa.Table:
     """Sequential recompute of the scrape content transform over the fixture
     corpus: plain page-by-page loop (no Ray) applying the pinned converter
@@ -1312,6 +1355,7 @@ GOLDEN_QUERIES = (
     "host_components",
     "scrape_markdown",
     "scrape_commonmark",
+    "anchor_terms",
 )
 
 
@@ -1343,6 +1387,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     tables["needs_js"] = seq_needs_js(sf_name)
     tables["scrape_markdown"] = seq_scrape_transform(sf_name, "markdown")
     tables["scrape_commonmark"] = seq_scrape_transform(sf_name, "commonmark")
+    tables["anchor_terms"] = seq_anchor_terms(sf_name)
     tables["host_degrees"] = seq_host_degrees(lg)
     tables["host_pagerank"] = seq_host_pagerank(lg)
     tables["host_components"] = seq_host_components(lg)

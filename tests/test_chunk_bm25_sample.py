@@ -77,3 +77,28 @@ def test_bm25_zero_match_and_monotone_tf(ray_session):
     assert out[1] == 0
     # same doc length, higher tf -> strictly higher score
     assert out[2] > out[3] > 0
+
+
+def test_page_anchor_terms_pinned_spec():
+    """The anchor extractor's pinned spec: absolute + root-relative hrefs
+    only, aria-hidden and asset suffixes skipped, nested markup stripped,
+    lowercase \\S+ tokens."""
+    from spider_ray.ops.anchors import page_anchor_terms
+
+    html = (
+        '<a href="/x">Go <b>Home</b> NOW</a>'
+        '<a href="https://Other.Example/y?q=1#frag">other SITE</a>'
+        '<a href="/pic.jpg">asset</a>'
+        '<a href="relative/path">rel</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a aria-hidden="true" href="/hid">hidden</a>'
+        '<a href="/x">go</a>'
+    )
+    c = page_anchor_terms("https://www.site0.example/page", html)
+    assert c == {
+        ("https://www.site0.example/x", "go"): 2,
+        ("https://www.site0.example/x", "home"): 1,
+        ("https://www.site0.example/x", "now"): 1,
+        ("https://other.example/y?q=1", "other"): 1,
+        ("https://other.example/y?q=1", "site"): 1,
+    }
