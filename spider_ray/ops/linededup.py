@@ -15,23 +15,25 @@ web corpus:
   trim.  Pure ``pyarrow.compute`` kernels (RE2), zero Python in the row
   path; the DuckDB oracle runs the identical RE2 patterns.
 
-Ray Data shape of ``global_line_dedup`` (two bounded shuffles, no joins,
-no driver state — same tagged-union co-group as ``ops/spans``):
+Ray Data shape of ``global_line_dedup`` (two slim shuffles, no joins, no
+driver state; page TEXT is never shuffled):
 
-1. ``map_batches`` explodes pages into ``(line, url, idx)`` rows with
-   Arrow list kernels — the page text never ships, only its lines (the
-   same total volume), and empty lines never enter the shuffle.
-2. ``groupby(line).map_groups`` picks the ``(url, idx)``-minimum
-   occurrence per distinct line and emits every OTHER occurrence as a
-   drop instruction — linear per group, so a nav line shared by 10⁶
-   pages costs 10⁶ - 1 output rows, never a pairwise blowup.
-3. drop rows co-group with the original pages through one tagged
-   ``groupby(url)`` union (no hash join); each page rebuilds its text
-   minus the dropped line indexes.
+1. one task per input shard explodes its pages into slim
+   ``(h1, h2, occ)`` line-HASH rows (128-bit BLAKE2b, the CCNet
+   line-dedup recipe; ``occ`` order-encodes url/idx/shard) — integer
+   sort keys; empty lines never enter the shuffle (always kept).
+2. ``groupby(h1, h2).min(occ)`` — a NATIVE vectorized aggregate, zero
+   per-group Python — picks the (url, idx)-minimum occurrence of every
+   distinct line; a nav line shared by 10⁶ pages folds combiner-style,
+   never a pairwise blowup.
+3. ``groupby(file_id)`` routes each shard's winners back to its source;
+   the rebuild task re-reads its OWN parquet shard worker-locally
+   (pruned columns) and reassembles every page, keeping winner and
+   empty lines.
 
-At 100 TB the shuffle volume of step 1 equals the corpus text — the
-same bound as any exact-dedup hash pass; the drop-instruction volume of
-step 2 is the duplicated mass only.
+At 100 TB the shuffle volume is one hash row per line plus the
+duplicated mass — the corpus text itself moves zero times, and the
+output is partitioned by input shard (resumable).
 """
 
 from __future__ import annotations
@@ -49,19 +51,43 @@ WS_RUN_PAT = "[ \\t\\n\\r\\f\\v]+"
 DIGIT_PAT = "[0-9]"
 
 
-def _line_rows(batch: pa.Table) -> pa.Table:
-    """Explode corpus pages into (line, url, idx) rows, skipping empty
-    lines (they carry no content and would otherwise all collapse onto
-    one global winner)."""
+def _hash128(line: str) -> tuple[int, int]:
+    """128-bit BLAKE2b line fingerprint as two int64 halves — the shuffle
+    key.  Grouping by a hash instead of the line text is the CCNet recipe
+    (their line dedup shuffles SHA1 prefixes, not lines): it turns the
+    all-to-all into fixed 32-byte rows with integer sort keys (measured at
+    the sf0.1 fixture: 37.6M-row string-keyed sort ~6.5 min, hash-keyed
+    seconds).  At 128 bits a collision across even 10¹² distinct lines is
+    ~1e-14 — beyond any realistic corpus."""
+    import hashlib
+
+    d = hashlib.blake2b(line.encode("utf-8"), digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little", signed=True),
+        int.from_bytes(d[8:], "little", signed=True),
+    )
+
+
+def _line_rows(batch: pa.Table, file_id: int) -> pa.Table:
+    """Explode corpus pages into ``(h1, h2, occ)`` line-hash rows, skipping
+    empty lines (they carry no content, are always kept, and would
+    otherwise all collapse onto one global winner).
+
+    ``occ`` is the occurrence's order-encoded provenance
+    ``url \x00 idx(10 digits) \x00 file_id`` — lexicographic order on
+    ``occ`` IS the (url, idx) order, so the corpus-global winner per
+    distinct line is a plain vectorized ``min`` aggregate, no per-group
+    Python."""
     batch = _corpus_page_filter(batch)
+    empty = pa.table(
+        {
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+            "occ": pa.array([], pa.string()),
+        }
+    )
     if len(batch) == 0:
-        return pa.table(
-            {
-                "line": pa.array([], pa.string()),
-                "url": pa.array([], pa.string()),
-                "idx": pa.array([], pa.int64()),
-            }
-        )
+        return empty
     lines_list = pc.split_pattern(batch.column("text"), pattern="\n")
     flat = pc.list_flatten(lines_list)
     parent = pc.list_parent_indices(lines_list)
@@ -70,32 +96,39 @@ def _line_rows(batch: pa.Table) -> pa.Table:
     idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
         offsets[:-1], np.diff(offsets)
     )
-    t = pa.table(
-        {
-            "line": flat,
-            "url": pc.take(batch.column("url"), parent),
-            "idx": pa.array(idx, pa.int64()),
-        }
-    )
-    return t.filter(pc.not_equal(t.column("line"), ""))
-
-
-def _losers_of_line(group: pa.Table) -> pa.Table:
-    """All occurrences of one distinct line EXCEPT the (url, idx)-minimum
-    one -> (url, idx) drop instructions."""
-    urls = np.asarray(group.column("url"))
-    idxs = np.asarray(group.column("idx"), dtype=np.int64)
-    if len(urls) <= 1:
-        return pa.table(
-            {"url": pa.array([], pa.string()), "idx": pa.array([], pa.int64())}
-        )
-    order = np.lexsort((idxs, urls))
-    keep = np.ones(len(urls), dtype=bool)
-    keep[order[0]] = False  # the winner survives; everything else drops
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    keep_np = np.asarray(nonempty)
+    urls = pc.take(batch.column("url"), parent).filter(pa.array(keep_np)).to_pylist()
+    idx = idx[keep_np]
+    h1 = np.empty(len(flat), dtype=np.int64)
+    h2 = np.empty(len(flat), dtype=np.int64)
+    occ = [None] * len(flat)
+    for i, line in enumerate(flat.to_pylist()):
+        h1[i], h2[i] = _hash128(line)
+        occ[i] = f"{urls[i]}\x00{idx[i]:010d}\x00{file_id}"
     return pa.table(
         {
-            "url": pa.array(urls[keep], pa.string()),
-            "idx": pa.array(idxs[keep], pa.int64()),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+            "occ": pa.array(occ, pa.string()),
+        }
+    )
+
+
+def _decode_winners(batch: pa.Table) -> pa.Table:
+    """``min(occ)`` winner strings -> ``(file_id, url, idx)`` keep rows."""
+    fids, urls, idxs = [], [], []
+    for occ in batch.column("min(occ)").to_pylist():
+        u, i, f = occ.rsplit("\x00", 2)
+        fids.append(int(f))
+        urls.append(u)
+        idxs.append(int(i))
+    return pa.table(
+        {
+            "file_id": pa.array(fids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "idx": pa.array(idxs, pa.int64()),
         }
     )
 
@@ -105,61 +138,130 @@ def global_line_dedup(corpus_dir: str):
     corpus-global first-occurrence line dedup (see module docstring).
     ``clean_text`` is null when every line was dropped (string_agg-over-
     nothing parity with the SQL oracle); empty lines are always kept.
+
+    Page TEXT never enters a shuffle, and no per-group Python runs on the
+    wide path: the corpus-global winner per distinct line is a native
+    ``groupby(h1, h2).min(occ)`` aggregate over order-encoded occurrence
+    strings, and winners route back to their page's source shard by
+    ``file_id`` where the rebuild task re-reads its own parquet shard
+    worker-locally (pruned columns).  Two earlier designs measured at the
+    sf0.1 fixture and rejected: co-grouping drops with a page-text stream
+    livelocks Ray 2.49's executor (UnionOperator stops forwarding when a
+    downstream Sort holds the memory budget — wedged 15+ min at 100%
+    driver CPU), and a per-line-group ``map_groups`` UDF costs millions of
+    tiny Python calls (~2 M groups, minutes of pure overhead).  Keying the
+    shuffle by int64 line hashes instead of line text (the CCNet recipe)
+    also cut the explode sort from ~6.5 min to seconds.
+
+    Output is naturally partitioned by input shard — the resumable layout
+    ``ops/io.write_partitioned`` expects.
     """
+    import glob as _glob
+    import os
+
+    import ray
     import ray.data
 
-    pages = ray.data.read_parquet(corpus_dir, columns=["url", "text"])
+    files = sorted(
+        _glob.glob(os.path.join(corpus_dir, "*", "*.parquet"))
+        or _glob.glob(os.path.join(corpus_dir, "*.parquet"))
+    )
+    if not files:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "n_removed": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                }
+            )
+        )
+    files_ref = ray.put(files)  # O(shards) path list, shipped once
 
-    drops = (
-        pages.map_batches(_line_rows, batch_format="pyarrow")
-        .groupby("line")
-        .map_groups(_losers_of_line, batch_format="pyarrow")
+    def explode_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        paths = ray.get(files_ref)
+        out = []
+        for i in batch.column("item").to_pylist():
+            rows = _line_rows(pq.read_table(paths[i], columns=["url", "text"]), i)
+            # in-shard combiner: C++ group_by min collapses within-shard
+            # repeats before anything shuffles
+            rows = (
+                rows.group_by(["h1", "h2"])
+                .aggregate([("occ", "min")])
+                .rename_columns(["h1", "h2", "occ"])
+            )
+            out.append(
+                rows.append_column(
+                    "part",
+                    pc.bit_wise_and(rows.column("h1"), pa.scalar(255, pa.int64())),
+                )
+            )
+        return pa.concat_tables(out)
+
+    def part_winners(group: pa.Table) -> pa.Table:
+        # one call per hash partition (256 total): the cross-shard min is a
+        # C++ group_by over the partition, never per-line Python.  Ray's
+        # native groupby(h1, h2).min on the same input measured 349 s at
+        # sf0.1 (37.6M rows); this coarse manual hash-aggregate does the
+        # identical fold in seconds.
+        won = (
+            group.group_by(["h1", "h2"])
+            .aggregate([("occ", "min")])
+            .rename_columns(["h1", "h2", "min(occ)"])
+        )
+        return _decode_winners(won)
+
+    shards = ray.data.from_items(list(range(len(files))))
+    winners = (
+        shards.map_batches(explode_shard, batch_format="pyarrow", batch_size=1)
+        .groupby("part")
+        .map_groups(part_winners, batch_format="pyarrow")
     )
 
-    def page_rows(batch: pa.Table) -> pa.Table:
-        batch = _corpus_page_filter(batch)
-        return pa.table(
-            {
-                "url": batch.column("url"),
-                "text": batch.column("text"),
-                "idx": pa.nulls(batch.num_rows, pa.int64()),
-            }
-        )
-
-    def drop_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url": batch.column("url"),
-                "text": pa.nulls(batch.num_rows, pa.string()),
-                "idx": batch.column("idx"),
-            }
-        )
-
-    tagged = pages.map_batches(page_rows, batch_format="pyarrow").union(
-        drops.map_batches(drop_rows, batch_format="pyarrow")
+    # one sentinel row per shard so shards with zero winners still rebuild
+    sentinels = pa.table(
+        {
+            "file_id": pa.array(list(range(len(files))), pa.int64()),
+            "url": pa.array([""] * len(files), pa.string()),
+            "idx": pa.array([-1] * len(files), pa.int64()),
+        }
     )
+    tagged = winners.union(ray.data.from_arrow(sentinels))
 
-    def rebuild(group: pa.Table) -> pa.Table:
-        url = group.column("url")[0].as_py()
-        texts = [t for t in group.column("text").to_pylist() if t is not None]
-        lines = (texts[0] if texts else "").split("\n")
-        drop = np.zeros(len(lines), dtype=bool)
-        for i in group.column("idx").to_pylist():
-            if i is not None:
-                drop[i] = True
-        kept = [ln for ln, d in zip(lines, drop) if not d]
+    def rebuild_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        paths = ray.get(files_ref)
+        fid = int(group.column("file_id")[0].as_py())
+        won: dict[str, set] = {}
+        for u, i in zip(group.column("url").to_pylist(), group.column("idx").to_pylist()):
+            if i is not None and i >= 0:
+                won.setdefault(u, set()).add(i)
+        t = _corpus_page_filter(pq.read_table(paths[fid], columns=["url", "text"]))
+        out_url, out_n, out_rm, out_clean = [], [], [], []
+        for u, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
+            lines = text.split("\n")
+            mine = won.get(u, ())
+            kept = [ln for i, ln in enumerate(lines) if ln == "" or i in mine]
+            out_url.append(u)
+            out_n.append(len(lines))
+            out_rm.append(len(lines) - len(kept))
+            out_clean.append("\n".join(kept) if kept else None)
         return pa.table(
             {
-                "url": pa.array([url], pa.string()),
-                "n_lines": pa.array([len(lines)], pa.int64()),
-                "n_removed": pa.array([int(drop.sum())], pa.int64()),
-                "clean_text": pa.array(
-                    ["\n".join(kept) if kept else None], pa.string()
-                ),
+                "url": pa.array(out_url, pa.string()),
+                "n_lines": pa.array(out_n, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "clean_text": pa.array(out_clean, pa.string()),
             }
         )
 
-    return tagged.groupby("url").map_groups(rebuild, batch_format="pyarrow")
+    return tagged.groupby("file_id").map_groups(
+        rebuild_shard, batch_format="pyarrow"
+    )
 
 
 def normalize_pages(corpus_dir: str):
