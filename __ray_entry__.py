@@ -1217,6 +1217,96 @@ def q_shipping_priority(sf_dir: str):
     return shipping_priority(li, orders, cust, num_partitions=8)
 
 
+def q_funnel_counts(sf_dir: str):
+    """Ordered conversion funnel (view -> signup -> purchase, 24 h windows):
+    slim 3-type rows take ONE coarse hash(user) shuffle; each of 64
+    partitions folds with C++ group_by/join/filter chains — no per-user
+    Python anywhere."""
+    import ray.data
+
+    from spider_ray.ops.behavior import funnel_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_counts(ev)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Retention triangle (cohort day × active-day offset × users): batch
+    dedup to distinct (user, day), one coarse user-hash shuffle, Arrow-only
+    per-partition fold."""
+    import ray.data
+
+    from spider_ray.ops.behavior import retention_cohorts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev)
+
+
+def q_order_priority_check(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join of two fact tables: lineitem
+    reduces to distinct qualifying orderkeys, auto broadcast/cogroup
+    semi-join, priority rollup — only int64 keys and partials shuffle."""
+    import ray.data
+
+    from spider_ray.ops.relational import order_priority_check
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+    return order_priority_check(orders, li)
+
+
+def q_customer_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped LEFT OUTER count distribution without a join
+    operator: tagged slim partials, one coarse custkey shuffle, per-part
+    C++ fold (zero-order customers included exactly)."""
+    import ray.data
+
+    from spider_ray.ops.relational import customer_order_distribution
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    return customer_order_distribution(cust, orders)
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped broadcast dimension chain: supplier⋈nation⋈region
+    joined once driver-side, broadcast once; the fact table never
+    shuffles — per-batch C++ join + integer partials only."""
+    import ray.data
+
+    from spider_ray.ops.relational import regional_revenue, supplier_nation_dims
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    return regional_revenue(li, supplier_nation_dims(sf_dir, region="ASIA"))
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact φ=1/5000 heavy-hitter trigrams via mergeable Misra-Gries
+    summaries (64-way tree merge, bounded driver fold) + broadcast
+    candidate recount — the tail vocabulary never shuffles."""
+    from spider_ray.ops.heavyhitters import heavy_hitter_ngrams
+
+    return heavy_hitter_ngrams(_docs(sf_dir), n=3, inv_phi=5000, capacity=8192)
+
+
 def entry() -> Any:
     """Flagship: full crawl of the sf0.001-scale synthetic web corpus."""
     from spider_ray.config import CrawlConfig, CrawlJob
@@ -1332,6 +1422,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms": q_anchor_terms,
         "revenue_forecast": q_revenue_forecast,
         "shipping_priority": q_shipping_priority,
+        "funnel_counts": q_funnel_counts,
+        "retention_cohorts": q_retention_cohorts,
+        "order_priority_check": q_order_priority_check,
+        "customer_distribution": q_customer_distribution,
+        "regional_revenue": q_regional_revenue,
+        "heavy_hitters": q_heavy_hitters,
         "needs_js": q_needs_js,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
@@ -1815,6 +1911,62 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT l_orderkey, o_orderdate_us, revenue_x10000 FROM g "
             "ORDER BY revenue_x10000 DESC, l_orderkey LIMIT 10"
+        ),
+        "funnel_counts": (
+            "WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+            "WHERE event_type='view' GROUP BY 1), "
+            "s AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+            "JOIN v ON e.user_id = v.user_id WHERE e.event_type='signup' "
+            "AND epoch_us(e.ts) >= v.t AND epoch_us(e.ts) < v.t + 86400000000 GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+            "JOIN s ON e.user_id = s.user_id WHERE e.event_type='purchase' "
+            "AND epoch_us(e.ts) >= s.t AND epoch_us(e.ts) < s.t + 86400000000 GROUP BY 1) "
+            "SELECT stage, n_users::BIGINT AS n_users FROM (VALUES "
+            "('view', (SELECT count(*) FROM v)), "
+            "('signup', (SELECT count(*) FROM s)), "
+            "('purchase', (SELECT count(*) FROM p))) AS f(stage, n_users)"
+        ),
+        "retention_cohorts": (
+            "WITH d AS (SELECT DISTINCT user_id, epoch_us(ts)//86400000000 AS day "
+            "FROM events), "
+            "f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1) "
+            "SELECT (f.cohort*86400)::BIGINT AS cohort_day_s, "
+            "(d.day - f.cohort)::BIGINT AS day_offset, count(*)::BIGINT AS n_users "
+            "FROM d JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "order_priority_check": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders FROM orders o "
+            "WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) "
+            "GROUP BY 1"
+        ),
+        "customer_distribution": (
+            "SELECT c_count, count(*)::BIGINT AS n_custs FROM ("
+            "SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count "
+            "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1) GROUP BY 1"
+        ),
+        "regional_revenue": (
+            "SELECT n_name, count(*)::BIGINT AS n_items, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT AS revenue_x10000 "
+            "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA' GROUP BY 1"
+        ),
+        "heavy_hitters": (
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(lower(text), '\S+')) AS term, "
+            r"generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1) AS pos "
+            r"FROM documents), "
+            r"tri AS (SELECT a.term || ' ' || b.term || ' ' || c.term AS gram "
+            r"FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            r"JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+            r"cnt AS (SELECT gram, count(*)::BIGINT AS n FROM tri GROUP BY 1), "
+            r"tot AS (SELECT sum(n)::BIGINT AS t FROM cnt) "
+            r"SELECT gram, n FROM cnt, tot WHERE n * 5000 >= t"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -477,6 +477,66 @@ def run_bench() -> dict:
     anchor_text_terms(corpus, k=10).count()
     queries["anchor_terms"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.behavior import funnel_counts, retention_cohorts
+
+    ev_fn = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    t0 = time.perf_counter()
+    funnel_counts(ev_fn).count()
+    queries["funnel_counts"] = round(time.perf_counter() - t0, 3)
+
+    ev_rt = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    t0 = time.perf_counter()
+    retention_cohorts(ev_rt).count()
+    queries["retention_cohorts"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.relational import (
+        customer_order_distribution,
+        order_priority_check,
+        regional_revenue,
+        supplier_nation_dims,
+    )
+
+    orders_q4 = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li_q4 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+    t0 = time.perf_counter()
+    order_priority_check(orders_q4, li_q4).count()
+    queries["order_priority_check"] = round(time.perf_counter() - t0, 3)
+
+    cust_q13 = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders_q13 = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    t0 = time.perf_counter()
+    customer_order_distribution(cust_q13, orders_q13).count()
+    queries["customer_distribution"] = round(time.perf_counter() - t0, 3)
+
+    li_q5 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    t0 = time.perf_counter()
+    regional_revenue(li_q5, supplier_nation_dims(sf_dir, region="ASIA")).count()
+    queries["regional_revenue"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.heavyhitters import heavy_hitter_ngrams
+
+    t0 = time.perf_counter()
+    heavy_hitter_ngrams(docs, n=3, inv_phi=5000, capacity=8192).count()
+    queries["heavy_hitters"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

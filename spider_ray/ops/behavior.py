@@ -1,0 +1,201 @@
+"""Behavioral event analytics: ordered funnels and retention cohorts.
+
+Both ops follow the coarse-hash-aggregate pattern proven in
+``ops/linededup.py`` (per-batch pyarrow C++ combiner -> ONE shuffle of slim
+rows keyed by ``part = hash(user) & 63`` -> one vectorized C++ pass per
+partition): Ray's native ``groupby(user).map_groups`` would issue one
+Python call per user (millions at web scale), while 64 coarse partitions
+keep every fold a handful of Arrow kernel calls regardless of user count.
+
+Scale notes (100 TB framing):
+* Only slim columns ever shuffle — ``(user_id, type_code, ts_us)`` for the
+  funnel (17 B/row, and only the funnel's 3 event types survive the
+  pruned-read filter), distinct ``(user_id, day)`` pairs for retention
+  (16 B/row, pre-deduped per batch so at most one row per user-day-batch).
+* Per-partition state is O(users-in-partition), spread uniformly by the
+  Knuth multiplicative hash — no hot-key amplification from a hot user,
+  since per-user payload is already reduced to mins/distinct days.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNUTH = 2654435761
+_NPARTS = 64  # coarse partitions; each fold is one C++ group_by
+
+
+def coarse_part(key_col: pa.ChunkedArray | pa.Array, nparts: int = _NPARTS) -> pa.Array:
+    """Deterministic coarse partition id from an int64 key (wrapping
+    multiply is intentional — this is a scatter key, not a value).
+    Shared by every coarse-hash-aggregate op in the package."""
+    mixed = pc.multiply(pc.cast(key_col, pa.int64()), pa.scalar(_KNUTH, pa.int64()))
+    return pc.bit_wise_and(pc.shift_right(mixed, pa.scalar(17, pa.int64())),
+                           pa.scalar(nparts - 1, pa.int64()))
+
+
+_part_of = coarse_part
+
+
+# ---------------------------------------------------------------------------
+# ordered funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "signup", "purchase")
+
+
+def funnel_counts(events, stages=_FUNNEL_STAGES, window_s: int = 86400):
+    """``(stage, n_users)`` — users reaching each step of an ORDERED funnel
+    within a per-step conversion window.
+
+    Semantics (matched exactly by the DuckDB oracle): ``t0(user)`` is the
+    first ``stages[0]`` event; ``t1(user)`` the first ``stages[1]`` event in
+    ``[t0, t0 + window)``; ``t2`` the first ``stages[2]`` in
+    ``[t1, t1 + window)``.  ``n_users`` counts users with a non-null
+    timestamp at that stage.
+
+    Plan: filter to funnel types in-batch (everything else never leaves the
+    read), slim to ``(user_id, code, ts_us)``, one coarse shuffle, then a
+    per-partition vectorized chain of ``group_by(min)`` + hash join +
+    filter — three Arrow kernels per partition, no per-user Python.
+    """
+    stages = tuple(stages)
+    code_of = {s: i for i, s in enumerate(stages)}
+    window_us = int(window_s) * 1_000_000
+
+    def slim(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"), value_set=pa.array(stages))
+        t = batch.filter(mask)
+        codes = pa.array(
+            [code_of[s] for s in t.column("event_type").to_pylist()], pa.int8()
+        )
+        out = pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "code": codes,
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+        return out.append_column("part", _part_of(out.column("user_id")))
+
+    def fold_partition(group: pa.Table) -> pa.Table:
+        # stage 0: first t0 per user
+        cur = (
+            group.filter(pc.equal(group.column("code"), 0))
+            .group_by(["user_id"])
+            .aggregate([("ts_us", "min")])
+            .rename_columns(["user_id", "t_prev"])
+        )
+        counts = [cur.num_rows]
+        for k in range(1, len(stages)):
+            cand = group.filter(pc.equal(group.column("code"), k)).select(
+                ["user_id", "ts_us"]
+            )
+            j = cand.join(cur, keys=["user_id"], join_type="inner")
+            j = j.filter(
+                pc.and_(
+                    pc.greater_equal(j.column("ts_us"), j.column("t_prev")),
+                    pc.less(
+                        j.column("ts_us"),
+                        pc.add(j.column("t_prev"), pa.scalar(window_us, pa.int64())),
+                    ),
+                )
+            )
+            cur = (
+                j.group_by(["user_id"])
+                .aggregate([("ts_us", "min")])
+                .rename_columns(["user_id", "t_prev"])
+            )
+            counts.append(cur.num_rows)
+        return pa.table(
+            {
+                "stage": pa.array(list(stages), pa.string()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = (
+        events.map_batches(slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_partition, batch_format="pyarrow")
+    )
+    rolled = partials.groupby("stage").sum("n_users")
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "stage": b.column("stage"),
+                "n_users": pc.cast(b.column("sum(n_users)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def retention_cohorts(events):
+    """``(cohort_day_s, day_offset, n_users)`` — classic retention triangle:
+    a user's cohort is the UTC day of their first event; the user counts
+    toward ``(cohort, d)`` for every distinct day ``cohort + d`` they were
+    active (offset 0 = the cohort day itself).
+
+    Plan: per-batch dedup to distinct ``(user_id, day)`` (C++ group_by),
+    coarse shuffle by user hash, then per partition: global re-dedup, min
+    day per user, one hash join, one group count — all Arrow kernels.
+    """
+
+    def slim(batch: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(_DAY_US, pa.int64()))
+        t = pa.table(
+            {"user_id": pc.cast(batch.column("user_id"), pa.int64()), "day": days}
+        )
+        t = (
+            t.group_by(["user_id", "day"])
+            .aggregate([])  # distinct (user, day) within the batch
+        )
+        return t.append_column("part", _part_of(t.column("user_id")))
+
+    def fold_partition(group: pa.Table) -> pa.Table:
+        t = group.select(["user_id", "day"]).group_by(["user_id", "day"]).aggregate([])
+        cohorts = (
+            t.group_by(["user_id"])
+            .aggregate([("day", "min")])
+            .rename_columns(["user_id", "cohort"])
+        )
+        j = t.join(cohorts, keys=["user_id"], join_type="inner")
+        off = pc.subtract(j.column("day"), j.column("cohort"))
+        pairs = pa.table({"cohort": j.column("cohort"), "day_offset": off})
+        counted = (
+            pairs.group_by(["cohort", "day_offset"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["cohort", "day_offset", "n_users"])
+        )
+        return counted
+
+    partials = (
+        events.map_batches(slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_partition, batch_format="pyarrow")
+    )
+    rolled = partials.groupby(["cohort", "day_offset"]).sum("n_users")
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "cohort_day_s": pc.multiply(
+                    pc.cast(b.column("cohort"), pa.int64()),
+                    pa.scalar(86400, pa.int64()),
+                ),
+                "day_offset": pc.cast(b.column("day_offset"), pa.int64()),
+                "n_users": pc.cast(b.column("sum(n_users)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -451,3 +451,265 @@ def events_rollup(events, width_s: int = 86400):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def order_priority_check(
+    orders,
+    lineitem,
+    date_from: str = "1996-07-01",
+    date_to: str = "1996-10-01",
+    qty_gt: float = 45.0,
+):
+    """TPC-H Q4 shape — EXISTS semi-join of two fact tables.
+
+    ``(o_orderpriority, n_orders)`` over orders in ``[date_from, date_to)``
+    that have AT LEAST ONE lineitem with ``l_quantity > qty_gt`` (the
+    schema's analogue of Q4's ``commitdate < receiptdate`` — a
+    lineitem-local predicate).
+
+    Plan: the lineitem side reduces per batch to DISTINCT qualifying
+    orderkeys (C++ group_by — duplicates never shuffle), then
+    :func:`~spider_ray.ops.joins.semi_join_ids` picks broadcast vs cogroup
+    by the qualifying-id count; the surviving orders fold to a per-batch
+    priority partial and one tiny groupby.  No wide row ever moves: the
+    only shuffled payloads are int64 orderkeys and (priority, count)
+    partials.
+    """
+    from datetime import datetime, timezone
+
+    from .joins import semi_join_ids
+
+    def _us(s: str) -> int:
+        return int(
+            datetime.strptime(s, "%Y-%m-%d").replace(tzinfo=timezone.utc).timestamp()
+            * 1_000_000
+        )
+
+    lo, hi = _us(date_from), _us(date_to)
+
+    def qualifying_ids(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.greater(batch.column("l_quantity"), qty_gt))
+        return (
+            pa.table({"o_orderkey": hit.column("l_orderkey")})
+            .group_by(["o_orderkey"])
+            .aggregate([])
+        )
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("o_orderdate"), pa.int64())
+        return batch.filter(
+            pc.and_(pc.greater_equal(ts, pa.scalar(lo, pa.int64())),
+                    pc.less(ts, pa.scalar(hi, pa.int64())))
+        )
+
+    ids = lineitem.map_batches(qualifying_ids, batch_format="pyarrow")
+    window = orders.map_batches(in_window, batch_format="pyarrow")
+    hits = semi_join_ids(window, ids, id_column="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "n_orders": pa.nulls(len(batch), pa.int64()).fill_null(1),
+            }
+        )
+        return (
+            t.group_by(["o_orderpriority"])
+            .aggregate([("n_orders", "sum")])
+            .rename_columns(["o_orderpriority", "n_orders"])
+        )
+
+    rolled = (
+        hits.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum("n_orders")
+    )
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "n_orders": pc.cast(b.column("sum(n_orders)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def customer_order_distribution(customer, orders):
+    """TPC-H Q13 shape — LEFT OUTER big×big aggregation WITHOUT a join
+    operator: ``(c_count, n_custs)`` = how many customers placed exactly
+    ``c_count`` orders, INCLUDING the zero-order customers.
+
+    Plan (referentially exact — only custkeys present in ``customer``
+    count, orphan orders are dropped like the SQL LEFT JOIN does): both
+    sides reduce per batch to slim tagged partials — ``(custkey, n, tag)``
+    where the orders side pre-counts per batch — then ONE coarse shuffle by
+    ``hash(custkey) & 63`` co-locates each customer with its counts; each
+    of the 64 partitions folds with two C++ group_bys and a left-outer
+    pyarrow join, emitting an already-tiny ``(c_count, n_custs)``
+    histogram partial.  Native ``Dataset.join`` is avoided deliberately:
+    it crashes on empty hash partitions (Ray 2.49) and would shuffle wide
+    rows; here nothing wider than 17 bytes moves.
+    """
+    from .behavior import coarse_part
+
+    def cust_slim(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+                "n": pa.nulls(batch.num_rows, pa.int64()).fill_null(0),
+                "tag": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
+            }
+        )
+        return t.append_column("part", coarse_part(t.column("custkey")))
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        c = (
+            pa.table({"custkey": pc.cast(batch.column("o_custkey"), pa.int64())})
+            .group_by(["custkey"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["custkey", "n"])
+        )
+        t = c.append_column("tag", pa.nulls(c.num_rows, pa.int8()).fill_null(0))
+        return t.append_column("part", coarse_part(t.column("custkey")))
+
+    def fold_partition(group: pa.Table) -> pa.Table:
+        custs = (
+            group.filter(pc.equal(group.column("tag"), 1))
+            .select(["custkey"])
+            .group_by(["custkey"])
+            .aggregate([])
+        )
+        counts = (
+            group.filter(pc.equal(group.column("tag"), 0))
+            .select(["custkey", "n"])
+            .group_by(["custkey"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["custkey", "c_count"])
+        )
+        j = custs.join(counts, keys=["custkey"], join_type="left outer")
+        c_count = j.column("c_count").combine_chunks().fill_null(0)
+        return (
+            pa.table({"c_count": c_count})
+            .group_by(["c_count"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["c_count", "n_custs"])
+        )
+
+    partials = (
+        orders.map_batches(order_partials, batch_format="pyarrow")
+        .union(customer.map_batches(cust_slim, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold_partition, batch_format="pyarrow")
+    )
+    rolled = partials.groupby("c_count").sum("n_custs")
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "c_count": pc.cast(b.column("c_count"), pa.int64()),
+                "n_custs": pc.cast(b.column("sum(n_custs)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def regional_revenue(lineitem, dims: pa.Table):
+    """TPC-H Q5 shape — fact table vs a broadcast dimension chain.
+
+    ``dims`` is the pre-joined supplier→nation(→region-filtered) lookup
+    ``(l_suppkey, n_name)`` — dimension tables are small by definition, so
+    the chain join happens once driver-side (pyarrow) and broadcasts ONCE
+    via ``ray.put``; every fact batch inner-joins against it in C++ and
+    folds to per-nation integer partials.  The fact table never shuffles
+    at all — the only exchange is the final nations-sized groupby.
+
+    Returns ``(n_name, n_items, revenue_x10000)`` with the same
+    pure-integer revenue as :func:`order_priority_revenue`.
+    """
+    import ray
+
+    dims_ref = ray.put(dims)
+
+    class _Score:
+        def __init__(self):
+            self.dims = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents = _cents(batch.column("l_extendedprice"))
+            disc = _cents(batch.column("l_discount"))
+            t = pa.table(
+                {
+                    "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                    "n_items": pa.nulls(len(batch), pa.int64()).fill_null(1),
+                    "revenue_x10000": pc.multiply(
+                        cents, pc.subtract(pa.scalar(100, pa.int64()), disc)
+                    ),
+                }
+            )
+            j = t.join(self.dims, keys=["l_suppkey"], join_type="inner")
+            return (
+                j.group_by(["n_name"])
+                .aggregate([("n_items", "sum"), ("revenue_x10000", "sum")])
+                .rename_columns(["n_name", "n_items", "revenue_x10000"])
+            )
+
+    from ..poolsize import autoscale_pool
+
+    partials = lineitem.map_batches(
+        _Score,
+        batch_format="pyarrow",
+        concurrency=autoscale_pool(1),
+        num_cpus=0.5,
+    )
+    rolled = partials.groupby("n_name").sum(["n_items", "revenue_x10000"])
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b.column("n_name"),
+                "n_items": pc.cast(b.column("sum(n_items)"), pa.int64()),
+                "revenue_x10000": pc.cast(b.column("sum(revenue_x10000)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def supplier_nation_dims(sf_dir: str, region: str | None = "ASIA") -> pa.Table:
+    """Driver-side dimension chain for :func:`regional_revenue`:
+    supplier ⋈ nation (⋈ region filter) → ``(l_suppkey, n_name)``.
+    Dimension reads are column-pruned single-file pyarrow reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    if region is not None:
+        reg = pq.read_table(
+            os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+        )
+        reg = reg.filter(pc.equal(reg.column("r_name"), region))
+        nat = nat.join(
+            reg.select(["r_regionkey"]),
+            keys=["n_regionkey"],
+            right_keys=["r_regionkey"],
+            join_type="inner",
+        )
+    dims = sup.join(
+        nat.select(["n_nationkey", "n_name"]),
+        keys=["s_nationkey"],
+        right_keys=["n_nationkey"],
+        join_type="inner",
+    )
+    return pa.table(
+        {
+            "l_suppkey": pc.cast(dims.column("s_suppkey"), pa.int64()),
+            "n_name": dims.column("n_name"),
+        }
+    )

@@ -1,0 +1,198 @@
+"""Unit tests for the funnel / retention / Q4 / Q13 / Q5 / heavy-hitter ops
+— edge cases the sf-level oracle compare can't isolate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _events(rows):
+    """rows: (user_id, ts_us, event_type)"""
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+HOUR = 3_600_000_000
+
+
+def test_funnel_window_boundaries(ray_session):
+    from spider_ray.ops.behavior import funnel_counts
+
+    rows = [
+        # u1: converts fully inside windows
+        (1, 0, "view"), (1, HOUR, "signup"), (1, 2 * HOUR, "purchase"),
+        # u2: signup exactly AT window end (excluded: [t, t+win))
+        (2, 0, "view"), (2, 24 * HOUR, "signup"),
+        # u3: signup BEFORE first view never counts
+        (3, HOUR, "signup"), (3, 2 * HOUR, "view"),
+        # u4: reaches signup (2h after view) but its only purchase precedes
+        # the signup, so the purchase stage is not reached
+        (4, 0, "view"), (4, HOUR, "purchase"), (4, 2 * HOUR, "signup"),
+        # u5: second signup inside window rescues a too-late first one? no —
+        # first signup >= view is at 25h, outside; the 1h one is pre-view
+        (5, 2 * HOUR, "view"), (5, HOUR, "signup"), (5, 27 * HOUR, "signup"),
+    ]
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(_events(rows), window_s=86400).take_all()
+    }
+    assert got == {"view": 5, "signup": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_counts(ray_session):
+    from spider_ray.ops.behavior import funnel_counts
+
+    rows = [(1, 5, "view"), (1, 5, "signup"), (1, 5, "purchase")]
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(_events(rows), window_s=60).take_all()
+    }
+    assert got == {"view": 1, "signup": 1, "purchase": 1}
+
+
+def test_retention_offsets(ray_session):
+    from spider_ray.ops.behavior import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0, "view"), (1, day + 5, "view"), (1, day + 9, "view"),  # d0, d1
+        (2, day, "view"), (2, 3 * day, "view"),                      # cohort d1
+        (3, 0, "view"),                                              # d0 only
+    ]
+    got = {
+        (r["cohort_day_s"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(_events(rows)).take_all()
+    }
+    assert got == {
+        (0, 0): 2, (0, 1): 1,
+        (86400, 0): 1, (86400, 2): 1,
+    }
+
+
+def _orders(rows):
+    """rows: (orderkey, custkey, date_us, priority)"""
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_order_priority_check_semantics(ray_session):
+    from spider_ray.ops.relational import order_priority_check
+
+    in_win = 838_857_600_000_000  # 1996-08-01 (inside the default window)
+    out_win = 0
+    orders = _orders(
+        [
+            (1, 1, in_win, "1-URGENT"),   # qualifies (one heavy line)
+            (2, 1, in_win, "1-URGENT"),   # no heavy lineitem
+            (3, 1, out_win, "1-URGENT"),  # heavy line but outside window
+            (4, 1, in_win, "5-LOW"),      # two heavy lines -> counted ONCE
+        ]
+    )
+    li = rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3, 4, 4], pa.int64()),
+                "l_quantity": pa.array([50.0, 10.0, 50.0, 46.0, 49.0]),
+            }
+        )
+    )
+    got = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in order_priority_check(orders, li).take_all()
+    }
+    assert got == {"1-URGENT": 1, "5-LOW": 1}
+
+
+def test_customer_distribution_includes_zero_and_drops_orphans(ray_session):
+    from spider_ray.ops.relational import customer_order_distribution
+
+    cust = rd.from_arrow(pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}))
+    # cust 1 -> 2 orders, cust 2 -> 1, cust 3/4 -> 0; custkey 99 is an orphan
+    orders = rd.from_arrow(
+        pa.table({"o_custkey": pa.array([1, 1, 2, 99], pa.int64())})
+    )
+    got = {
+        r["c_count"]: r["n_custs"]
+        for r in customer_order_distribution(cust, orders).take_all()
+    }
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_regional_revenue_dim_chain(ray_session):
+    from spider_ray.ops.relational import regional_revenue
+
+    dims = pa.table(
+        {
+            "l_suppkey": pa.array([1, 2], pa.int64()),
+            "n_name": pa.array(["A", "B"], pa.string()),
+        }
+    )
+    li = rd.from_arrow(
+        pa.table(
+            {
+                "l_suppkey": pa.array([1, 1, 2, 3], pa.int64()),  # 3 not in dims
+                "l_extendedprice": pa.array([1.0, 2.0, 10.0, 5.0]),
+                "l_discount": pa.array([0.0, 0.5, 0.1, 0.0]),
+            }
+        )
+    )
+    got = {r["n_name"]: (r["n_items"], r["revenue_x10000"])
+           for r in regional_revenue(li, dims).take_all()}
+    # A: 100*100 + 200*50 = 20000 ; B: 1000*90 = 90000
+    assert got == {"A": (2, 20000), "B": (1, 90000)}
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    from collections import Counter
+
+    from spider_ray.ops.heavyhitters import heavy_hitter_ngrams
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(400):
+        toks = list(rng.choice(vocab, size=30))
+        if i % 3 == 0:
+            toks[0:3] = ["hot", "hot", "hot"]  # plant a heavy trigram
+        texts.append(" ".join(toks))
+    docs = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+
+    # brute-force truth
+    truth: Counter = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        truth.update(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+    total = sum(truth.values())
+    want = {g: c for g, c in truth.items() if c * 200 >= total}
+    assert want  # the planted gram must be heavy
+
+    got = {
+        r["gram"]: r["n"]
+        for r in heavy_hitter_ngrams(docs, n=3, inv_phi=200, capacity=256).take_all()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_guarantee_guard(ray_session):
+    from spider_ray.ops.heavyhitters import heavy_hitter_ngrams
+
+    docs = rd.from_arrow(pa.table({"text": pa.array(["a b c"], pa.string())}))
+    with pytest.raises(ValueError):
+        heavy_hitter_ngrams(docs, inv_phi=5000, capacity=5000)

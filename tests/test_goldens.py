@@ -34,7 +34,8 @@ def duck(entry_mod):
     import duckdb
 
     con = duckdb.connect()
-    for t in ("documents", "events", "embeddings", "lineitem", "orders", "customer"):
+    for t in ("documents", "events", "embeddings", "lineitem", "orders", "customer",
+              "supplier", "nation", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
@@ -110,6 +111,12 @@ SQL_QUERIES = (
     "length_trim",
     "bm25_scores",
     "token_entropy",
+    "funnel_counts",
+    "retention_cohorts",
+    "order_priority_check",
+    "customer_distribution",
+    "regional_revenue",
+    "heavy_hitters",
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
