@@ -1298,6 +1298,50 @@ def q_regional_revenue(sf_dir: str):
     return regional_revenue(li, supplier_nation_dims(sf_dir, region="ASIA"))
 
 
+def q_event_transitions(sf_dir: str):
+    """Event-type Markov transition counts (consecutive pairs per user in
+    (ts, event_id) order): one coarse user-hash shuffle, one Arrow sort +
+    numpy boundary mask per partition."""
+    import ray.data
+
+    from spider_ray.ops.behavior import event_transitions
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return event_transitions(ev)
+
+
+def q_rolling_active_users(sf_dir: str):
+    """DAU + trailing-7-day distinct WAU per day: rolling DISTINCT via the
+    bounded window-end expansion (≤7× slim rows), user-hash partitions so
+    partial counts sum without double-counting."""
+    import ray.data
+
+    from spider_ray.ops.behavior import rolling_active_users
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return rolling_active_users(ev)
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share per ship month: part dimension
+    broadcast once, integer promo/total revenue pair per month (the share
+    stays an exact integer ratio)."""
+    import ray.data
+
+    from spider_ray.ops.relational import part_promo_dims, promo_revenue
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    return promo_revenue(li, part_promo_dims(sf_dir))
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact φ=1/5000 heavy-hitter trigrams via mergeable Misra-Gries
     summaries (64-way tree merge, bounded driver fold) + broadcast
@@ -1428,6 +1472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": q_customer_distribution,
         "regional_revenue": q_regional_revenue,
         "heavy_hitters": q_heavy_hitters,
+        "event_transitions": q_event_transitions,
+        "rolling_active_users": q_rolling_active_users,
+        "promo_revenue": q_promo_revenue,
         "needs_js": q_needs_js,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
@@ -1967,6 +2014,34 @@ def oracle_sql() -> dict[str, str]:
             r"cnt AS (SELECT gram, count(*)::BIGINT AS n FROM tri GROUP BY 1), "
             r"tot AS (SELECT sum(n)::BIGINT AS t FROM cnt) "
             r"SELECT gram, n FROM cnt, tot WHERE n * 5000 >= t"
+        ),
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type AS prev_type, nxt AS next_type, "
+            "count(*)::BIGINT AS n FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "rolling_active_users": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts)//86400000000 AS day FROM events), "
+            "days AS (SELECT DISTINCT day FROM d) "
+            "SELECT (day*86400)::BIGINT AS day_s, "
+            "(SELECT count(DISTINCT user_id) FROM d x "
+            "WHERE x.day = days.day)::BIGINT AS dau, "
+            "(SELECT count(DISTINCT user_id) FROM d y "
+            "WHERE y.day BETWEEN days.day - 6 AND days.day)::BIGINT AS wau "
+            "FROM days"
+        ),
+        "promo_revenue": (
+            "SELECT (year(l_shipdate)*100 + month(l_shipdate))::BIGINT AS ym, "
+            "sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END)::BIGINT "
+            "AS promo_revenue_x10000, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT "
+            "AS total_revenue_x10000 "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

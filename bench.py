@@ -537,6 +537,33 @@ def run_bench() -> dict:
     heavy_hitter_ngrams(docs, n=3, inv_phi=5000, capacity=8192).count()
     queries["heavy_hitters"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.behavior import event_transitions, rolling_active_users
+
+    ev_tr = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    t0 = time.perf_counter()
+    event_transitions(ev_tr).count()
+    queries["event_transitions"] = round(time.perf_counter() - t0, 3)
+
+    ev_ra = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    t0 = time.perf_counter()
+    rolling_active_users(ev_ra).count()
+    queries["rolling_active_users"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.relational import part_promo_dims, promo_revenue
+
+    li_q14 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    t0 = time.perf_counter()
+    promo_revenue(li_q14, part_promo_dims(sf_dir)).count()
+    queries["promo_revenue"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

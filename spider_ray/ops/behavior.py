@@ -199,3 +199,178 @@ def retention_cohorts(events):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition counts (sequence analytics)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(events):
+    """``(prev_type, next_type, n)`` — counts of consecutive event-type
+    pairs per user, events ordered by ``(ts, event_id)`` (the same
+    total order the sessionizer pins).
+
+    Plan: slim ``(user, ts, event_id, type)`` rows take one coarse
+    user-hash shuffle; each partition sorts ONCE (Arrow sort_by over all
+    its users), masks user boundaries with numpy, and folds the pair
+    counts with one C++ group_by — no per-user Python, no windows
+    library.  The shuffle payload is 4 slim columns; type strings
+    dictionary-encode in flight.
+    """
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+        return t.append_column("part", coarse_part(t.column("user_id")))
+
+    def fold_partition(group: pa.Table) -> pa.Table:
+        t = group.sort_by(
+            [("user_id", "ascending"), ("ts_us", "ascending"),
+             ("event_id", "ascending")]
+        )
+        if t.num_rows < 2:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        same = user[:-1] == user[1:]
+        types = t.column("event_type")
+        pairs = pa.table(
+            {
+                "prev_type": types.slice(0, t.num_rows - 1).combine_chunks(),
+                "next_type": types.slice(1).combine_chunks(),
+            }
+        ).filter(pa.array(same))
+        return (
+            pairs.group_by(["prev_type", "next_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["prev_type", "next_type", "n"])
+        )
+
+    partials = (
+        events.map_batches(slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_partition, batch_format="pyarrow")
+    )
+    rolled = partials.groupby(["prev_type", "next_type"]).sum("n")
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "prev_type": b.column("prev_type"),
+                "next_type": b.column("next_type"),
+                "n": pc.cast(b.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct active users (DAU / trailing-7-day WAU)
+# ---------------------------------------------------------------------------
+
+
+def rolling_active_users(events, window_days: int = 7):
+    """``(day_s, dau, wau)`` for every UTC day with at least one event:
+    ``dau`` = distinct users that day, ``wau`` = distinct users in the
+    trailing ``window_days`` window ``[day - window_days + 1, day]``.
+
+    Rolling DISTINCT doesn't decompose like a sum, so the shape is the
+    bounded-expansion interval trick (cf. ``windows.concurrent_sessions``):
+    each distinct ``(user, day)`` expands to the ≤``window_days`` window
+    ends it is visible to; partitions are keyed by user hash, so after the
+    within-partition dedup each user contributes AT MOST ONE to any
+    ``(window_end)`` count — per-partition partial counts then sum
+    globally without double-counting.  Window ends with no events of their
+    own are dropped in the final fold (matching the SQL oracle's "days
+    present in the data" frame).
+    """
+    span = int(window_days)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                         pa.scalar(_DAY_US, pa.int64()))
+        t = pa.table(
+            {"user_id": pc.cast(batch.column("user_id"), pa.int64()), "day": days}
+        )
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        return t.append_column("part", coarse_part(t.column("user_id")))
+
+    def fold_partition(group: pa.Table) -> pa.Table:
+        t = group.select(["user_id", "day"]).group_by(["user_id", "day"]).aggregate([])
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        # dau partials: one row per (day), count of distinct users
+        dau = (
+            pa.table({"day": t.column("day")})
+            .group_by(["day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "n"])
+        )
+        dau = dau.append_column(
+            "kind", pa.nulls(dau.num_rows, pa.int8()).fill_null(0)
+        )
+        # wau partials: expand to window ends, dedupe (user, wend), count
+        reps = np.full(len(user), span, dtype=np.int64)
+        u_rep = np.repeat(user, reps)
+        base = np.repeat(day, reps)
+        offs = np.tile(np.arange(span, dtype=np.int64), len(user))
+        wend = base + offs
+        dedup = (
+            pa.table(
+                {
+                    "user_id": pa.array(u_rep, pa.int64()),
+                    "day": pa.array(wend, pa.int64()),
+                }
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        wau = (
+            dedup.select(["day"])
+            .group_by(["day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "n"])
+        )
+        wau = wau.append_column(
+            "kind", pa.nulls(wau.num_rows, pa.int8()).fill_null(1)
+        )
+        return pa.concat_tables([dau, wau])
+
+    partials = (
+        events.map_batches(slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold_partition, batch_format="pyarrow")
+    )
+    rolled = partials.groupby(["day", "kind"]).sum("n")
+
+    def assemble(group: pa.Table) -> pa.Table:
+        kinds = group.column("kind").to_pylist()
+        ns = group.column("sum(n)" if "sum(n)" in group.column_names else "n").to_pylist()
+        by = dict(zip(kinds, ns))
+        if 0 not in by:  # window end with no events of its own
+            return pa.table(
+                {"day_s": pa.array([], pa.int64()), "dau": pa.array([], pa.int64()),
+                 "wau": pa.array([], pa.int64())}
+            )
+        day = int(group.column("day")[0].as_py())
+        return pa.table(
+            {
+                "day_s": pa.array([day * 86400], pa.int64()),
+                "dau": pa.array([int(by[0])], pa.int64()),
+                "wau": pa.array([int(by.get(1, 0))], pa.int64()),
+            }
+        )
+
+    return rolled.groupby("day").map_groups(assemble, batch_format="pyarrow")

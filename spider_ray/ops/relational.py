@@ -713,3 +713,101 @@ def supplier_nation_dims(sf_dir: str, region: str | None = "ASIA") -> pa.Table:
             "n_name": dims.column("n_name"),
         }
     )
+
+
+def promo_revenue(lineitem, part_dims: pa.Table):
+    """TPC-H Q14 shape — promotion revenue share per ship month.
+
+    ``part_dims`` is the driver-built ``(l_partkey, is_promo)`` lookup from
+    the ``part`` dimension (see :func:`part_promo_dims`), broadcast once;
+    each fact batch joins in C++ and folds ``(ym, promo_revenue_x10000,
+    total_revenue_x10000)`` integer partials — the share stays a ratio of
+    two exact integers (no distributed float division), computable by the
+    consumer at display time.  ``ym`` is ``year*100 + month`` of
+    ``l_shipdate``.
+    """
+    import ray
+
+    dims_ref = ray.put(part_dims)
+
+    class _Score:
+        def __init__(self):
+            self.dims = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents = _cents(batch.column("l_extendedprice"))
+            disc = _cents(batch.column("l_discount"))
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+            ship = batch.column("l_shipdate")
+            ym = pc.add(
+                pc.multiply(pc.cast(pc.year(ship), pa.int64()),
+                            pa.scalar(100, pa.int64())),
+                pc.cast(pc.month(ship), pa.int64()),
+            )
+            t = pa.table(
+                {
+                    "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                    "ym": ym,
+                    "total_revenue_x10000": rev,
+                }
+            )
+            j = t.join(self.dims, keys=["l_partkey"], join_type="inner")
+            promo = pc.multiply(
+                j.column("total_revenue_x10000"),
+                pc.cast(j.column("is_promo"), pa.int64()),
+            )
+            j = j.drop_columns(["l_partkey", "is_promo"]).append_column(
+                "promo_revenue_x10000", promo
+            )
+            return (
+                j.group_by(["ym"])
+                .aggregate(
+                    [("promo_revenue_x10000", "sum"), ("total_revenue_x10000", "sum")]
+                )
+                .rename_columns(
+                    ["ym", "promo_revenue_x10000", "total_revenue_x10000"]
+                )
+            )
+
+    from ..poolsize import autoscale_pool
+
+    partials = lineitem.map_batches(
+        _Score, batch_format="pyarrow", concurrency=autoscale_pool(1), num_cpus=0.5
+    )
+    rolled = partials.groupby("ym").sum(
+        ["promo_revenue_x10000", "total_revenue_x10000"]
+    )
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "ym": pc.cast(b.column("ym"), pa.int64()),
+                "promo_revenue_x10000": pc.cast(
+                    b.column("sum(promo_revenue_x10000)"), pa.int64()
+                ),
+                "total_revenue_x10000": pc.cast(
+                    b.column("sum(total_revenue_x10000)"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def part_promo_dims(sf_dir: str, promo_type: str = "PROMO") -> pa.Table:
+    """Driver-side ``(l_partkey, is_promo)`` lookup from the part
+    dimension (column-pruned single-file read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    return pa.table(
+        {
+            "l_partkey": pc.cast(part.column("p_partkey"), pa.int64()),
+            "is_promo": pc.cast(
+                pc.equal(part.column("p_type"), promo_type), pa.int8()
+            ),
+        }
+    )

@@ -196,3 +196,95 @@ def test_heavy_hitters_guarantee_guard(ray_session):
     docs = rd.from_arrow(pa.table({"text": pa.array(["a b c"], pa.string())}))
     with pytest.raises(ValueError):
         heavy_hitter_ngrams(docs, inv_phi=5000, capacity=5000)
+
+
+def test_event_transitions_ordering_and_boundaries(ray_session):
+    from spider_ray.ops.behavior import event_transitions
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            # u1 out-of-order rows; tie on ts broken by event_id
+            "ts": pa.array([30, 10, 20, 5, 5, 9], pa.timestamp("us")),
+            "event_id": pa.array([3, 1, 2, 11, 10, 99], pa.int64()),
+            "event_type": pa.array(["c", "a", "b", "y", "x", "solo"], pa.string()),
+        }
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(rd.from_arrow(t)).take_all()
+    }
+    # u1: a->b->c ; u2: x->y (event_id tiebreak) ; u3: no pair
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("x", "y"): 1}
+
+
+def test_rolling_active_users_window(ray_session):
+    from spider_ray.ops.behavior import rolling_active_users
+
+    day = 86_400_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2, 1, 3, 1], pa.int64()),
+            # days: u1 on d0 and d7 (outside window of each other), u2 d0,
+            # u3 d6 (inside d0..d6? window end d6 covers d0..d6)
+            "ts": pa.array([0, 5, 7 * day, 6 * day, 6 * day + 3],
+                           pa.timestamp("us")),
+        }
+    )
+    got = {
+        r["day_s"]: (r["dau"], r["wau"])
+        for r in rolling_active_users(rd.from_arrow(t)).take_all()
+    }
+    # d0: dau {1,2}; wau window d-6..d0 = {1,2}
+    # d6: dau {1,3}; wau d0..d6 = {1,2,3}
+    # d7: dau {1};   wau d1..d7 = {1,3}
+    assert got == {0: (2, 2), 6 * 86400: (2, 3), 7 * 86400: (1, 2)}
+
+
+def test_promo_revenue_integer_share(ray_session):
+    from spider_ray.ops.relational import promo_revenue
+
+    dims = pa.table(
+        {
+            "l_partkey": pa.array([1, 2], pa.int64()),
+            "is_promo": pa.array([1, 0], pa.int8()),
+        }
+    )
+    li = rd.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 2, 1, 9], pa.int64()),  # 9: orphan
+                "l_shipdate": pa.array(
+                    [0, 0, 40 * 86_400_000_000, 0], pa.timestamp("us")
+                ),  # Jan-1970 / Feb-1970
+                "l_extendedprice": pa.array([1.0, 2.0, 3.0, 4.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+            }
+        )
+    )
+    got = {
+        r["ym"]: (r["promo_revenue_x10000"], r["total_revenue_x10000"])
+        for r in promo_revenue(li, dims).take_all()
+    }
+    assert got == {197001: (10000, 30000), 197002: (30000, 30000)}
+
+
+def test_skew_hot_user_transitions_linear(ray_session):
+    """A single user holding 90% of events must not blow up any partition:
+    the fold is one sort + one mask regardless of user skew."""
+    from spider_ray.ops.behavior import event_transitions
+
+    n = 20_000
+    users = np.where(np.arange(n) % 10 == 0, np.arange(n), 7).astype(np.int64)
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(np.arange(n, dtype=np.int64), pa.timestamp("us")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "event_type": pa.array(
+                np.where(np.arange(n) % 2 == 0, "a", "b"), pa.string()
+            ),
+        }
+    )
+    out = event_transitions(rd.from_arrow(t)).to_pandas()
+    assert out["n"].sum() == n - len(np.unique(users))

@@ -35,7 +35,7 @@ def duck(entry_mod):
 
     con = duckdb.connect()
     for t in ("documents", "events", "embeddings", "lineitem", "orders", "customer",
-              "supplier", "nation", "region"):
+              "supplier", "nation", "region", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
@@ -117,6 +117,9 @@ SQL_QUERIES = (
     "customer_distribution",
     "regional_revenue",
     "heavy_hitters",
+    "event_transitions",
+    "rolling_active_users",
+    "promo_revenue",
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
