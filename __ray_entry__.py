@@ -1342,6 +1342,20 @@ def q_promo_revenue(sf_dir: str):
     return promo_revenue(li, part_promo_dims(sf_dir))
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured JSON property extraction (events.props -> $.k):
+    decode once per row in-batch, collapse to (type, k) partials before
+    anything shuffles — raw JSON strings never leave the read."""
+    import ray.data
+
+    from spider_ray.ops.semistruct import props_stats
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+    return props_stats(ev)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact φ=1/5000 heavy-hitter trigrams via mergeable Misra-Gries
     summaries (64-way tree merge, bounded driver fold) + broadcast
@@ -1475,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "rolling_active_users": q_rolling_active_users,
         "promo_revenue": q_promo_revenue,
+        "props_stats": q_props_stats,
         "needs_js": q_needs_js,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
@@ -2014,6 +2029,15 @@ def oracle_sql() -> dict[str, str]:
             r"cnt AS (SELECT gram, count(*)::BIGINT AS n FROM tri GROUP BY 1), "
             r"tot AS (SELECT sum(n)::BIGINT AS t FROM cnt) "
             r"SELECT gram, n FROM cnt, tot WHERE n * 5000 >= t"
+        ),
+        "props_stats": (
+            "WITH x AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events "
+            "WHERE json_extract_string(props, '$.k') IS NOT NULL) "
+            "SELECT event_type, count(*)::BIGINT AS n_events, "
+            "sum(k)::BIGINT AS k_sum, min(k)::BIGINT AS k_min, "
+            "max(k)::BIGINT AS k_max, count(DISTINCT k)::BIGINT AS n_distinct_k "
+            "FROM x GROUP BY 1"
         ),
         "event_transitions": (
             "WITH o AS (SELECT user_id, event_type, lead(event_type) OVER ("

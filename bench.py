@@ -564,6 +564,15 @@ def run_bench() -> dict:
     promo_revenue(li_q14, part_promo_dims(sf_dir)).count()
     queries["promo_revenue"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.semistruct import props_stats
+
+    ev_ps = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+    t0 = time.perf_counter()
+    props_stats(ev_ps).count()
+    queries["props_stats"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

@@ -288,3 +288,24 @@ def test_skew_hot_user_transitions_linear(ray_session):
     )
     out = event_transitions(rd.from_arrow(t)).to_pandas()
     assert out["n"].sum() == n - len(np.unique(users))
+
+
+def test_props_stats_malformed_and_missing(ray_session):
+    from spider_ray.ops.semistruct import props_stats
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "a", "a", "b"], pa.string()),
+            "props": pa.array(
+                ['{"k": 3}', '{"k": 3}', '{"x": 9}', "not json", None,
+                 '{"k": -2}'],
+                pa.string(),
+            ),
+        }
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["k_sum"], r["k_min"], r["k_max"],
+                          r["n_distinct_k"])
+        for r in props_stats(rd.from_arrow(t)).take_all()
+    }
+    assert got == {"a": (2, 6, 3, 3, 1), "b": (1, -2, -2, -2, 1)}
