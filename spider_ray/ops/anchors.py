@@ -79,9 +79,21 @@ def page_anchor_terms(page_url: str, html: str) -> Counter:
 def anchor_text_terms(corpus_dir: str, k: int = 10):
     """``(target, term, n, rank)`` — the top-``k`` anchor terms pointing at
     every link target across the corpus (rank by ``n`` DESC, ties on the
-    term string), combiner -> one bounded shuffle -> per-target top-k.
+    term string).
+
+    Shape: combiner -> ONE coarse shuffle keyed by ``crc32(target) & 255``
+    -> per-partition C++ group_by + Arrow sort + numpy segmented rank.
+    The first version shuffled string-keyed ``(target, term)`` through the
+    native groupby and then ran ``groupby(target).map_groups`` — one
+    Python call PER TARGET (1.24M at sf0.1, 71.8 s measured).  256 int
+    partitions with a vectorized in-partition rank do the identical fold
+    with three kernel calls per partition (16.3 s same input/CPUs — the
+    residual is the unavoidable full-corpus anchor parse).
     """
+    import zlib
+
     import numpy as np
+    import pyarrow.compute as pc
     import ray.data
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -96,44 +108,65 @@ def anchor_text_terms(corpus_dir: str, k: int = 10):
                     "target": pa.array([], pa.string()),
                     "term": pa.array([], pa.string()),
                     "n": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
                 }
             )
         targets, terms = zip(*counts.keys())
+        parts = [zlib.crc32(t.encode("utf-8", "replace")) & 255 for t in targets]
         return pa.table(
             {
                 "target": pa.array(targets, pa.string()),
                 "term": pa.array(terms, pa.string()),
                 "n": pa.array(list(counts.values()), pa.int64()),
+                "part": pa.array(parts, pa.int64()),
             }
         )
 
-    def top_k(group: pa.Table) -> pa.Table:
-        terms = group.column("term").to_pylist()
-        ns = group.column("n").to_numpy(zero_copy_only=False)
-        order = sorted(range(len(terms)), key=lambda i: (-int(ns[i]), terms[i]))[:k]
+    def fold_partition(group: pa.Table) -> pa.Table:
+        # cross-batch fold: one C++ group_by over the whole partition
+        agg = (
+            group.select(["target", "term", "n"])
+            .group_by(["target", "term"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["target", "term", "n"])
+        )
+        t = agg.sort_by(
+            [("target", "ascending"), ("n", "descending"), ("term", "ascending")]
+        ).combine_chunks()
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "target": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        # segmented rank within each target run (dictionary codes -> numpy)
+        codes = (
+            pc.dictionary_encode(t.column("target"))
+            .combine_chunks()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        idx = np.arange(len(codes), dtype=np.int64)
+        new = np.empty(len(codes), dtype=bool)
+        new[0] = True
+        new[1:] = codes[1:] != codes[:-1]
+        seg_start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - seg_start + 1
+        keep = rank <= k
         return pa.table(
             {
-                "target": group.column("target").take(order),
-                "term": pa.array([terms[i] for i in order], pa.string()),
-                "n": pa.array([int(ns[i]) for i in order], pa.int64()),
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+                "target": t.column("target").filter(pa.array(keep)),
+                "term": t.column("term").filter(pa.array(keep)),
+                "n": t.column("n").filter(pa.array(keep)),
+                "rank": pa.array(rank[keep], pa.int64()),
             }
         )
 
     ds = ray.data.read_parquet(corpus_dir, columns=["url", "html"])
-    folded = (
+    return (
         ds.map_batches(partials, batch_format="pyarrow")
-        .groupby(["target", "term"])
-        .sum("n")
+        .groupby("part")
+        .map_groups(fold_partition, batch_format="pyarrow")
     )
-    slim = folded.map_batches(
-        lambda b: pa.table(
-            {
-                "target": b.column("target"),
-                "term": b.column("term"),
-                "n": b.column("sum(n)"),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    return slim.groupby("target").map_groups(top_k, batch_format="pyarrow")
