@@ -1342,6 +1342,21 @@ def q_promo_revenue(sf_dir: str):
     return promo_revenue(li, part_promo_dims(sf_dir))
 
 
+def q_session_stats(sf_dir: str):
+    """Composition shape: sessionize -> exact histogram-fold quantiles
+    (quantile_disc semantics) -> one-row global session statistics.
+    Only (value, count) histogram rows shuffle."""
+    import ray.data
+
+    from spider_ray.ops.windows import session_stats
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+    return session_stats(ev)
+
+
 def q_props_stats(sf_dir: str):
     """Semi-structured JSON property extraction (events.props -> $.k):
     decode once per row in-batch, collapse to (type, k) partials before
@@ -1490,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": q_rolling_active_users,
         "promo_revenue": q_promo_revenue,
         "props_stats": q_props_stats,
+        "session_stats": q_session_stats,
         "needs_js": q_needs_js,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
@@ -2029,6 +2045,22 @@ def oracle_sql() -> dict[str, str]:
             r"cnt AS (SELECT gram, count(*)::BIGINT AS n FROM tri GROUP BY 1), "
             r"tot AS (SELECT sum(n)::BIGINT AS t FROM cnt) "
             r"SELECT gram, n FROM cnt, tot WHERE n * 5000 >= t"
+        ),
+        "session_stats": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev FROM events), "
+            "s AS (SELECT user_id, ts_us, sum(CASE WHEN prev IS NULL OR "
+            "ts_us - prev > 1800000000 THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp "
+            "FROM e), "
+            "sess AS (SELECT user_id, grp, count(*)::BIGINT AS n_events, "
+            "(max(ts_us) - min(ts_us)) // 1000000 AS dur_s FROM s GROUP BY 1, 2) "
+            "SELECT count(*)::BIGINT AS n_sessions, "
+            "quantile_disc(n_events, 0.5)::BIGINT AS p50_events, "
+            "quantile_disc(n_events, 0.99)::BIGINT AS p99_events, "
+            "quantile_disc(dur_s, 0.5)::BIGINT AS p50_duration_s, "
+            "quantile_disc(dur_s, 0.99)::BIGINT AS p99_duration_s FROM sess"
         ),
         "props_stats": (
             "WITH x AS (SELECT event_type, "

@@ -573,6 +573,16 @@ def run_bench() -> dict:
     props_stats(ev_ps).count()
     queries["props_stats"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.windows import session_stats
+
+    ev_ss = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+    t0 = time.perf_counter()
+    session_stats(ev_ss)
+    queries["session_stats"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

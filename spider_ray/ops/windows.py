@@ -317,3 +317,51 @@ def rolling_user_sums(events, window_rows: int = 3):
         prune, batch_format="pyarrow"
     )
     return pruned.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def session_stats(events, gap_s: int = 1800):
+    """One-row global session statistics — the composition shape
+    (sessionize -> exact histogram-fold quantiles) every analytics
+    pipeline ends with: ``(n_sessions, p50_events, p99_events,
+    p50_duration_s, p99_duration_s)``.
+
+    Quantiles are exact ``quantile_disc`` semantics via
+    :func:`~spider_ray.ops.corpusstats.group_quantiles` — the shuffle
+    moves only (value, count) histogram rows, never sessions.
+    """
+    from .corpusstats import group_quantiles
+
+    sessions = sessionize(events, gap_s=gap_s)
+
+    def slim(b: pa.Table) -> pa.Table:
+        dur = pc.divide(
+            pc.subtract(b.column("end_us"), b.column("start_us")),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "g": pa.nulls(b.num_rows, pa.string()).fill_null("all"),
+                "n_events": pc.cast(b.column("n_events"), pa.int64()),
+                "dur_s": pc.cast(dur, pa.int64()),
+            }
+        )
+
+    slimmed = sessions.map_batches(slim, batch_format="pyarrow")
+    ev_q = group_quantiles(
+        slimmed, group_col="g", value_col="n_events",
+        qs=(0.5, 0.99), q_names=("p50_events", "p99_events"),
+    )
+    dur_q = group_quantiles(
+        slimmed, group_col="g", value_col="dur_s",
+        qs=(0.5, 0.99), q_names=("p50_duration_s", "p99_duration_s"),
+    )
+    n_sessions = sessions.count()
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "p50_events": ev_q.column("p50_events"),
+            "p99_events": ev_q.column("p99_events"),
+            "p50_duration_s": dur_q.column("p50_duration_s"),
+            "p99_duration_s": dur_q.column("p99_duration_s"),
+        }
+    )

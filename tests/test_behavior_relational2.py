@@ -309,3 +309,48 @@ def test_props_stats_malformed_and_missing(ray_session):
         for r in props_stats(rd.from_arrow(t)).take_all()
     }
     assert got == {"a": (2, 6, 3, 3, 1), "b": (1, -2, -2, -2, 1)}
+
+
+def test_skew_heavy_hitters_degenerate_identical_docs(ray_session):
+    """10^4 identical docs (the empty-doc/boilerplate collision case that
+    kills naive LSH-style bucketing): every gram is heavy, summaries stay
+    at capacity, output is exactly the distinct grams of the one text."""
+    from spider_ray.ops.heavyhitters import heavy_hitter_ngrams
+
+    text = "alpha beta gamma delta alpha beta"
+    docs = rd.from_arrow(
+        pa.table({"text": pa.array([text] * 10_000, pa.string())})
+    )
+    got = {
+        r["gram"]: r["n"]
+        for r in heavy_hitter_ngrams(docs, n=3, inv_phi=200, capacity=256).take_all()
+    }
+    # 4 distinct trigrams per doc ("alpha beta gamma", "beta gamma delta",
+    # "gamma delta alpha", "delta alpha beta"), each once per doc
+    assert got == {
+        "alpha beta gamma": 10_000,
+        "beta gamma delta": 10_000,
+        "gamma delta alpha": 10_000,
+        "delta alpha beta": 10_000,
+    }
+
+
+def test_session_stats_composition(ray_session):
+    from spider_ray.ops.windows import session_stats
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            # u1: one 2-event session (gap 10 s) + one singleton; u2 singleton
+            "ts": pa.array([0, 10_000_000, 7_200_000_000, 0], pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    row = session_stats(rd.from_arrow(t), gap_s=1800).to_pylist()[0]
+    assert row == {
+        "n_sessions": 3,
+        "p50_events": 1,
+        "p99_events": 2,
+        "p50_duration_s": 0,
+        "p99_duration_s": 10,
+    }

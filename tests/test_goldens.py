@@ -121,6 +121,7 @@ SQL_QUERIES = (
     "rolling_active_users",
     "promo_revenue",
     "props_stats",
+    "session_stats",
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
