@@ -1342,6 +1342,21 @@ def q_promo_revenue(sf_dir: str):
     return promo_revenue(li, part_promo_dims(sf_dir))
 
 
+def q_best_line_per_order(sf_dir: str):
+    """Per-group argmax row (dedup-keep-best) as a plain associative max:
+    (revenue, tiebreak) packed into one int64, per-batch combiner, one
+    slim shuffle — no join-back pass."""
+    import ray.data
+
+    from spider_ray.ops.relational import best_line_per_order
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+    return best_line_per_order(li)
+
+
 def q_session_stats(sf_dir: str):
     """Composition shape: sessionize -> exact histogram-fold quantiles
     (quantile_disc semantics) -> one-row global session statistics.
@@ -1506,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q_promo_revenue,
         "props_stats": q_props_stats,
         "session_stats": q_session_stats,
+        "best_line_per_order": q_best_line_per_order,
         "needs_js": q_needs_js,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
@@ -2045,6 +2061,17 @@ def oracle_sql() -> dict[str, str]:
             r"cnt AS (SELECT gram, count(*)::BIGINT AS n FROM tri GROUP BY 1), "
             r"tot AS (SELECT sum(n)::BIGINT AS t FROM cnt) "
             r"SELECT gram, n FROM cnt, tot WHERE n * 5000 >= t"
+        ),
+        "best_line_per_order": (
+            "WITH r AS (SELECT l_orderkey, l_linenumber, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)) AS revenue_x10000, "
+            "row_number() OVER (PARTITION BY l_orderkey ORDER BY "
+            "CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)) DESC, l_linenumber) "
+            "AS rn FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, "
+            "revenue_x10000 FROM r WHERE rn = 1"
         ),
         "session_stats": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, "

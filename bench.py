@@ -583,6 +583,16 @@ def run_bench() -> dict:
     session_stats(ev_ss)
     queries["session_stats"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.relational import best_line_per_order
+
+    li_bl = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+    t0 = time.perf_counter()
+    best_line_per_order(li_bl).count()
+    queries["best_line_per_order"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

@@ -811,3 +811,66 @@ def part_promo_dims(sf_dir: str, promo_type: str = "PROMO") -> pa.Table:
             ),
         }
     )
+
+
+def best_line_per_order(lineitem):
+    """Per-group argmax row (dedup-keep-best): for every order, its
+    highest-revenue lineitem — ``(l_orderkey, l_linenumber,
+    revenue_x10000)``, ties broken by lowest linenumber.
+
+    The distributed argmax trick: pack ``(revenue, tiebreak)`` into ONE
+    int64 — ``pack = revenue_x10000 * 16 + (15 - linenumber)`` (revenue
+    cents×100 < 2^40, linenumber < 16 in TPC-H) — so per-group argmax
+    with a deterministic tiebreak becomes a plain associative ``max``:
+    per-batch C++ group_by(max) combiner, ONE slim (orderkey, pack)
+    shuffle, global max, unpack.  No row payload ever moves and no
+    join-back pass is needed; for payloads too wide to pack, the second
+    pass is a :func:`~spider_ray.ops.joins.semi_join_ids` against the
+    winner keys.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("l_extendedprice"))
+        disc = _cents(batch.column("l_discount"))
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        pack = pc.add(
+            pc.multiply(rev, pa.scalar(16, pa.int64())),
+            pc.subtract(
+                pa.scalar(15, pa.int64()),
+                pc.cast(batch.column("l_linenumber"), pa.int64()),
+            ),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "pack": pack,
+            }
+        )
+        return (
+            t.group_by(["l_orderkey"])
+            .aggregate([("pack", "max")])
+            .rename_columns(["l_orderkey", "pack"])
+        )
+
+    rolled = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .max("pack")
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        pack = pc.cast(b.column("max(pack)"), pa.int64())
+        rev = pc.divide(pack, pa.scalar(16, pa.int64()))
+        line = pc.subtract(
+            pa.scalar(15, pa.int64()),
+            pc.bit_wise_and(pack, pa.scalar(15, pa.int64())),
+        )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(b.column("l_orderkey"), pa.int64()),
+                "l_linenumber": line,
+                "revenue_x10000": rev,
+            }
+        )
+
+    return rolled.map_batches(unpack, batch_format="pyarrow")

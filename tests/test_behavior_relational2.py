@@ -354,3 +354,25 @@ def test_session_stats_composition(ray_session):
         "p50_duration_s": 0,
         "p99_duration_s": 10,
     }
+
+
+def test_best_line_per_order_tiebreak(ray_session):
+    from spider_ray.ops.relational import best_line_per_order
+
+    li = rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                # order 1: lines 2 and 15 tie on revenue -> lowest line wins
+                "l_linenumber": pa.array([2, 15, 7, 1, 3], pa.int32()),
+                "l_extendedprice": pa.array([5.0, 5.0, 1.0, 2.0, 9.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.1]),
+            }
+        )
+    )
+    got = {
+        r["l_orderkey"]: (r["l_linenumber"], r["revenue_x10000"])
+        for r in best_line_per_order(li).take_all()
+    }
+    # order 1: rev 50000 lines {2, 15} -> line 2; order 2: 900*90=81000 line 3
+    assert got == {1: (2, 50000), 2: (3, 81000)}

@@ -122,6 +122,7 @@ SQL_QUERIES = (
     "promo_revenue",
     "props_stats",
     "session_stats",
+    "best_line_per_order",
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
