@@ -376,3 +376,104 @@ def test_best_line_per_order_tiebreak(ray_session):
     }
     # order 1: rev 50000 lines {2, 15} -> line 2; order 2: 900*90=81000 line 3
     assert got == {1: (2, 50000), 2: (3, 81000)}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fuzz_event_ops_vs_bruteforce(ray_session, seed):
+    """Randomized parity: engine vs sequential Python fold on the same
+    event set (users/timestamps/types drawn adversarially small so ties
+    and window edges actually occur)."""
+    from collections import Counter, defaultdict
+
+    from spider_ray.ops.behavior import (
+        event_transitions,
+        funnel_counts,
+        retention_cohorts,
+        rolling_active_users,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(0, 10 * 86_400_000_000, n)  # 10 days, us
+    types = rng.choice(["view", "signup", "purchase", "click"], n)
+    eids = np.arange(n, dtype=np.int64)
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_id": pa.array(eids, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+            }
+        )
+    ).repartition(7)
+
+    win = 86_400_000_000
+
+    # --- funnel brute force
+    per_user = defaultdict(list)
+    for u, t, ty in zip(users, ts, types):
+        per_user[int(u)].append((int(t), ty))
+    f_want = {"view": 0, "signup": 0, "purchase": 0}
+    for evs in per_user.values():
+        v = min((t for t, ty in evs if ty == "view"), default=None)
+        if v is None:
+            continue
+        f_want["view"] += 1
+        s = min((t for t, ty in evs if ty == "signup" and v <= t < v + win),
+                default=None)
+        if s is None:
+            continue
+        f_want["signup"] += 1
+        p = min((t for t, ty in evs if ty == "purchase" and s <= t < s + win),
+                default=None)
+        if p is not None:
+            f_want["purchase"] += 1
+    f_got = {r["stage"]: r["n_users"] for r in funnel_counts(ev).take_all()}
+    assert f_got == f_want
+
+    # --- retention brute force
+    day_us = 86_400_000_000
+    udays = defaultdict(set)
+    for u, t in zip(users, ts):
+        udays[int(u)].add(int(t) // day_us)
+    r_want: Counter = Counter()
+    for ds_ in udays.values():
+        c = min(ds_)
+        for d in ds_:
+            r_want[(c * 86400, d - c)] += 1
+    r_got = {
+        (r["cohort_day_s"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).take_all()
+    }
+    assert r_got == dict(r_want)
+
+    # --- transitions brute force
+    t_want: Counter = Counter()
+    for u in per_user:
+        seq = sorted(
+            ((int(t), int(e), ty) for t, e, ty in
+             zip(ts[users == u], eids[users == u], types[users == u])),
+        )
+        for a, b in zip(seq, seq[1:]):
+            t_want[(a[2], b[2])] += 1
+    t_got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in event_transitions(ev).take_all()
+    }
+    assert t_got == dict(t_want)
+
+    # --- rolling DAU/WAU brute force
+    all_days = sorted({d for ds_ in udays.values() for d in ds_})
+    ra_want = {}
+    for d in all_days:
+        dau = sum(1 for ds_ in udays.values() if d in ds_)
+        wau = sum(1 for ds_ in udays.values()
+                  if any(d - 6 <= x <= d for x in ds_))
+        ra_want[d * 86400] = (dau, wau)
+    ra_got = {
+        r["day_s"]: (r["dau"], r["wau"])
+        for r in rolling_active_users(ev).take_all()
+    }
+    assert ra_got == ra_want
