@@ -62,14 +62,16 @@ def funnel_counts(events, stages=_FUNNEL_STAGES, window_s: int = 86400):
     filter — three Arrow kernels per partition, no per-user Python.
     """
     stages = tuple(stages)
-    code_of = {s: i for i, s in enumerate(stages)}
     window_us = int(window_s) * 1_000_000
 
+    stage_set = pa.array(stages)
+
     def slim(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("event_type"), value_set=pa.array(stages))
+        mask = pc.is_in(batch.column("event_type"), value_set=stage_set)
         t = batch.filter(mask)
-        codes = pa.array(
-            [code_of[s] for s in t.column("event_type").to_pylist()], pa.int8()
+        # index_in against the stage list IS the code mapping — vectorized
+        codes = pc.cast(
+            pc.index_in(t.column("event_type"), value_set=stage_set), pa.int8()
         )
         out = pa.table(
             {

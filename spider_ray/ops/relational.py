@@ -833,12 +833,17 @@ def best_line_per_order(lineitem):
         cents = _cents(batch.column("l_extendedprice"))
         disc = _cents(batch.column("l_discount"))
         rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        line = pc.cast(batch.column("l_linenumber"), pa.int64())
+        line_max = pc.max(line).as_py()
+        if line_max is not None and line_max > 15:
+            # 4 tiebreak bits by contract — fail loudly, never mis-order
+            raise ValueError(
+                f"best_line_per_order: l_linenumber {line_max} exceeds the "
+                "packed tiebreak range (0..15)"
+            )
         pack = pc.add(
             pc.multiply(rev, pa.scalar(16, pa.int64())),
-            pc.subtract(
-                pa.scalar(15, pa.int64()),
-                pc.cast(batch.column("l_linenumber"), pa.int64()),
-            ),
+            pc.subtract(pa.scalar(15, pa.int64()), line),
         )
         t = pa.table(
             {
