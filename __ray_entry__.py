@@ -1720,13 +1720,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "concurrent_sessions": (
             "WITH e AS ("
-            "  SELECT user_id, epoch_us(ts) AS ts_us, "
+            "  SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             "         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
             "  FROM events"
             "), s AS ("
             "  SELECT user_id, ts_us, "
             "         sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END) "
-            "           OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp "
+            "           OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS grp "
             "  FROM e"
             "), sess AS ("
             "  SELECT user_id, grp, min(ts_us) AS start_us, max(ts_us) AS end_us "
@@ -1769,13 +1769,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize": (
             "WITH e AS ("
-            "  SELECT user_id, epoch_us(ts) AS ts_us, "
+            "  SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             "         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
             "  FROM events"
             "), s AS ("
             "  SELECT user_id, ts_us, "
             "         sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END) "
-            "           OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp "
+            "           OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS grp "
             "  FROM e"
             ") "
             "SELECT user_id, (grp-1)::BIGINT AS session_id, count(*)::BIGINT AS n_events, "
@@ -2074,12 +2074,12 @@ def oracle_sql() -> dict[str, str]:
             "revenue_x10000 FROM r WHERE rn = 1"
         ),
         "session_stats": (
-            "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "AS prev FROM events), "
             "s AS (SELECT user_id, ts_us, sum(CASE WHEN prev IS NULL OR "
             "ts_us - prev > 1800000000 THEN 1 ELSE 0 END) OVER ("
-            "PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS grp "
+            "PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS grp "
             "FROM e), "
             "sess AS (SELECT user_id, grp, count(*)::BIGINT AS n_events, "
             "(max(ts_us) - min(ts_us)) // 1000000 AS dur_s FROM s GROUP BY 1, 2) "
@@ -2090,9 +2090,11 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(dur_s, 0.99)::BIGINT AS p99_duration_s FROM sess"
         ),
         "props_stats": (
+            # json_type gate pins BOTH sides to integer-TYPED JSON values —
+            # the engine's isinstance(v, int) excludes "7"/3.5/true the same
             "WITH x AS (SELECT event_type, "
             "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events "
-            "WHERE json_extract_string(props, '$.k') IS NOT NULL) "
+            "WHERE json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')) "
             "SELECT event_type, count(*)::BIGINT AS n_events, "
             "sum(k)::BIGINT AS k_sum, min(k)::BIGINT AS k_min, "
             "max(k)::BIGINT AS k_max, count(DISTINCT k)::BIGINT AS n_distinct_k "

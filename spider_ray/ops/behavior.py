@@ -118,12 +118,24 @@ def funnel_counts(events, stages=_FUNNEL_STAGES, window_s: int = 86400):
             }
         )
 
+    import ray.data as rd
+
+    # zero-seed every stage so degenerate inputs (no funnel events at all)
+    # still yield the oracle's 3-row scaffold
+    zeros = rd.from_arrow(
+        pa.table(
+            {
+                "stage": pa.array(list(stages), pa.string()),
+                "n_users": pa.array([0] * len(stages), pa.int64()),
+            }
+        )
+    )
     partials = (
         events.map_batches(slim, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fold_partition, batch_format="pyarrow")
     )
-    rolled = partials.groupby("stage").sum("n_users")
+    rolled = partials.union(zeros).groupby("stage").sum("n_users")
     return rolled.map_batches(
         lambda b: pa.table(
             {

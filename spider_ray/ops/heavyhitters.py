@@ -75,10 +75,15 @@ class _SummaryPartials:
     sentinel row carrying the batch's exact gram total."""
 
     def __init__(self, text_col: str, n: int, capacity: int):
+        import os
+
         self.text_col = text_col
         self.n = n
         self.capacity = capacity
-        self.next_id = 0
+        # seed per-actor so concurrent actors' first summaries spread over
+        # all 64 merge groups (a 0 start would cluster them on part 0);
+        # routing only — merged output is identical for any seed
+        self.next_id = (os.getpid() * 40503) & 63
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         counts = _gram_counts(batch.column(self.text_col).to_pylist(), self.n)

@@ -835,11 +835,19 @@ def best_line_per_order(lineitem):
         rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
         line = pc.cast(batch.column("l_linenumber"), pa.int64())
         line_max = pc.max(line).as_py()
-        if line_max is not None and line_max > 15:
+        line_min = pc.min(line).as_py()
+        if line_max is not None and (line_max > 15 or line_min < 0):
             # 4 tiebreak bits by contract — fail loudly, never mis-order
             raise ValueError(
-                f"best_line_per_order: l_linenumber {line_max} exceeds the "
-                "packed tiebreak range (0..15)"
+                f"best_line_per_order: l_linenumber range [{line_min}, "
+                f"{line_max}] exceeds the packed tiebreak range (0..15)"
+            )
+        rev_min = pc.min(rev).as_py()
+        if rev_min is not None and rev_min < 0:
+            # negative pack would unpack garbage via trunc-div/bit-and
+            raise ValueError(
+                f"best_line_per_order: negative revenue {rev_min} is outside "
+                "the packed-argmax domain (discount > 100%?)"
             )
         pack = pc.add(
             pc.multiply(rev, pa.scalar(16, pa.int64())),

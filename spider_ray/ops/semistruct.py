@@ -20,8 +20,10 @@ import pyarrow.compute as pc
 def props_stats(events, key: str = "k"):
     """``(event_type, n_events, k_sum, k_min, k_max, n_distinct_k)`` —
     aggregate of the integer JSON property ``key`` extracted from
-    ``props`` per event type.  Rows whose ``props`` lacks ``key`` (or is
-    null/invalid JSON) are excluded, like SQL's NULL-dropping aggregates.
+    ``props`` per event type.  Rows whose ``props`` lacks ``key``, is
+    null/invalid JSON, or holds a non-integer-TYPED value (``"7"``,
+    ``3.5``, ``true``) are excluded — the oracle's ``json_type`` gate
+    pins the identical semantics.
     """
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -346,7 +346,22 @@ def session_stats(events, gap_s: int = 1800):
             }
         )
 
-    slimmed = sessions.map_batches(slim, batch_format="pyarrow")
+    # materialize the SLIM session rows once — the two quantile folds and
+    # the count below would otherwise each re-run the sessionize shuffle
+    slimmed = sessions.map_batches(slim, batch_format="pyarrow").materialize()
+    n_sessions = slimmed.count()
+    if n_sessions == 0:
+        # match the SQL oracle on empty input: one row, NULL quantiles
+        null = pa.array([None], pa.int64())
+        return pa.table(
+            {
+                "n_sessions": pa.array([0], pa.int64()),
+                "p50_events": null,
+                "p99_events": null,
+                "p50_duration_s": null,
+                "p99_duration_s": null,
+            }
+        )
     ev_q = group_quantiles(
         slimmed, group_col="g", value_col="n_events",
         qs=(0.5, 0.99), q_names=("p50_events", "p99_events"),
@@ -355,7 +370,6 @@ def session_stats(events, gap_s: int = 1800):
         slimmed, group_col="g", value_col="dur_s",
         qs=(0.5, 0.99), q_names=("p50_duration_s", "p99_duration_s"),
     )
-    n_sessions = sessions.count()
     return pa.table(
         {
             "n_sessions": pa.array([n_sessions], pa.int64()),

@@ -477,3 +477,36 @@ def test_fuzz_event_ops_vs_bruteforce(ray_session, seed):
         for r in rolling_active_users(ev).take_all()
     }
     assert ra_got == ra_want
+
+
+def test_funnel_empty_input_keeps_stage_scaffold(ray_session):
+    from spider_ray.ops.behavior import funnel_counts
+
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1], pa.int64()),
+                "ts": pa.array([0], pa.timestamp("us")),
+                "event_type": pa.array(["click"], pa.string()),  # no funnel types
+            }
+        )
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_counts(ev).take_all()}
+    assert got == {"view": 0, "signup": 0, "purchase": 0}
+
+
+def test_session_stats_empty_input(ray_session):
+    from spider_ray.ops.windows import session_stats
+
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_id": pa.array([], pa.int64()),
+            }
+        )
+    )
+    row = session_stats(ev).to_pylist()[0]
+    assert row["n_sessions"] == 0
+    assert row["p50_events"] is None and row["p99_duration_s"] is None
