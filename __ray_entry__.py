@@ -1342,6 +1342,21 @@ def q_promo_revenue(sf_dir: str):
     return promo_revenue(li, part_promo_dims(sf_dir))
 
 
+def q_quality_by_source(sf_dir: str):
+    """Per-source Gopher-gate keep report (exact integer share pair):
+    gate stats + per-source collapse inside one actor-pool batch pass,
+    one |sources|-sized groupby — text never shuffles."""
+    import ray.data
+
+    from spider_ray.ops.textclean import quality_by_source
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return quality_by_source(docs)
+
+
 def q_best_line_per_order(sf_dir: str):
     """Per-group argmax row (dedup-keep-best) as a plain associative max:
     (revenue, tiebreak) packed into one int64, per-batch combiner, one
@@ -1522,6 +1537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": q_props_stats,
         "session_stats": q_session_stats,
         "best_line_per_order": q_best_line_per_order,
+        "quality_by_source": q_quality_by_source,
         "needs_js": q_needs_js,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
@@ -1537,7 +1553,7 @@ def oracle_sql() -> dict[str, str]:
     corpus_glob = f"{SF001_CORPUS}/*/*.parquet"
     from spider_ray.goldens import golden_path
 
-    return {
+    oracles = {
         **golden_sql("sf0.01"),
         # the labelprop twin converges to the identical (doc_id, cluster_id)
         # table as the union-find, so it shares the golden
@@ -2146,3 +2162,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10"
         ),
     }
+    # composed oracle: the per-source keep report wraps the gopher gate SQL
+    oracles["quality_by_source"] = (
+        f"WITH g AS ({oracles['gopher_quality']}) "
+        "SELECT d.source, count(*)::BIGINT AS n_docs, "
+        "sum(CASE WHEN g.keep THEN 1 ELSE 0 END)::BIGINT AS n_keep "
+        "FROM g JOIN documents d USING (doc_id) GROUP BY 1"
+    )
+    return oracles

@@ -593,6 +593,16 @@ def run_bench() -> dict:
     best_line_per_order(li_bl).count()
     queries["best_line_per_order"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.textclean import quality_by_source
+
+    docs_qs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    t0 = time.perf_counter()
+    quality_by_source(docs_qs).count()
+    queries["quality_by_source"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

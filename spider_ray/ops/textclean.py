@@ -414,3 +414,54 @@ def host_boilerplate_removal(
         .groupby("host")
         .map_groups(strip_group, batch_format="pyarrow")
     )
+
+
+def quality_by_source(docs, text_col: str = "text"):
+    """``(source, n_docs, n_keep)`` — the curation REPORT every filtered
+    corpus ships with: per ingestion source, how many documents pass the
+    Gopher gate.  Keep share stays an exact integer pair (consumer divides
+    at display time).
+
+    Shape: the :class:`GopherQuality` stats run inside the same actor-pool
+    batch pass (its output aligns row-for-row with the batch), the batch
+    collapses to per-source partials immediately, and one |sources|-sized
+    groupby folds them — text never shuffles.
+    """
+    import pyarrow.compute as pc
+
+    from ..poolsize import autoscale_pool
+
+    class _SourceGate(GopherQuality):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            gate = super().__call__(batch)
+            t = pa.table(
+                {
+                    "source": batch.column("source"),
+                    "n_docs": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+                    "n_keep": pc.cast(gate.column("keep"), pa.int64()),
+                }
+            )
+            return (
+                t.group_by(["source"])
+                .aggregate([("n_docs", "sum"), ("n_keep", "sum")])
+                .rename_columns(["source", "n_docs", "n_keep"])
+            )
+
+    partials = docs.map_batches(
+        _SourceGate,
+        fn_constructor_args=(text_col,),
+        batch_format="pyarrow",
+        concurrency=autoscale_pool(1),
+        num_cpus=0.5,
+    )
+    rolled = partials.groupby("source").sum(["n_docs", "n_keep"])
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": pc.cast(b.column("sum(n_docs)"), pa.int64()),
+                "n_keep": pc.cast(b.column("sum(n_keep)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

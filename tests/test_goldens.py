@@ -123,6 +123,7 @@ SQL_QUERIES = (
     "props_stats",
     "session_stats",
     "best_line_per_order",
+    "quality_by_source",
     # shares the near_dup_clusters golden (oracle registered directly in
     # oracle_sql(), not via GOLDEN_QUERIES)
     "near_dup_clusters_lp",
