@@ -91,3 +91,63 @@ def test_dataset_id_side(docs, ray_session):
     ids_ds = ray.data.from_arrow(IDS)
     got = _sorted(semi_join_ids(docs, ids_ds, mode="auto"))
     assert got["doc_id"].tolist() == [2, 4]
+
+
+def test_bloom_tier_matches_broadcast_and_cogroup(ray_session):
+    """Bloom semi/anti == frozenset broadcast == cogroup on the same input
+    (the verify pass makes the bloom tier exact despite false positives)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from spider_ray.ops.joins import semi_join_ids, semi_join_ids_bloom
+
+    rng = np.random.default_rng(3)
+    wide = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5000, dtype=np.int64)),
+            "payload": pa.array([f"p{i}" for i in range(5000)], pa.string()),
+        }
+    )
+    ids = pa.table(
+        {"doc_id": pa.array(rng.choice(5000, size=700, replace=False).astype(np.int64))}
+    )
+    for anti in (False, True):
+        got = sorted(
+            r["doc_id"]
+            for r in semi_join_ids_bloom(
+                rd.from_arrow(wide).repartition(5), ids, anti=anti
+            ).take_all()
+        )
+        want_b = sorted(
+            r["doc_id"]
+            for r in semi_join_ids(
+                rd.from_arrow(wide).repartition(5), ids, anti=anti, mode="broadcast"
+            ).take_all()
+        )
+        want_c = sorted(
+            r["doc_id"]
+            for r in semi_join_ids(
+                rd.from_arrow(wide).repartition(5), ids, anti=anti, mode="cogroup"
+            ).take_all()
+        )
+        assert got == want_b == want_c, anti
+
+
+def test_bloom_negative_never_lies(ray_session):
+    """A bloom NEGATIVE must be a true absence: every actual member tests
+    positive (no false negatives, the property the fast path relies on)."""
+    import numpy as np
+
+    from spider_ray.ops.joins import _bloom_hash, build_id_bloom
+    import pyarrow as pa
+    import ray.data as rd
+
+    ids = np.arange(0, 100_000, 7, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    bits, m = build_id_bloom(ds, "doc_id", len(ids))
+    member = np.ones(len(ids), dtype=bool)
+    for i in range(4):
+        h = _bloom_hash(ids, i, m)
+        member &= ((bits[h >> 3] >> (h & 7).astype(np.uint8)) & 1).astype(bool)
+    assert member.all()
