@@ -51,21 +51,26 @@ WS_RUN_PAT = "[ \\t\\n\\r\\f\\v]+"
 DIGIT_PAT = "[0-9]"
 
 
-def _hash128(line: str) -> tuple[int, int]:
-    """128-bit BLAKE2b line fingerprint as two int64 halves — the shuffle
-    key.  Grouping by a hash instead of the line text is the CCNet recipe
+def _hash128(lines: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """128-bit line fingerprint as two int64 columns — the shuffle key.
+    Grouping by a hash instead of the line text is the CCNet recipe
     (their line dedup shuffles SHA1 prefixes, not lines): it turns the
     all-to-all into fixed 32-byte rows with integer sort keys (measured at
     the sf0.1 fixture: 37.6M-row string-keyed sort ~6.5 min, hash-keyed
-    seconds).  At 128 bits a collision across even 10¹² distinct lines is
-    ~1e-14 — beyond any realistic corpus."""
-    import hashlib
+    seconds).  Two independently-seeded vectorized 64-bit hashes (polars'
+    Rust hash kernel) give ~128 bits: a double collision across even 10¹²
+    distinct lines is negligible.  Vectorized replacement for the original
+    per-line ``hashlib.blake2b`` Python loop (the hash never leaves the
+    pipeline, so the function choice is internal — only collision rate and
+    within-run determinism matter)."""
+    import polars as pl
 
-    d = hashlib.blake2b(line.encode("utf-8"), digest_size=16).digest()
-    return (
-        int.from_bytes(d[:8], "little", signed=True),
-        int.from_bytes(d[8:], "little", signed=True),
+    s = pl.from_arrow(
+        lines.combine_chunks() if isinstance(lines, pa.ChunkedArray) else lines
     )
+    h1 = s.hash(seed=0x5EED_0001).reinterpret(signed=True).to_arrow()
+    h2 = s.hash(seed=0x5EED_0002).reinterpret(signed=True).to_arrow()
+    return h1.cast(pa.int64()), h2.cast(pa.int64())
 
 
 def _line_rows(batch: pa.Table, file_id: int) -> pa.Table:
@@ -99,21 +104,18 @@ def _line_rows(batch: pa.Table, file_id: int) -> pa.Table:
     nonempty = pc.not_equal(flat, "")
     flat = flat.filter(nonempty)
     keep_np = np.asarray(nonempty)
-    urls = pc.take(batch.column("url"), parent).filter(pa.array(keep_np)).to_pylist()
+    urls = pc.take(batch.column("url"), parent).filter(pa.array(keep_np))
     idx = idx[keep_np]
-    h1 = np.empty(len(flat), dtype=np.int64)
-    h2 = np.empty(len(flat), dtype=np.int64)
-    occ = [None] * len(flat)
-    for i, line in enumerate(flat.to_pylist()):
-        h1[i], h2[i] = _hash128(line)
-        occ[i] = f"{urls[i]}\x00{idx[i]:010d}\x00{file_id}"
-    return pa.table(
-        {
-            "h1": pa.array(h1, pa.int64()),
-            "h2": pa.array(h2, pa.int64()),
-            "occ": pa.array(occ, pa.string()),
-        }
+    h1, h2 = _hash128(flat)
+    # occ = "url \x00 idx(10 digits) \x00 file_id", built with Arrow string
+    # kernels — no per-line Python (was a 37.6M-iteration f-string loop)
+    idx_str = pc.utf8_lpad(
+        pc.cast(pa.array(idx, pa.int64()), pa.string()), width=10, padding="0"
     )
+    occ = pc.binary_join_element_wise(
+        pc.cast(urls, pa.string()), idx_str, str(file_id), "\x00"
+    )
+    return pa.table({"h1": h1, "h2": h2, "occ": occ})
 
 
 def _decode_winners(batch: pa.Table) -> pa.Table:
@@ -232,30 +234,61 @@ def global_line_dedup(corpus_dir: str):
     tagged = winners.union(ray.data.from_arrow(sentinels))
 
     def rebuild_shard(group: pa.Table) -> pa.Table:
+        import polars as pl
         import pyarrow.parquet as pq
 
         paths = ray.get(files_ref)
         fid = int(group.column("file_id")[0].as_py())
-        won: dict[str, set] = {}
-        for u, i in zip(group.column("url").to_pylist(), group.column("idx").to_pylist()):
-            if i is not None and i >= 0:
-                won.setdefault(u, set()).add(i)
         t = _corpus_page_filter(pq.read_table(paths[fid], columns=["url", "text"]))
-        out_url, out_n, out_rm, out_clean = [], [], [], []
-        for u, text in zip(t.column("url").to_pylist(), t.column("text").to_pylist()):
-            lines = text.split("\n")
-            mine = won.get(u, ())
-            kept = [ln for i, ln in enumerate(lines) if ln == "" or i in mine]
-            out_url.append(u)
-            out_n.append(len(lines))
-            out_rm.append(len(lines) - len(kept))
-            out_clean.append("\n".join(kept) if kept else None)
+        n = len(t)
+        # re-explode the shard's pages into lines (same kernels as the
+        # explode pass) and keep a line iff it is empty or its
+        # "url \x00 idx" key is among this shard's winners — all Arrow
+        # kernels, no per-line or per-page Python loop.
+        lines_list = pc.split_pattern(t.column("text"), pattern="\n")
+        flat = pc.list_flatten(lines_list)
+        parent = np.asarray(pc.list_parent_indices(lines_list), dtype=np.int64)
+        offsets = np.asarray(lines_list.combine_chunks().offsets, dtype=np.int64)
+        n_lines = np.diff(offsets)
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], n_lines)
+
+        wmask = pc.and_(
+            pc.is_valid(group.column("idx")),
+            pc.greater_equal(group.column("idx"), 0),
+        )
+        wurl = pc.cast(group.column("url").filter(wmask), pa.string())
+        widx = pc.utf8_lpad(
+            pc.cast(group.column("idx").filter(wmask), pa.string()),
+            width=10,
+            padding="0",
+        )
+        wkey = pc.binary_join_element_wise(wurl, widx, "\x00").combine_chunks()
+
+        key = pc.binary_join_element_wise(
+            pc.cast(pc.take(t.column("url"), pa.array(parent)), pa.string()),
+            pc.utf8_lpad(pc.cast(pa.array(idx), pa.string()), width=10, padding="0"),
+            "\x00",
+        )
+        keep = np.asarray(pc.or_(pc.equal(flat, ""), pc.is_in(key, value_set=wkey)))
+        kept_parent = parent[keep]
+        kept_count = np.bincount(kept_parent, minlength=n)
+        # rejoin kept lines per page in one vectorized group_by (polars
+        # maintains first-appearance group order == line order within page)
+        agg = (
+            pl.DataFrame(
+                {"p": kept_parent, "l": pl.from_arrow(flat.filter(pa.array(keep)))}
+            )
+            .group_by("p", maintain_order=True)
+            .agg(pl.col("l").str.join("\n"))
+        )
+        clean = np.full(n, None, dtype=object)
+        clean[agg["p"].to_numpy()] = agg["l"].to_numpy()
         return pa.table(
             {
-                "url": pa.array(out_url, pa.string()),
-                "n_lines": pa.array(out_n, pa.int64()),
-                "n_removed": pa.array(out_rm, pa.int64()),
-                "clean_text": pa.array(out_clean, pa.string()),
+                "url": t.column("url"),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_removed": pa.array(n_lines - kept_count, pa.int64()),
+                "clean_text": pa.array(clean, pa.string()),
             }
         )
 
