@@ -542,6 +542,42 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_host_hits(sf_dir: str):
+    """Kleinberg HITS over the host link graph — distributed edge
+    aggregation, one pinned-order remote kernel (host_pagerank's shape)."""
+    from spider_ray.ops.linkgraph import host_hits
+
+    return host_hits(_corpus_for(sf_dir))
+
+
+def q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table — integer-moment
+    covariance combiner (order-free), eigh + pinned sign on the driver."""
+    import ray.data
+
+    from spider_ray.ops.cluster import embedding_pca
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_pca(emb)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR hashed-n-gram importance weights toward the lang='en' slice
+    (Xie et al. 2023) — bounded B=10^4 bucket-count shuffle + broadcast
+    quantized log-ratio vector; exact int64 weights."""
+    from spider_ray.ops.dsir import dsir_weights
+
+    return dsir_weights(_docs(sf_dir))
+
+
+def q_host_cap(sf_dir: str):
+    """Domain-cap sampling: first 5 URLs per host (FineWeb/Gopher domain
+    balancing) — per-batch cap combiner, then one (host,url) groupby."""
+    from spider_ray.ops.sampling import host_cap
+
+    return host_cap(_corpus_for(sf_dir), cap=5)
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition signal: total vs duplicate word
     bigram occurrences, all-integer, shuffle-free per-row map."""
@@ -1453,6 +1489,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrape_markdown": q_scrape_markdown,
         "scrape_commonmark": q_scrape_commonmark,
         "host_page_counts": q_host_page_counts,
+        "host_cap": q_host_cap,
+        "dsir_weights": q_dsir_weights,
+        "embedding_pca": q_embedding_pca,
+        "host_hits": q_host_hits,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,
@@ -1579,6 +1619,13 @@ def oracle_sql() -> dict[str, str]:
         "host_page_counts": (
             f"SELECT split_part(split_part(url, '://', 2), '/', 1) AS host, "
             f"count(*)::BIGINT AS n_pages FROM read_parquet('{corpus_glob}') GROUP BY 1"
+        ),
+        "host_cap": (
+            "SELECT host, url, rank FROM ("
+            "SELECT split_part(split_part(url, '://', 2), '/', 1) AS host, url, "
+            "ROW_NUMBER() OVER (PARTITION BY split_part(split_part(url, '://', 2), '/', 1) "
+            f"ORDER BY url)::BIGINT AS rank FROM read_parquet('{corpus_glob}')"
+            ") WHERE rank <= 5"
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count "

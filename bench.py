@@ -215,6 +215,31 @@ def run_bench() -> dict:
     pack_sequences(docs, budget=256, n_parts=64).count()
     queries["sequence_packing"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.sampling import host_cap
+
+    t0 = time.perf_counter()
+    host_cap(corpus, cap=5).count()
+    queries["host_cap"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.dsir import dsir_weights
+
+    t0 = time.perf_counter()
+    dsir_weights(docs).count()
+    queries["dsir_weights"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.cluster import embedding_pca
+
+    emb_pca = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.perf_counter()
+    embedding_pca(emb_pca).num_rows
+    queries["embedding_pca"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.linkgraph import host_hits
+
+    t0 = time.perf_counter()
+    host_hits(corpus).count()
+    queries["host_hits"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

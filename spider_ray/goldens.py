@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 28
+GOLDEN_VERSION = 31
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1140,6 +1140,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
         out["lsh_ann"] = seq_lsh_ann(sf_dir)
         out["ivf_ann"] = seq_ivf_ann(sf_dir)
         out["kmeans_clusters"] = seq_kmeans_clusters(sf_dir)
+        out["embedding_pca"] = seq_embedding_pca(sf_dir)
         out["semdedup"] = seq_semdedup(sf_dir)
     out["simhash"] = pa.table(
         {
@@ -1148,11 +1149,57 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
         }
     )
     out["simhash_near_dup"] = seq_simhash_near_dup(ids, texts, max_hamming=3)
+    out["dsir_weights"] = seq_dsir_weights(ids, texts, langs)
     out["lang_id"] = seq_lang_counts(texts)
     out["fingerprints"] = seq_fingerprints(ids, texts)
     out["multimodal_decode"] = seq_multimodal_decode(64)
     out["multimodal_audio"] = seq_multimodal_audio(48)
     out["multimodal_frames"] = seq_multimodal_frames(24)
+
+
+def seq_dsir_weights(ids, texts, langs, target_lang: str = "en",
+                     n_buckets: int = 10_000) -> pa.Table:
+    """Sequential DSIR importance weights (Xie et al. 2023 hashed-n-gram
+    model; spec pinned in ``ops/dsir.py``'s docstring).  One Python
+    process, plain Counter loops — no Ray, no shared operator code beyond
+    the token regex, the stable hash and the constants."""
+    import math
+    from collections import Counter
+
+    tok_re = re.compile(r"\S+")
+
+    def buckets_of(text):
+        toks = [t.lower() for t in tok_re.findall(text or "")]
+        grams = toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+        return [stable_hash_str(g) % n_buckets for g in grams]
+
+    per_doc = [buckets_of(t) for t in texts]
+    raw_c: Counter = Counter()
+    tgt_c: Counter = Counter()
+    for lang, bks in zip(langs, per_doc):
+        raw_c.update(bks)
+        if lang == target_lang:
+            tgt_c.update(bks)
+    r_tot = sum(raw_c.values())
+    t_tot = sum(tgt_c.values())
+
+    def lr(b):
+        x = 1e6 * (
+            math.log((tgt_c.get(b, 0) + 1) / (t_tot + n_buckets))
+            - math.log((raw_c.get(b, 0) + 1) / (r_tot + n_buckets))
+        )
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    lr_map = {b: lr(b) for b in range(n_buckets)}
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_feats": pa.array([len(b) for b in per_doc], pa.int64()),
+            "dsir_logw_x1e6": pa.array(
+                [sum(lr_map[b] for b in bks) for bks in per_doc], pa.int64()
+            ),
+        }
+    )
 
 
 def seq_dup_ngram_spans(
@@ -1263,6 +1310,82 @@ def _read_unit_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def seq_embedding_pca(sf_dir: str, top_k: int = 4) -> pa.Table:
+    """Sequential PCA under the pinned integer-moment spec of
+    ``ops/cluster.embedding_pca``: because the folded moments are integer
+    sums of ``round(x·1e3)`` quantities, ANY partitioning gives the same
+    S and C bits — this one-pass recompute is the exact oracle."""
+    _, m = _read_unit_embeddings(sf_dir)
+    qp = 1_000.0
+    q = (np.sign(m) * np.floor(np.abs(m) * qp + 0.5)).astype(np.int64)
+    n, d = q.shape
+    s = q.sum(axis=0)
+    c = q.T @ q
+    cov = (c / (qp * qp) - np.outer(s, s) / (qp * qp * n)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:top_k]
+    comps, dims, loads, eigs = [], [], [], []
+    for rank, j in enumerate(order):
+        v = evecs[:, j]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.extend([rank] * d)
+        dims.extend(range(d))
+        loads.extend(np.round(v, 9).tolist())
+        eigs.extend([round(float(evals[j]), 9)] * d)
+    return pa.table(
+        {
+            "component": pa.array(comps, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "loading": pa.array(loads, pa.float64()),
+            "eigenvalue": pa.array(eigs, pa.float64()),
+        }
+    )
+
+
+def seq_host_hits(edges: pa.Table, iters: int = 10) -> pa.Table:
+    """Plain-loop HITS with the pinned orders of ``ops/linkgraph._hits_kernel``
+    (authority pass in ascending (dst, src) edge order, hub pass in
+    ascending (src, dst); L2 norms via ``math.fsum`` of the squares —
+    correctly rounded, so order-free; round-12 output) — bit-compatible
+    by construction of the orders, not shared code."""
+    import math
+
+    pair_list = sorted(
+        zip(edges.column("src_host").to_pylist(), edges.column("dst_host").to_pylist())
+    )
+    hosts = sorted({h for e in pair_list for h in e})
+    by_dst_src = sorted(pair_list, key=lambda e: (e[1], e[0]))
+    hub = {h: 1.0 for h in hosts}
+    auth = {h: 1.0 for h in hosts}
+    for _ in range(iters):
+        auth = {h: 0.0 for h in hosts}
+        for s, d in by_dst_src:
+            auth[d] += hub[s]
+        norm = math.sqrt(math.fsum(v * v for v in auth.values()))
+        if norm > 0:
+            auth = {h: v / norm for h, v in auth.items()}
+        hub = {h: 0.0 for h in hosts}
+        for s, d in pair_list:  # ascending (src, dst)
+            hub[s] += auth[d]
+        norm = math.sqrt(math.fsum(v * v for v in hub.values()))
+        if norm > 0:
+            hub = {h: v / norm for h, v in hub.items()}
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "hub": pa.array(
+                np.round(np.array([hub[h] for h in hosts], dtype=np.float64), 12),
+                pa.float64(),
+            ),
+            "authority": pa.array(
+                np.round(np.array([auth[h] for h in hosts], dtype=np.float64), 12),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def seq_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 4) -> pa.Table:
     ids, m = _read_unit_embeddings(sf_dir)
     centroids = _seq_kmeans_centroids(ids, m, k, iters)
@@ -1338,11 +1461,13 @@ GOLDEN_QUERIES = (
     "lsh_ann",
     "ivf_ann",
     "kmeans_clusters",
+    "embedding_pca",
     "semdedup",
     "dup_ngram_spans",
     "remove_dup_spans",
     "simhash",
     "simhash_near_dup",
+    "dsir_weights",
     "lang_id",
     "fingerprints",
     "multimodal_decode",
@@ -1352,6 +1477,7 @@ GOLDEN_QUERIES = (
     "needs_js",
     "host_degrees",
     "host_pagerank",
+    "host_hits",
     "host_components",
     "scrape_markdown",
     "scrape_commonmark",
@@ -1390,6 +1516,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     tables["anchor_terms"] = seq_anchor_terms(sf_name)
     tables["host_degrees"] = seq_host_degrees(lg)
     tables["host_pagerank"] = seq_host_pagerank(lg)
+    tables["host_hits"] = seq_host_hits(lg)
     tables["host_components"] = seq_host_components(lg)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_ops_goldens(sf_dir, tables)

@@ -254,3 +254,82 @@ def label_centroids(
         ),
         batch_format="pyarrow",
     )
+
+
+def embedding_pca(
+    ds,
+    top_k: int = 4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """Distributed PCA over an embedding column: the covariance fold is the
+    textbook one-pass combiner (per-batch ``n, Σq, Σ q qᵀ`` partials — a
+    k(d²+d)-byte row per batch, never the vectors), with the same
+    determinism contract as ``kmeans_fit``:
+
+    * vectors L2-normalized in float64, then QUANTIZED ``q = round(x·1e3)``
+      (int64, half away from zero) — the folded quantities are integer
+      sums/outer-products, immune to summation order; int64 holds
+      Σ q qᵀ exactly to ~10¹² rows (|q| ≤ 1000);
+    * covariance from the exact integer moments:
+      ``Cov = (C/1e6 − outer(S,S)/(1e6·n)) / (n−1)`` in float64;
+    * components: top ``top_k`` eigenvectors of Cov by descending
+      eigenvalue (``np.linalg.eigh`` — deterministic on identical input
+      bits), sign pinned so each component is positive at its
+      largest-|loading| dim (first index on ties);
+    * loadings/eigenvalues rounded to 9 decimals at the edge (repo round-9
+      contract).
+
+    Returns ``(component, dim, loading, eigenvalue)`` — ``top_k × d``
+    rows.  The driver folds one small partial row per batch (the same
+    driver-fold shape as ``kmeans_fit``; at extreme batch counts fold the
+    partials in a fixed-order remote tree instead).
+    """
+    _QP = 1_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _unit_rows(batch, column)
+        q = (np.sign(m) * np.floor(np.abs(m) * _QP + 0.5)).astype(np.int64)
+        c = q.T @ q  # integer matmul — numpy's own kernels, exact, no BLAS
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "s": pa.array([q.sum(axis=0)], pa.list_(pa.int64())),
+                "c": pa.array([c.reshape(-1)], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = (
+        ds.select_columns([id_column, column])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    n = sum(r["n"] for r in parts)
+    d = int(np.sqrt(len(parts[0]["c"])))
+    s = np.zeros(d, dtype=np.int64)
+    c = np.zeros(d * d, dtype=np.int64)
+    for r in parts:
+        s += np.asarray(r["s"], dtype=np.int64)
+        c += np.asarray(r["c"], dtype=np.int64)
+    c = c.reshape(d, d)
+    cov = (c / (_QP * _QP) - np.outer(s, s) / (_QP * _QP * n)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:top_k]
+    comps, dims, loads, eigs = [], [], [], []
+    for rank, j in enumerate(order):
+        v = evecs[:, j]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.extend([rank] * d)
+        dims.extend(range(d))
+        loads.extend(np.round(v, 9).tolist())
+        eigs.extend([round(float(evals[j]), 9)] * d)
+    return pa.table(
+        {
+            "component": pa.array(comps, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "loading": pa.array(loads, pa.float64()),
+            "eigenvalue": pa.array(eigs, pa.float64()),
+        }
+    )

@@ -479,3 +479,88 @@ def host_components(corpus_dir: str, max_iters: int = 50):
     import ray.data as rd
 
     return rd.from_arrow(ray.get(_components.remote(*refs)))
+
+
+HITS_ITERS = 10
+
+
+def _hits_kernel(
+    src: np.ndarray, dst: np.ndarray, hosts: list[str], iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Kleinberg HITS with every order pinned (the sequential golden
+    reproduces these bits by construction):
+
+    * authority update accumulates in ascending (dst, src) edge order,
+      hub update in ascending (src, dst) order (``np.add.at`` over the
+      pre-sorted id arrays);
+    * after each update the vector is L2-normalized with
+      ``math.fsum`` of the squares — fsum is correctly rounded, so the
+      norm is independent of summation order;
+    * init: all ones; output rounded to 12 decimals.
+
+    ``src``/``dst`` arrive sorted by (dst, src); the hub pass re-sorts.
+    """
+    import math
+
+    n = len(hosts)
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.ones(n, dtype=np.float64)
+    hub_order = np.lexsort((dst, src))  # ascending (src, dst)
+    s_h, d_h = src[hub_order], dst[hub_order]
+    for _ in range(iters):
+        auth = np.zeros(n, dtype=np.float64)
+        np.add.at(auth, dst, hub[src])
+        norm = math.sqrt(math.fsum((x * x for x in auth.tolist())))
+        if norm > 0:
+            auth = auth / norm
+        hub = np.zeros(n, dtype=np.float64)
+        np.add.at(hub, s_h, auth[d_h])
+        norm = math.sqrt(math.fsum((x * x for x in hub.tolist())))
+        if norm > 0:
+            hub = hub / norm
+    return np.round(hub, 12), np.round(auth, 12)
+
+
+def host_hits(corpus_dir: str, iters: int = HITS_ITERS):
+    """``(host, hub, authority)`` — Kleinberg HITS over the distinct-pair
+    host graph: the link-density complement to ``host_pagerank`` (hubs =
+    link directories, authorities = link targets).  Same shape as
+    ``host_pagerank``: distributed edge extraction/aggregation feeds ONE
+    remote kernel via block refs (the driver never holds edges); the
+    module-docstring >10⁹-edge groupby alternative applies unchanged."""
+    import ray
+    import ray.data as rd
+
+    edges = host_link_edges(corpus_dir).materialize()
+    refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def _iterate(*blocks: pa.Table) -> pa.Table:
+        live = [b for b in blocks if b.num_rows]
+        if not live:
+            return pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        tbl = pa.concat_tables(live)
+        src_s = tbl.column("src_host")
+        dst_s = tbl.column("dst_host")
+        hosts_arr = pc.unique(pa.chunked_array(list(src_s.chunks) + list(dst_s.chunks)))
+        hosts = sorted(hosts_arr.to_pylist())
+        idx = {h: i for i, h in enumerate(hosts)}
+        src = np.fromiter((idx[h] for h in src_s.to_pylist()), np.int64, len(tbl))
+        dst = np.fromiter((idx[h] for h in dst_s.to_pylist()), np.int64, len(tbl))
+        order = np.lexsort((src, dst))  # ascending (dst, src)
+        hub, auth = _hits_kernel(src[order], dst[order], hosts, iters)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "hub": pa.array(hub, pa.float64()),
+                "authority": pa.array(auth, pa.float64()),
+            }
+        )
+
+    return rd.from_arrow(ray.get(_iterate.remote(*refs)))

@@ -226,3 +226,59 @@ def global_sample_k(ds, k: int, key_col: str = "doc_id"):
     parts = ds.select_columns([key_col]).map_batches(partial, batch_format="pyarrow")
     out = parts.sort(["h", key_col]).limit(k)
     return out.map_batches(lambda b: b.select([key_col]), batch_format="pyarrow")
+
+
+def host_cap(corpus_dir: str, cap: int = 20):
+    """Domain balancing: keep at most ``cap`` pages per host, chosen as the
+    lexicographically-first ``cap`` URLs — the Gopher/FineWeb "domain cap"
+    hygiene step that stops one mega-host from dominating a web corpus.
+    Returns ``(host, url, rank)`` with ``rank`` = 1..cap in URL order; the
+    SQL replay is a plain ROW_NUMBER window.
+
+    Scale shape (contrast with ``class_balance``, which shuffles every
+    (class, key) row): a vectorized per-batch combiner keeps only each
+    batch's first ``cap`` URLs per host BEFORE the shuffle, so a host with
+    10⁶ pages contributes ``cap`` rows per batch, not 10⁶, to the
+    ``groupby(host)`` — the same bounded-contribution argument as
+    ``global_sample_k``.  The group stage re-sorts the ≤ cap×n_batches
+    survivors and emits the global first ``cap``.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .textclean import _hosts_of
+
+    pages = ray.data.read_parquet(corpus_dir, columns=["url"])
+
+    def local_cap(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        t = pa.table({"host": _hosts_of(urls), "url": urls})
+        idx = pc.sort_indices(
+            t, sort_keys=[("host", "ascending"), ("url", "ascending")]
+        )
+        t = t.take(idx)
+        hs = t.column("host").to_numpy(zero_copy_only=False)
+        if len(hs) == 0:
+            return t
+        starts = np.flatnonzero(np.concatenate(([True], hs[1:] != hs[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(hs)])))
+        pos = np.arange(len(hs), dtype=np.int64) - np.repeat(starts, lens)
+        return t.filter(pa.array(pos < cap))
+
+    def group_cap(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group.column("url"))[:cap]
+        g = group.take(idx)
+        return pa.table(
+            {
+                "host": g.column("host"),
+                "url": g.column("url"),
+                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        pages.map_batches(local_cap, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(group_cap, batch_format="pyarrow")
+    )

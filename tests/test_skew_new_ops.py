@@ -82,3 +82,98 @@ def test_source_mix_hot_source_no_driver_state(ray_session):
     wall = time.perf_counter() - t0
     assert n == 100_000
     assert wall < 30, wall
+
+
+def test_host_cap_hot_host_bounded(ray_session, tmp_path):
+    """A 20k-page mega-host contributes at most ``cap`` rows per batch to
+    the shuffle (combiner), and exactly ``cap`` rows to the result — the
+    domain-balancing contract."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.ops.sampling import host_cap
+
+    rows = [{"url": f"https://hot.example/p{i:05d}"} for i in range(20000)]
+    rows += [{"url": f"https://cold{i}.example/only"} for i in range(10)]
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, tmp_path / "p.parquet")
+    out = host_cap(str(tmp_path), cap=7).take_all()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["hot.example"]) == 7
+    assert [r["url"] for r in sorted(by_host["hot.example"], key=lambda r: r["rank"])] == [
+        f"https://hot.example/p{i:05d}" for i in range(7)
+    ]
+    assert all(len(v) == 1 for h, v in by_host.items() if h != "hot.example")
+    assert len(by_host) == 11
+
+
+def test_dsir_weights_favor_target_like_docs(ray_session):
+    """Docs sharing the target slice's n-grams score higher than docs made
+    of off-distribution grams; weights are exact int64 (order-free)."""
+    from spider_ray.ops.dsir import dsir_weights
+
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "lang": "en", "text": "the quick brown fox jumps"})
+    for i in range(40, 80):
+        rows.append({"doc_id": i, "lang": "de", "text": "der schnelle braune fuchs"})
+    # held-out docs, one per style, not in the target slice
+    rows.append({"doc_id": 100, "lang": "xx", "text": "the quick brown fox jumps"})
+    rows.append({"doc_id": 101, "lang": "xx", "text": "der schnelle braune fuchs"})
+    out = {r["doc_id"]: r for r in dsir_weights(_ds(rows)).take_all()}
+    assert out[100]["dsir_logw_x1e6"] > out[101]["dsir_logw_x1e6"]
+    assert out[100]["n_feats"] == 9  # 5 unigrams + 4 bigrams
+
+
+def test_embedding_pca_partition_invariant(ray_session):
+    """The integer-moment fold makes the PCA output bit-identical across
+    block layouts — the determinism contract at any cluster size."""
+    import numpy as np
+    import ray.data
+
+    from spider_ray.ops.cluster import embedding_pca
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(300, 8))
+    rows = [
+        {"vec_id": i, "embedding": m[i].tolist()} for i in range(len(m))
+    ]
+    a = embedding_pca(ray.data.from_items(rows).repartition(1), top_k=3)
+    b = embedding_pca(ray.data.from_items(rows).repartition(13), top_k=3)
+    assert a.equals(b)
+    lead = a.filter(
+        __import__("pyarrow.compute", fromlist=["equal"]).equal(
+            a.column("component"), 0
+        )
+    )
+    v = np.asarray(lead.column("loading"), dtype=np.float64)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6  # unit eigenvector
+    ev = sorted(set(a.column("eigenvalue").to_pylist()), reverse=True)
+    assert ev == sorted(ev, reverse=True) and len(ev) == 3
+
+
+def test_host_hits_star_graph(ray_session, tmp_path):
+    """Directory page linking N leaf hosts: the directory is the top hub,
+    leaves are the authorities; scores are L2-normalized."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.ops.linkgraph import host_hits
+
+    def page(url, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return {"url": url, "html": f"<html><body>{body}</body></html>".encode(),
+                "text": "x", "status": 200}
+
+    rows = [page("https://hub.example/", [f"https://leaf{i}.example/p" for i in range(4)])]
+    rows += [page(f"https://leaf{i}.example/p", []) for i in range(4)]
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, tmp_path / "p.parquet")
+    out = {r["host"]: r for r in host_hits(str(tmp_path)).take_all()}
+    assert out["hub.example"]["hub"] == 1.0
+    assert out["hub.example"]["authority"] == 0.0
+    leaf_auth = [out[f"leaf{i}.example"]["authority"] for i in range(4)]
+    assert all(a == leaf_auth[0] > 0 for a in leaf_auth)
+    assert abs(math.fsum(a * a for a in leaf_auth) - 1.0) < 1e-9
