@@ -542,6 +542,14 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_top_backlinks(sf_dir: str):
+    """Top-100 most-linked URLs: parse combiner -> one (url,n) groupby ->
+    sort+limit; driver holds exactly k rows."""
+    from spider_ray.ops.linkgraph import top_backlinks
+
+    return top_backlinks(_corpus_for(sf_dir))
+
+
 def q_host_hits(sf_dir: str):
     """Kleinberg HITS over the host link graph — distributed edge
     aggregation, one pinned-order remote kernel (host_pagerank's shape)."""
@@ -1493,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "embedding_pca": q_embedding_pca,
         "host_hits": q_host_hits,
+        "top_backlinks": q_top_backlinks,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,

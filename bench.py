@@ -240,6 +240,12 @@ def run_bench() -> dict:
     host_hits(corpus).count()
     queries["host_hits"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.linkgraph import top_backlinks
+
+    t0 = time.perf_counter()
+    top_backlinks(corpus, k=100)
+    queries["top_backlinks"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 31
+GOLDEN_VERSION = 32
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1020,6 +1020,47 @@ def seq_link_graph(sf_name: str) -> pa.Table:
     )
 
 
+def seq_top_backlinks(sf_name: str, k: int = 100) -> pa.Table:
+    """Sequential top-k backlinked URLs (plain loop over the corpus spec
+    with the single-purpose extractor, like ``seq_link_graph``; count unit
+    = linking page, per-page first-seen dedup; order (n desc, url asc))."""
+    from collections import Counter as _Counter
+
+    from .fixtures import SCALE_PARAMS, build_corpus
+    from .htmlparse import extract_links_and_meta
+    from .ops.linkgraph import _page_root
+    from .scope import get_page_selectors
+
+    n_hosts, pph, _, page_weight = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])
+    rows = build_corpus(n_hosts=n_hosts, pages_per_host=pph, seed=42, page_weight=page_weight)
+    counts: _Counter = _Counter()
+    for r in sorted(rows, key=lambda r: r["url"]):
+        url = r["url"]
+        if r["status"] != 200 or not r["html"]:
+            continue
+        if url.endswith("robots.txt") or url.endswith("sitemap.xml"):
+            continue
+        html = r["html"]
+        if isinstance(html, (bytes, bytearray)):
+            html = html.decode("utf-8", "replace")
+        ex = extract_links_and_meta(
+            html,
+            url,
+            _page_root(url),
+            get_page_selectors(url, False, False),
+            external_domains=frozenset({"*"}),
+        )
+        counts.update(ex.links)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "url": pa.array([u for u, _ in top], pa.string()),
+            "n_backlinks": pa.array([c for _, c in top], pa.int64()),
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        }
+    )
+
+
 def seq_host_degrees(edges: pa.Table) -> pa.Table:
     """Degree rollup from the sequential edge table (dict loop)."""
     stats: dict[str, list[int]] = {}  # host -> [out_deg, in_deg, out_links, in_links]
@@ -1478,6 +1519,7 @@ GOLDEN_QUERIES = (
     "host_degrees",
     "host_pagerank",
     "host_hits",
+    "top_backlinks",
     "host_components",
     "scrape_markdown",
     "scrape_commonmark",
@@ -1517,6 +1559,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     tables["host_degrees"] = seq_host_degrees(lg)
     tables["host_pagerank"] = seq_host_pagerank(lg)
     tables["host_hits"] = seq_host_hits(lg)
+    tables["top_backlinks"] = seq_top_backlinks(sf_name)
     tables["host_components"] = seq_host_components(lg)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_ops_goldens(sf_dir, tables)

@@ -564,3 +564,79 @@ def host_hits(corpus_dir: str, iters: int = HITS_ITERS):
         )
 
     return rd.from_arrow(ray.get(_iterate.remote(*refs)))
+
+
+class BacklinkExtractor(EdgeExtractor):
+    """map_batches stage: corpus rows → per-batch combined (dst_url, n)
+    backlink partial counts.  Link semantics are EdgeExtractor's (anchors,
+    per-page first-seen dedup, external_domains="*"); the count unit is a
+    linking PAGE (each page contributes ≤1 per distinct target)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        urls = batch.column("url")
+        keep = pc.and_(
+            pc.equal(batch.column("status"), 200),
+            pc.invert(
+                pc.or_(
+                    pc.ends_with(urls, "robots.txt"),
+                    pc.ends_with(urls, "sitemap.xml"),
+                )
+            ),
+        )
+        batch = batch.filter(keep)
+        counts: Counter = Counter()
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            if not html:
+                continue
+            if isinstance(html, (bytes, bytearray)):
+                html = html.decode("utf-8", "replace")
+            _, sel, root = self._src_state(url)
+            parsed = parse_page(
+                html,
+                url,
+                root,
+                sel,
+                external_domains=ALL_DOMAINS,
+                want_signature=False,
+                want_text=False,
+            )
+            counts.update(parsed.links)
+        return pa.table(
+            {
+                "url": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+
+def top_backlinks(corpus_dir: str, k: int = 100, concurrency=None):
+    """Top-``k`` most-linked URLs across the corpus:
+    ``(url, n_backlinks, rank)`` ordered by (count desc, url asc).
+
+    Shape: actor-pool parse with per-batch Counter combiner (a target
+    linked from every page of a batch ships ONE row), one
+    ``groupby(url)`` fold over distinct targets, then ``sort + limit k``
+    on the slim (url, n) aggregate — the corpus html never shuffles and
+    the driver holds exactly ``k`` rows."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(corpus_dir, columns=["url", "html", "status"])
+    max_actors = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    partials = ds.map_batches(
+        BacklinkExtractor,
+        batch_format="pyarrow",
+        concurrency=concurrency or (2, max_actors),
+    )
+    agg = partials.groupby("url").sum("n")
+    top = agg.sort(["sum(n)", "url"], descending=[True, False]).limit(k)
+    rows = top.take_all()
+    return pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "n_backlinks": pa.array([r["sum(n)"] for r in rows], pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        }
+    )
