@@ -542,6 +542,14 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_robots_audit(sf_dir: str):
+    """Per-host robots.txt compliance audit over the held corpus —
+    broadcast robots dict, per-batch count combiner, one (host) groupby."""
+    from spider_ray.ops.robotsaudit import robots_audit
+
+    return robots_audit(_corpus_for(sf_dir))
+
+
 def q_top_backlinks(sf_dir: str):
     """Top-100 most-linked URLs: parse combiner -> one (url,n) groupby ->
     sort+limit; driver holds exactly k rows."""
@@ -1502,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": q_embedding_pca,
         "host_hits": q_host_hits,
         "top_backlinks": q_top_backlinks,
+        "robots_audit": q_robots_audit,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,

@@ -246,6 +246,12 @@ def run_bench() -> dict:
     top_backlinks(corpus, k=100)
     queries["top_backlinks"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.robotsaudit import robots_audit
+
+    t0 = time.perf_counter()
+    robots_audit(corpus).count()
+    queries["robots_audit"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 32
+GOLDEN_VERSION = 33
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1061,6 +1061,46 @@ def seq_top_backlinks(sf_name: str, k: int = 100) -> pa.Table:
     )
 
 
+def seq_robots_audit(sf_name: str) -> pa.Table:
+    """Sequential robots-compliance audit (plain loop over the corpus spec).
+    Shares ``robots.RobotFileParser`` with the engine the way the crawl
+    oracle does — the parser IS the pinned decision-table semantic
+    (1:1-ported from parser.rs and pinned by tests/test_robots.py), not
+    operator plumbing; everything else here is an independent dict loop."""
+    from .fixtures import SCALE_PARAMS, build_corpus
+    from .ops.robotsaudit import AUDIT_AGENT, _decode
+    from .robots import RobotFileParser
+
+    n_hosts, pph, _, page_weight = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])
+    rows = build_corpus(n_hosts=n_hosts, pages_per_host=pph, seed=42, page_weight=page_weight)
+    robots: dict[str, RobotFileParser] = {}
+    for r in rows:
+        if r["url"].endswith("robots.txt"):
+            host = r["url"].split("://", 1)[1].split("/", 1)[0]
+            p = RobotFileParser()
+            p.read_status(r["status"], _decode(r["html"]))
+            robots[host] = p
+    n_pages: dict[str, int] = {}
+    n_dis: dict[str, int] = {}
+    for r in rows:
+        url = r["url"]
+        if r["status"] != 200 or url.endswith("robots.txt") or url.endswith("sitemap.xml"):
+            continue
+        host = url.split("://", 1)[1].split("/", 1)[0]
+        n_pages[host] = n_pages.get(host, 0) + 1
+        p = robots.get(host)
+        if p is not None and not p.can_fetch(AUDIT_AGENT, url):
+            n_dis[host] = n_dis.get(host, 0) + 1
+    hosts = sorted(n_pages)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "n_pages": pa.array([n_pages[h] for h in hosts], pa.int64()),
+            "n_disallowed": pa.array([n_dis.get(h, 0) for h in hosts], pa.int64()),
+        }
+    )
+
+
 def seq_host_degrees(edges: pa.Table) -> pa.Table:
     """Degree rollup from the sequential edge table (dict loop)."""
     stats: dict[str, list[int]] = {}  # host -> [out_deg, in_deg, out_links, in_links]
@@ -1520,6 +1560,7 @@ GOLDEN_QUERIES = (
     "host_pagerank",
     "host_hits",
     "top_backlinks",
+    "robots_audit",
     "host_components",
     "scrape_markdown",
     "scrape_commonmark",
@@ -1560,6 +1601,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     tables["host_pagerank"] = seq_host_pagerank(lg)
     tables["host_hits"] = seq_host_hits(lg)
     tables["top_backlinks"] = seq_top_backlinks(sf_name)
+    tables["robots_audit"] = seq_robots_audit(sf_name)
     tables["host_components"] = seq_host_components(lg)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_ops_goldens(sf_dir, tables)
