@@ -542,6 +542,14 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_url_features(sf_dir: str):
+    """URL-shape filtering signals (FineWeb/C4 URL heuristics) — pure
+    Arrow kernels over the pruned url column, zero parse."""
+    from spider_ray.ops.textstats import url_features
+
+    return url_features(_corpus_for(sf_dir))
+
+
 def q_robots_audit(sf_dir: str):
     """Per-host robots.txt compliance audit over the held corpus —
     broadcast robots dict, per-batch count combiner, one (host) groupby."""
@@ -1511,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": q_host_hits,
         "top_backlinks": q_top_backlinks,
         "robots_audit": q_robots_audit,
+        "url_features": q_url_features,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,
@@ -1637,6 +1646,15 @@ def oracle_sql() -> dict[str, str]:
         "host_page_counts": (
             f"SELECT split_part(split_part(url, '://', 2), '/', 1) AS host, "
             f"count(*)::BIGINT AS n_pages FROM read_parquet('{corpus_glob}') GROUP BY 1"
+        ),
+        "url_features": (
+            "SELECT url, length(url)::BIGINT AS url_len, "
+            "(length(url) - length(replace(url, '/', '')))::BIGINT AS n_slash, "
+            "(CASE WHEN contains(url, '?') THEN "
+            "length(url) - length(replace(url, '&', '')) + 1 ELSE 0 END)::BIGINT "
+            "AS n_query_params, "
+            "(length(url) - length(regexp_replace(url, '[0-9]', '', 'g')))::BIGINT "
+            f"AS n_digits FROM read_parquet('{corpus_glob}')"
         ),
         "host_cap": (
             "SELECT host, url, rank FROM ("

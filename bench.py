@@ -252,6 +252,12 @@ def run_bench() -> dict:
     robots_audit(corpus).count()
     queries["robots_audit"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.textstats import url_features
+
+    t0 = time.perf_counter()
+    url_features(corpus).count()
+    queries["url_features"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

@@ -387,3 +387,45 @@ def bigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
     return ds.map_batches(
         Scorer, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
     )
+
+
+def url_features(corpus_dir: str):
+    """``(url, url_len, n_slash, n_query_params, n_digits)`` per corpus
+    page — the URL-shape signals behind FineWeb/C4-style URL filtering
+    (deep paths, parameter-heavy or digit-heavy URLs correlate with
+    boilerplate/spam).  Pure Arrow kernels, zero parse, columns pruned to
+    ``url`` at the read; the SQL oracle computes the identical integers.
+
+    * ``url_len``        — character length;
+    * ``n_slash``        — '/' occurrences (path depth + 2 scheme slashes);
+    * ``n_query_params`` — 0 without '?', else '&' count + 1;
+    * ``n_digits``       — decimal-digit characters.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    pages = ray.data.read_parquet(corpus_dir, columns=["url"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        has_q = pc.cast(
+            pc.greater(pc.count_substring(urls, "?"), 0), pa.int64()
+        )
+        n_amp = pc.cast(pc.count_substring(urls, "&"), pa.int64())
+        stripped = pc.replace_substring_regex(urls, pattern="[0-9]", replacement="")
+        return pa.table(
+            {
+                "url": urls,
+                "url_len": pc.cast(pc.utf8_length(urls), pa.int64()),
+                "n_slash": pc.cast(pc.count_substring(urls, "/"), pa.int64()),
+                "n_query_params": pc.add(
+                    pc.multiply(n_amp, has_q), has_q
+                ),
+                "n_digits": pc.subtract(
+                    pc.cast(pc.utf8_length(urls), pa.int64()),
+                    pc.cast(pc.utf8_length(stripped), pa.int64()),
+                ),
+            }
+        )
+
+    return pages.map_batches(feats, batch_format="pyarrow")
