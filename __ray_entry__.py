@@ -542,6 +542,14 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_lang_confusion(sf_dir: str):
+    """Metadata-lang vs LangId-heuristic confusion matrix — per-batch
+    Counter combiner, one tiny (lang, pred) groupby."""
+    from spider_ray.ops.textstats import lang_confusion
+
+    return lang_confusion(_docs(sf_dir))
+
+
 def q_url_features(sf_dir: str):
     """URL-shape filtering signals (FineWeb/C4 URL heuristics) — pure
     Arrow kernels over the pruned url column, zero parse."""
@@ -1520,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_backlinks": q_top_backlinks,
         "robots_audit": q_robots_audit,
         "url_features": q_url_features,
+        "lang_confusion": q_lang_confusion,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,

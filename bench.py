@@ -258,6 +258,12 @@ def run_bench() -> dict:
     url_features(corpus).count()
     queries["url_features"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.textstats import lang_confusion
+
+    t0 = time.perf_counter()
+    lang_confusion(docs).count()
+    queries["lang_confusion"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

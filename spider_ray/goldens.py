@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 33
+GOLDEN_VERSION = 34
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1101,6 +1101,33 @@ def seq_robots_audit(sf_name: str) -> pa.Table:
     )
 
 
+def seq_lang_confusion(ids_unused, texts, langs) -> pa.Table:
+    """Sequential (lang, predicted) confusion counts — same plain-loop
+    predictor as ``seq_lang_counts``."""
+    from .ops.textstats import STOPWORDS
+
+    def predict(text: str) -> str:
+        words = _WORD_RE.findall((text or "").lower())
+        if not words:
+            return "und"
+        best_lang, best = None, 0
+        for lang in sorted(STOPWORDS):
+            s = sum(w in STOPWORDS[lang] for w in words)
+            if s > best:
+                best, best_lang = s, lang
+        return best_lang if best > 0 else "und"
+
+    counts = Counter((lang, predict(t)) for lang, t in zip(langs, texts))
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
 def seq_host_degrees(edges: pa.Table) -> pa.Table:
     """Degree rollup from the sequential edge table (dict loop)."""
     stats: dict[str, list[int]] = {}  # host -> [out_deg, in_deg, out_links, in_links]
@@ -1231,6 +1258,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     )
     out["simhash_near_dup"] = seq_simhash_near_dup(ids, texts, max_hamming=3)
     out["dsir_weights"] = seq_dsir_weights(ids, texts, langs)
+    out["lang_confusion"] = seq_lang_confusion(ids, texts, langs)
     out["lang_id"] = seq_lang_counts(texts)
     out["fingerprints"] = seq_fingerprints(ids, texts)
     out["multimodal_decode"] = seq_multimodal_decode(64)
@@ -1549,6 +1577,7 @@ GOLDEN_QUERIES = (
     "simhash",
     "simhash_near_dup",
     "dsir_weights",
+    "lang_confusion",
     "lang_id",
     "fingerprints",
     "multimodal_decode",

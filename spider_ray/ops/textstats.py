@@ -429,3 +429,49 @@ def url_features(corpus_dir: str):
         )
 
     return pages.map_batches(feats, batch_format="pyarrow")
+
+
+def lang_confusion(ds, lang_column: str = "lang", text_column: str = "text"):
+    """``(lang, lang_pred, n)`` confusion matrix of the metadata language
+    label vs the stopword-voting ``LangId`` heuristic — the standard
+    calibration readout before trusting a cheap classifier at corpus
+    scale.  Per-batch (lang, pred) Counter combiner → one tiny groupby
+    (≤ |langs|² rows) regardless of corpus size."""
+    from collections import Counter
+
+    lid = LangId()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, text in zip(
+            batch.column(lang_column).to_pylist(),
+            batch.column(text_column).to_pylist(),
+        ):
+            c[(lang, lid.predict(text))] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "lang_pred": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    agg = (
+        ds.select_columns([lang_column, text_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .sum("n")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b.column("lang"),
+                "lang_pred": b.column("lang_pred"),
+                "n": pc.cast(b.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
