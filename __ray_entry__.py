@@ -542,6 +542,15 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_near_dup_canonical(sf_dir: str):
+    """Keep-longest canonical doc per near-dup cluster (ties -> lowest
+    doc_id); slim filtered length pass + driver argmax over the tiny
+    cluster set."""
+    from spider_ray.ops.dedup import near_dup_canonical
+
+    return near_dup_canonical(_docs(sf_dir), threshold=0.5)
+
+
 def q_lang_confusion(sf_dir: str):
     """Metadata-lang vs LangId-heuristic confusion matrix — per-batch
     Counter combiner, one tiny (lang, pred) groupby."""
@@ -1529,6 +1538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_audit": q_robots_audit,
         "url_features": q_url_features,
         "lang_confusion": q_lang_confusion,
+        "near_dup_canonical": q_near_dup_canonical,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,
@@ -1633,6 +1643,17 @@ def oracle_sql() -> dict[str, str]:
         **golden_sql("sf0.01"),
         # the labelprop twin converges to the identical (doc_id, cluster_id)
         # table as the union-find, so it shares the golden
+        "near_dup_canonical": (
+            "WITH m AS (SELECT g.cluster_id, d.doc_id, "
+            "ROW_NUMBER() OVER (PARTITION BY g.cluster_id "
+            "ORDER BY length(d.text) DESC, d.doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY g.cluster_id) AS n_members "
+            f"FROM read_parquet('{golden_path('sf0.01', 'near_dup_clusters')}') g "
+            "JOIN documents d USING (doc_id)) "
+            "SELECT cluster_id, doc_id AS canonical_doc_id, "
+            "n_members::BIGINT AS n_members, (n_members - 1)::BIGINT AS n_dropped "
+            "FROM m WHERE rn = 1"
+        ),
         "near_dup_clusters_lp": (
             f"SELECT * FROM read_parquet('{golden_path('sf0.01', 'near_dup_clusters')}')"
         ),

@@ -264,6 +264,12 @@ def run_bench() -> dict:
     lang_confusion(docs).count()
     queries["lang_confusion"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.dedup import near_dup_canonical
+
+    t0 = time.perf_counter()
+    near_dup_canonical(docs, threshold=0.5)
+    queries["near_dup_canonical"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

@@ -751,3 +751,69 @@ def simhash_near_dup(
         .groupby(["doc_a", "doc_b"])
         .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
     )
+
+
+def near_dup_canonical(ds, threshold: float = 0.5, **kwargs) -> pa.Table:
+    """Canonical-document selection per near-dup cluster: keep the LONGEST
+    member (``len(text)``, ties → lowest doc_id) — the curation step after
+    clustering when "first occurrence" is the wrong survivor (truncated
+    copies, mirrors with boilerplate stripped).  Returns
+    ``(cluster_id, canonical_doc_id, n_members, n_dropped)``.
+
+    Shape: the cluster table from :func:`near_dup_clusters` is O(clustered
+    docs) — bounded by the verified pair graph, never the corpus — so the
+    member lengths arrive via ONE filtered slim pass over the corpus
+    (``doc_id`` membership mask, (doc_id, n_chars) rows only) and the
+    per-cluster argmax folds on the driver over that same tiny set, like
+    the union-find it composes with."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    clusters = near_dup_clusters(ds, threshold=threshold, **kwargs)
+    if clusters.num_rows == 0:
+        return pa.table(
+            {
+                "cluster_id": pa.array([], pa.int64()),
+                "canonical_doc_id": pa.array([], pa.int64()),
+                "n_members": pa.array([], pa.int64()),
+                "n_dropped": pa.array([], pa.int64()),
+            }
+        )
+    member_ids = np.asarray(clusters.column("doc_id"), dtype=np.int64)
+    ids_sorted = np.sort(member_ids)
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ids_sorted, ids)
+        np.minimum(pos, len(ids_sorted) - 1, out=pos)
+        mask = ids_sorted[pos] == ids
+        t = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+            }
+        )
+
+    got = ds.select_columns(["doc_id", "text"]).map_batches(
+        lengths, batch_format="pyarrow"
+    ).take_all()
+    len_of = {r["doc_id"]: r["n_chars"] for r in got}
+    best: dict[int, tuple[int, int]] = {}  # cluster -> (-n_chars, doc_id)
+    n_members: dict[int, int] = {}
+    for doc, cl in zip(
+        member_ids.tolist(), clusters.column("cluster_id").to_pylist()
+    ):
+        n_members[cl] = n_members.get(cl, 0) + 1
+        key = (-len_of.get(doc, 0), doc)
+        if cl not in best or key < best[cl]:
+            best[cl] = key
+    cls = sorted(best)
+    return pa.table(
+        {
+            "cluster_id": pa.array(cls, pa.int64()),
+            "canonical_doc_id": pa.array([best[c][1] for c in cls], pa.int64()),
+            "n_members": pa.array([n_members[c] for c in cls], pa.int64()),
+            "n_dropped": pa.array([n_members[c] - 1 for c in cls], pa.int64()),
+        }
+    )

@@ -177,3 +177,23 @@ def test_host_hits_star_graph(ray_session, tmp_path):
     leaf_auth = [out[f"leaf{i}.example"]["authority"] for i in range(4)]
     assert all(a == leaf_auth[0] > 0 for a in leaf_auth)
     assert abs(math.fsum(a * a for a in leaf_auth) - 1.0) < 1e-9
+
+
+def test_near_dup_canonical_keeps_longest(ray_session):
+    """Three near-identical docs of different lengths: the longest becomes
+    canonical regardless of doc_id order; singletons never appear."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 20
+    rows = [
+        {"doc_id": 5, "text": base + "tail one"},
+        {"doc_id": 2, "text": base + "tail one two three four five"},
+        {"doc_id": 9, "text": base},
+        {"doc_id": 7, "text": "completely different text about nothing at all"},
+    ]
+    from spider_ray.ops.dedup import near_dup_canonical
+
+    out = near_dup_canonical(_ds(rows), threshold=0.5).to_pylist()
+    assert len(out) == 1
+    row = out[0]
+    assert row["cluster_id"] == 2  # min doc_id labels the cluster
+    assert row["canonical_doc_id"] == 2  # the longest member
+    assert row["n_members"] == 3 and row["n_dropped"] == 2
