@@ -304,7 +304,19 @@ def embedding_pca(
         .map_batches(partial, batch_format="pyarrow")
         .take_all()
     )
+    empty = pa.table(
+        {
+            "component": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "loading": pa.array([], pa.float64()),
+            "eigenvalue": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty
     n = sum(r["n"] for r in parts)
+    if n < 2:  # covariance needs n-1 > 0
+        return empty
     d = int(np.sqrt(len(parts[0]["c"])))
     s = np.zeros(d, dtype=np.int64)
     c = np.zeros(d * d, dtype=np.int64)

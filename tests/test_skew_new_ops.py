@@ -197,3 +197,24 @@ def test_near_dup_canonical_keeps_longest(ray_session):
     assert row["cluster_id"] == 2  # min doc_id labels the cluster
     assert row["canonical_doc_id"] == 2  # the longest member
     assert row["n_members"] == 3 and row["n_dropped"] == 2
+
+
+def test_dsir_weights_partition_invariant(ray_session):
+    """Integer-quantized log-ratios + int64 sums: identical weights across
+    block layouts; empty/degenerate inputs don't crash."""
+    import ray.data
+
+    from spider_ray.ops.cluster import embedding_pca
+    from spider_ray.ops.dsir import dsir_weights
+
+    rows = [
+        {"doc_id": i, "lang": ("en" if i % 3 else "de"),
+         "text": f"token{i % 7} alpha beta token{i % 5}"}
+        for i in range(120)
+    ]
+    a = sorted(dsir_weights(_ds(rows).repartition(1)).take_all(), key=lambda r: r["doc_id"])
+    b = sorted(dsir_weights(_ds(rows).repartition(17)).take_all(), key=lambda r: r["doc_id"])
+    assert a == b
+    # PCA empty / single-row guards
+    one = ray.data.from_items([{"vec_id": 0, "embedding": [1.0, 0.0]}])
+    assert embedding_pca(one).num_rows == 0
