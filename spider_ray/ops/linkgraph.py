@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..parsepage import parse_page
+from ..parsepage import extract_links_only
 from ..scope import get_page_selectors
 from ..urlnorm import url_host_port
 
@@ -118,16 +118,13 @@ class EdgeExtractor:
             if isinstance(html, (bytes, bytearray)):
                 html = html.decode("utf-8", "replace")
             src_host, sel, root = self._src_state(url)
-            parsed = parse_page(
-                html,
-                url,
-                root,
-                sel,
-                external_domains=ALL_DOMAINS,
-                want_signature=False,
-                want_text=False,
+            # links-only restricted scan: same link semantics as
+            # parse_page (corpus-parity pinned in tests/test_parsepage.py),
+            # ~2.2x fewer Python handler iterations
+            page_links = extract_links_only(
+                html, url, root, sel, external_domains=ALL_DOMAINS
             )
-            for link in parsed.links:
+            for link in page_links.values():
                 dst = dst_host_of.get(link)
                 if dst is None:
                     h, p = url_host_port(link)
@@ -593,16 +590,11 @@ class BacklinkExtractor(EdgeExtractor):
             if isinstance(html, (bytes, bytearray)):
                 html = html.decode("utf-8", "replace")
             _, sel, root = self._src_state(url)
-            parsed = parse_page(
-                html,
-                url,
-                root,
-                sel,
-                external_domains=ALL_DOMAINS,
-                want_signature=False,
-                want_text=False,
+            counts.update(
+                extract_links_only(
+                    html, url, root, sel, external_domains=ALL_DOMAINS
+                ).values()
             )
-            counts.update(parsed.links)
         return pa.table(
             {
                 "url": pa.array(list(counts.keys()), pa.string()),
@@ -616,27 +608,63 @@ def top_backlinks(corpus_dir: str, k: int = 100, concurrency=None):
     ``(url, n_backlinks, rank)`` ordered by (count desc, url asc).
 
     Shape: actor-pool parse with per-batch Counter combiner (a target
-    linked from every page of a batch ships ONE row), one
-    ``groupby(url)`` fold over distinct targets, then ``sort + limit k``
-    on the slim (url, n) aggregate — the corpus html never shuffles and
-    the driver holds exactly ``k`` rows."""
+    linked from every page of a batch ships ONE row), then the repo's
+    coarse-partition fold (the ``anchor_terms`` rework pattern): partials
+    carry ``part = hash(url) & 255``, a ``groupby(part)`` co-locates each
+    target url wholly in one of 256 groups where a C++ ``group_by`` sums
+    and a local sort keeps that part's top ``k``, and the driver merges
+    ≤ 256·k candidate rows — no corpus-wide url sort, html never
+    shuffles.  (A part's global top-k members can only come from that
+    part, so the merge is exact.)"""
+    import polars as pl
     import ray
     import ray.data
 
     ds = ray.data.read_parquet(corpus_dir, columns=["url", "html", "status"])
     max_actors = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    class PartedExtractor(BacklinkExtractor):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = super().__call__(batch)
+            part = (
+                pl.from_arrow(t.column("url").combine_chunks())
+                .hash(seed=0xB4C7_0001)
+                .reinterpret(signed=True)
+                .to_arrow()
+            )
+            return t.append_column(
+                "part", pc.bit_wise_and(pc.cast(part, pa.int64()), 255)
+            )
+
     partials = ds.map_batches(
-        BacklinkExtractor,
+        PartedExtractor,
         batch_format="pyarrow",
         concurrency=concurrency or (2, max_actors),
     )
-    agg = partials.groupby("url").sum("n")
-    top = agg.sort(["sum(n)", "url"], descending=[True, False]).limit(k)
-    rows = top.take_all()
+
+    def part_topk(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["url", "n"])
+            .group_by("url")
+            .aggregate([("n", "sum")])
+            .rename_columns(["url", "n"])
+        )
+        idx = pc.sort_indices(
+            agg,
+            sort_keys=[("n", "descending"), ("url", "ascending")],
+        )[:k]
+        return agg.take(idx)
+
+    cands = (
+        partials.groupby("part")
+        .map_groups(part_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    rows = sorted(cands, key=lambda r: (-r["n"], r["url"]))[:k]
     return pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
-            "n_backlinks": pa.array([r["sum(n)"] for r in rows], pa.int64()),
+            "n_backlinks": pa.array([r["n"] for r in rows], pa.int64()),
             "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
         }
     )

@@ -79,3 +79,42 @@ def test_link_resolver_fast_vs_slow_hrefs():
             slow = push_link(base, href, sel, ext)
             fast = r.resolve(href, None)
             assert fast == slow, (page_url, href, fast, slow)
+
+
+def test_links_only_scanner_matches_parse_page_on_corpus():
+    """extract_links_only (restricted token scan) must produce the exact
+    link dict of the full parse over EVERY fixture page — the parity
+    contract the graph extractors rely on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.encoding import decode_html
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.ops.linkgraph import _page_root
+    from spider_ray.parsepage import extract_links_only, parse_page
+    from spider_ray.scope import get_page_selectors
+
+    corpus = ensure_scale("sf0.01")
+    all_domains = frozenset({"*"})
+    checked = 0
+    for f in sorted(glob.glob(f"{corpus}/*/*.parquet")):
+        t = pq.read_table(f, columns=["url", "html", "status"])
+        for url, html, st in zip(
+            t.column("url").to_pylist(),
+            t.column("html").to_pylist(),
+            t.column("status").to_pylist(),
+        ):
+            if st != 200 or not html:
+                continue
+            h = decode_html(html)
+            sel = get_page_selectors(url, False, False)
+            root = _page_root(url)
+            full = parse_page(
+                h, url, root, sel, all_domains,
+                want_signature=False, want_text=False,
+            ).links
+            fast = list(extract_links_only(h, url, root, sel, all_domains).values())
+            assert full == fast, url
+            checked += 1
+    assert checked > 900
