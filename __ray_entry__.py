@@ -542,6 +542,19 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_top_users_per_day(sf_dir: str):
+    """Windowed top-k contributors: per-batch count combiner, one slim
+    (day,user) fold, per-day rank."""
+    import ray.data
+
+    from spider_ray.ops.behavior import top_users_per_day
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    return top_users_per_day(ev, k=3)
+
+
 def q_near_dup_canonical(sf_dir: str):
     """Keep-longest canonical doc per near-dup cluster (ties -> lowest
     doc_id); slim filtered length pass + driver argmax over the tiny
@@ -1539,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features": q_url_features,
         "lang_confusion": q_lang_confusion,
         "near_dup_canonical": q_near_dup_canonical,
+        "top_users_per_day": q_top_users_per_day,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,
@@ -1643,6 +1657,13 @@ def oracle_sql() -> dict[str, str]:
         **golden_sql("sf0.01"),
         # the labelprop twin converges to the identical (doc_id, cluster_id)
         # table as the union-find, so it shares the golden
+        "top_users_per_day": (
+            "WITH c AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS day, "
+            "user_id, count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day "
+            "ORDER BY n DESC, user_id) AS rn FROM c) "
+            "SELECT day, user_id, n, rn::BIGINT AS rank FROM r WHERE rn <= 3"
+        ),
         "near_dup_canonical": (
             "WITH m AS (SELECT g.cluster_id, d.doc_id, "
             "ROW_NUMBER() OVER (PARTITION BY g.cluster_id "

@@ -270,6 +270,15 @@ def run_bench() -> dict:
     near_dup_canonical(docs, threshold=0.5)
     queries["near_dup_canonical"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.behavior import top_users_per_day
+
+    ev_tu = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    t0 = time.perf_counter()
+    top_users_per_day(ev_tu, k=3).count()
+    queries["top_users_per_day"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

@@ -388,3 +388,59 @@ def rolling_active_users(events, window_days: int = 7):
         )
 
     return rolled.groupby("day").map_groups(assemble, batch_format="pyarrow")
+
+
+def top_users_per_day(events, k: int = 3):
+    """``(day, user_id, n, rank)`` — each day's top-``k`` most active users
+    (ties → lowest user_id), the windowed top-contributor readout (abuse
+    triage, power-user dashboards).
+
+    Shape: per-batch C++ ``group_by(day, user)`` combiner → ONE
+    ``groupby(day, user)`` fold of slim count rows → per-day rank inside
+    ``groupby(day).map_groups`` (groups hold one row per active user-day —
+    already reduced, so a hot user adds nothing).  Day = UTC bucket
+    ``(epoch_us // 86400e6) · 86400`` (the repo-wide window convention).
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(
+                pc.cast(batch.column("ts"), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()),
+            ),
+            pa.scalar(86_400, pa.int64()),
+        )
+        t = pa.table(
+            {
+                "day": day,
+                "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["day", "user_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["day", "user_id", "n"])
+        )
+
+    agg = (
+        events.select_columns(["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .sum("n")
+    )
+
+    def day_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("sum(n)", "descending"), ("user_id", "ascending")],
+        )[:k]
+        g = group.take(idx)
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "user_id": g.column("user_id"),
+                "n": pc.cast(g.column("sum(n)"), pa.int64()),
+                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+            }
+        )
+
+    return agg.groupby("day").map_groups(day_topk, batch_format="pyarrow")
