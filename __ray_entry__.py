@@ -542,6 +542,19 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_value_outliers(sf_dir: str):
+    """Tukey 1.5-IQR outlier report per event type — exact integer
+    quantile_disc fences, histogram-fold shuffle only."""
+    import ray.data
+
+    from spider_ray.ops.behavior import value_outliers
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return value_outliers(ev)
+
+
 def q_top_users_per_day(sf_dir: str):
     """Windowed top-k contributors: per-batch count combiner, one slim
     (day,user) fold, per-day rank."""
@@ -1553,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q_lang_confusion,
         "near_dup_canonical": q_near_dup_canonical,
         "top_users_per_day": q_top_users_per_day,
+        "value_outliers": q_value_outliers,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,
@@ -1657,6 +1671,17 @@ def oracle_sql() -> dict[str, str]:
         **golden_sql("sf0.01"),
         # the labelprop twin converges to the identical (doc_id, cluster_id)
         # table as the union-find, so it shares the golden
+        "value_outliers": (
+            "WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events WHERE value IS NOT NULL), "
+            "q AS (SELECT event_type, quantile_disc(cents, 0.25) AS q1, "
+            "quantile_disc(cents, 0.75) AS q3, count(*)::BIGINT AS n FROM c GROUP BY 1) "
+            "SELECT q.event_type, q.n, q.q1 AS q1_cents, q.q3 AS q3_cents, "
+            "(SELECT count(*) FROM c WHERE c.event_type = q.event_type AND "
+            "(2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1) OR "
+            "2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)))::BIGINT AS n_outliers "
+            "FROM q"
+        ),
         "top_users_per_day": (
             "WITH c AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS day, "
             "user_id, count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "

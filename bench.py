@@ -279,6 +279,15 @@ def run_bench() -> dict:
     top_users_per_day(ev_tu, k=3).count()
     queries["top_users_per_day"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.behavior import value_outliers
+
+    ev_vo = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    t0 = time.perf_counter()
+    value_outliers(ev_vo).count()
+    queries["value_outliers"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

@@ -444,3 +444,88 @@ def top_users_per_day(events, k: int = 3):
         )
 
     return agg.groupby("day").map_groups(day_topk, batch_format="pyarrow")
+
+
+def value_outliers(events):
+    """``(event_type, n, q1_cents, q3_cents, n_outliers)`` — the Tukey
+    1.5·IQR outlier report per event type, the standard numeric-column
+    hygiene readout before aggregating a metric.
+
+    All-integer spec so both passes and the SQL oracle agree exactly:
+    values become cents (``round(value·100)``, half away from zero),
+    Q1/Q3 are exact ``quantile_disc`` folds over (type, cents) histogram
+    rows (``corpusstats.group_quantiles`` — the shuffle carries counts,
+    never events), and the fence test is scaled ×2 to stay integral:
+    outlier ⇔ ``2·cents < 2·q1 − 3·IQR  or  2·cents > 2·q3 + 3·IQR``.
+    The second pass broadcasts the tiny per-type fence table and counts
+    per batch — no second shuffle beyond a (type) fold.
+    """
+    from .corpusstats import group_quantiles
+    from .numeric import to_cents
+
+    def cents_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cents": to_cents(t.column("value")),
+            }
+        )
+
+    slim = events.select_columns(["event_type", "value"]).map_batches(
+        cents_rows, batch_format="pyarrow"
+    )
+    q = group_quantiles(
+        slim,
+        group_col="event_type",
+        value_col="cents",
+        qs=(0.25, 0.75),
+        q_names=("q1", "q3"),
+    )
+    fences = {
+        t: (q1, q3, 2 * q1 - 3 * (q3 - q1), 2 * q3 + 3 * (q3 - q1))
+        for t, q1, q3 in zip(
+            q.column("event_type").to_pylist(),
+            q.column("q1").to_pylist(),
+            q.column("q3").to_pylist(),
+        )
+    }
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        n: dict[str, int] = {}
+        out: dict[str, int] = {}
+        for t, c in zip(types, cents):
+            n[t] = n.get(t, 0) + 1
+            lo, hi = fences[t][2], fences[t][3]
+            if 2 * c < lo or 2 * c > hi:
+                out[t] = out.get(t, 0) + 1
+        keys = list(n)
+        return pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "n": pa.array([n[k] for k in keys], pa.int64()),
+                "n_outliers": pa.array([out.get(k, 0) for k in keys], pa.int64()),
+            }
+        )
+
+    agg = (
+        slim.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "n_outliers"])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        types = b.column("event_type").to_pylist()
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": pc.cast(b.column("sum(n)"), pa.int64()),
+                "q1_cents": pa.array([fences[t][0] for t in types], pa.int64()),
+                "q3_cents": pa.array([fences[t][1] for t in types], pa.int64()),
+                "n_outliers": pc.cast(b.column("sum(n_outliers)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
