@@ -585,6 +585,14 @@ def q_lang_confusion(sf_dir: str):
     return lang_confusion(_docs(sf_dir))
 
 
+def q_host_lang_mix(sf_dir: str):
+    """Per-host language mix of the corpus — pruned 2-column read,
+    count combiner, one slim fold."""
+    from spider_ray.ops.textstats import host_lang_mix
+
+    return host_lang_mix(_corpus_for(sf_dir))
+
+
 def q_url_features(sf_dir: str):
     """URL-shape filtering signals (FineWeb/C4 URL heuristics) — pure
     Arrow kernels over the pruned url column, zero parse."""
@@ -1563,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_backlinks": q_top_backlinks,
         "robots_audit": q_robots_audit,
         "url_features": q_url_features,
+        "host_lang_mix": q_host_lang_mix,
         "lang_confusion": q_lang_confusion,
         "near_dup_canonical": q_near_dup_canonical,
         "top_users_per_day": q_top_users_per_day,
@@ -1722,6 +1731,11 @@ def oracle_sql() -> dict[str, str]:
         "host_page_counts": (
             f"SELECT split_part(split_part(url, '://', 2), '/', 1) AS host, "
             f"count(*)::BIGINT AS n_pages FROM read_parquet('{corpus_glob}') GROUP BY 1"
+        ),
+        "host_lang_mix": (
+            "SELECT split_part(split_part(url, '://', 2), '/', 1) AS host, lang, "
+            f"count(*)::BIGINT AS n_pages FROM read_parquet('{corpus_glob}') "
+            "GROUP BY 1, 2"
         ),
         "url_features": (
             "SELECT url, length(url)::BIGINT AS url_len, "

@@ -288,6 +288,12 @@ def run_bench() -> dict:
     value_outliers(ev_vo).count()
     queries["value_outliers"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.textstats import host_lang_mix
+
+    t0 = time.perf_counter()
+    host_lang_mix(corpus).count()
+    queries["host_lang_mix"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(

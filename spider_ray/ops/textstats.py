@@ -475,3 +475,42 @@ def lang_confusion(ds, lang_column: str = "lang", text_column: str = "text"):
         ),
         batch_format="pyarrow",
     )
+
+
+def host_lang_mix(corpus_dir: str):
+    """``(host, lang, n_pages)`` — per-host language mix of the held
+    corpus (the crawl-steering readout: which hosts yield which
+    languages).  Pruned two-column read, per-batch C++ ``group_by``
+    combiner, one slim (host, lang) fold — page html never read."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .textclean import _hosts_of
+
+    pages = ray.data.read_parquet(corpus_dir, columns=["url", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"host": _hosts_of(batch.column("url")), "lang": batch.column("lang")}
+        )
+        return (
+            t.group_by(["host", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["host", "lang", "n_pages"])
+        )
+
+    agg = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "lang"])
+        .sum("n_pages")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "host": b.column("host"),
+                "lang": b.column("lang"),
+                "n_pages": pc.cast(b.column("sum(n_pages)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
