@@ -98,7 +98,7 @@ def run_bench() -> dict:
     from spider_ray.markdown import transform_corpus
 
     t0 = time.perf_counter()
-    transform_corpus(corpus, "markdown", concurrency=(2, num_cpus)).count()
+    transform_corpus(corpus, "markdown").count()
     queries["scrape_markdown"] = round(time.perf_counter() - t0, 3)
 
     # --- host link-graph + PageRank over the entire corpus -----------------
