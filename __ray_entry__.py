@@ -542,6 +542,19 @@ def q_length_rank(sf_dir: str):
     return group_rank(_docs(sf_dir))
 
 
+def q_kmv_users_per_day(sf_dir: str):
+    """Windowed KMV distinct-user sketch per UTC day — same estimator
+    contract as distinct_users_kmv, composed with the day bucket."""
+    import ray.data
+
+    from spider_ray.ops.sketch import kmv_users_per_day
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    return kmv_users_per_day(ev, k=64)
+
+
 def q_value_outliers(sf_dir: str):
     """Tukey 1.5-IQR outlier report per event type — exact integer
     quantile_disc fences, histogram-fold shuffle only."""
@@ -1576,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_canonical": q_near_dup_canonical,
         "top_users_per_day": q_top_users_per_day,
         "value_outliers": q_value_outliers,
+        "kmv_users_per_day": q_kmv_users_per_day,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "docs_by_lang": q_docs_by_lang,
@@ -1680,6 +1694,17 @@ def oracle_sql() -> dict[str, str]:
         **golden_sql("sf0.01"),
         # the labelprop twin converges to the identical (doc_id, cluster_id)
         # table as the union-find, so it shares the golden
+        "kmv_users_per_day": (
+            "WITH h AS (SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400 AS day, "
+            "((user_id * 2654435761) % 4294967296) + 1 AS hv FROM events), "
+            "r AS (SELECT day, hv, "
+            "row_number() OVER (PARTITION BY day ORDER BY hv) AS rk, "
+            "count(*) OVER (PARTITION BY day) AS n FROM h) "
+            "SELECT day, "
+            "(CASE WHEN max(n) < 64 THEN max(n) "
+            "ELSE (63 * 4294967296) // max(CASE WHEN rk = 64 THEN hv END) END)::BIGINT "
+            "AS n_distinct_est FROM r GROUP BY day"
+        ),
         "value_outliers": (
             "WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events WHERE value IS NOT NULL), "

@@ -294,6 +294,15 @@ def run_bench() -> dict:
     host_lang_mix(corpus).count()
     queries["host_lang_mix"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.sketch import kmv_users_per_day
+
+    ev_kd = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    t0 = time.perf_counter()
+    kmv_users_per_day(ev_kd, k=64).count()
+    queries["kmv_users_per_day"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.relational import pricing_summary
 
     li = ray.data.read_parquet(
