@@ -1466,6 +1466,155 @@ def q_promo_revenue(sf_dir: str):
     return promo_revenue(li, part_promo_dims(sf_dir))
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped correlated per-part average: two fact passes with
+    the per-part aggregate broadcast between them; the avg predicate is a
+    cross-multiplied integer comparison (division-free, SQL-exact)."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import brand_partkeys, small_qty_revenue
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    return small_qty_revenue(li, brand_partkeys(sf_dir))
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped HAVING on a fact aggregate: slim (orderkey, qty)
+    combiner→groupby, rare winners broadcast back as a semi-join to the
+    orders stream, customer dim joined only to survivors."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import customer_names, large_orders
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return large_orders(li, orders, customer_names(sf_dir))
+
+
+def q_top_returned_customers(sf_dir: str):
+    """TPC-H-Q10-shaped big×big co-group + top-k: returned-item revenue
+    attaches to custkeys via one coarse hash(orderkey) shuffle of ≤16-byte
+    rows; customer/nation dims join only against the 20 winners."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import customer_nation_dims, top_returned_customers
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return top_returned_customers(li, orders, customer_nation_dims(sf_dir))
+
+
+def q_dormant_customers(sf_dir: str):
+    """TPC-H-Q22-shaped global-scalar broadcast + ANTI semi-join: exact
+    integer above-average-balance predicate (cross-multiplied), recent
+    orderers reduced to distinct custkeys, bloom/set anti filter."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import dormant_customers
+
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    return dormant_customers(customer, orders)
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped aggregate→global-max with ties kept: per-block
+    partial maxima fold on the driver (O(blocks) rows), tie-keeping
+    filter + broadcast supplier-name join."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import supplier_names, top_supplier
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    return top_supplier(li, supplier_names(sf_dir))
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H-Q7-shaped 3-table big×big chain as TWO coarse slim co-groups
+    (orders⋈customer by custkey, then lineitem⋈that by orderkey); the
+    25-nation dim broadcasts, nothing wider than ~24 bytes shuffles."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import (
+        customer_nation_map,
+        nation_trade_volume,
+        supplier_nation_map,
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    return nation_trade_volume(
+        li, orders, customer_nation_map(sf_dir), supplier_nation_map(sf_dir)
+    )
+
+
+def q_brand_revenue_share(sf_dir: str):
+    """TPC-H-Q11-shaped group total vs broadcast global total: per-brand
+    integer revenue with the partkey→brand dim broadcast, integer
+    basis-point share (floor division, SQL-exact)."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import brand_revenue_share, part_brand_map
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    return brand_revenue_share(li, part_brand_map(sf_dir))
+
+
+def q_supplier_part_counts(sf_dir: str):
+    """TPC-H-Q16-shaped COUNT(DISTINCT) with NOT-IN exclusion: in-batch
+    dedup of slim (brand, band, suppkey) triples, one coarse
+    hash(suppkey) shuffle, per-partition distinct fold."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import (
+        negative_balance_suppliers,
+        part_class_map,
+        supplier_part_counts,
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    )
+    return supplier_part_counts(
+        li, part_class_map(sf_dir), negative_balance_suppliers(sf_dir)
+    )
+
+
 def q_quality_by_source(sf_dir: str):
     """Per-source Gopher-gate keep report (exact integer share pair):
     gate stats + per-source collapse inside one actor-pool batch pass,
@@ -1671,6 +1820,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "rolling_active_users": q_rolling_active_users,
         "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "top_returned_customers": q_top_returned_customers,
+        "dormant_customers": q_dormant_customers,
+        "top_supplier": q_top_supplier,
+        "nation_trade_volume": q_nation_trade_volume,
+        "brand_revenue_share": q_brand_revenue_share,
+        "supplier_part_counts": q_supplier_part_counts,
         "props_stats": q_props_stats,
         "session_stats": q_session_stats,
         "best_line_per_order": q_best_line_per_order,
@@ -2341,6 +2498,99 @@ def oracle_sql() -> dict[str, str]:
             "(100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT "
             "AS total_revenue_x10000 "
             "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1"
+        ),
+        "small_qty_revenue": (
+            "WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'), "
+            "st AS (SELECT l_partkey, "
+            "sum(CAST(round(l_quantity*100) AS BIGINT)) AS s, count(*)::BIGINT AS n "
+            "FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY 1) "
+            "SELECT count(*)::BIGINT AS n_items, "
+            "coalesce(sum(CAST(round(l_extendedprice*100) AS BIGINT)), 0)::BIGINT "
+            "AS revenue_cents "
+            "FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey "
+            "WHERE CAST(round(l.l_quantity*100) AS BIGINT) * 5 * st.n < st.s"
+        ),
+        "large_orders": (
+            "WITH w AS (SELECT l_orderkey, "
+            "sum(CAST(round(l_quantity*100) AS BIGINT)) AS q "
+            "FROM lineitem GROUP BY 1 HAVING q > 30000) "
+            "SELECT c.c_name, o.o_custkey::BIGINT AS o_custkey, "
+            "o.o_orderkey::BIGINT AS o_orderkey, "
+            "CAST(epoch(o.o_orderdate) AS BIGINT) AS o_orderdate_s, "
+            "CAST(round(o.o_totalprice*100) AS BIGINT) AS o_totalprice_cents, "
+            "w.q::BIGINT AS total_qty_x100 "
+            "FROM orders o JOIN w ON o.o_orderkey = w.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        "top_returned_customers": (
+            "WITH rev AS (SELECT o.o_custkey AS c_custkey, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_x10000 "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_returnflag = 'R' AND o.o_orderdate >= '1996-01-01' "
+            "AND o.o_orderdate < '1997-01-01' GROUP BY 1) "
+            "SELECT r.c_custkey::BIGINT AS c_custkey, c.c_name, n.n_name, "
+            "r.revenue_x10000::BIGINT AS revenue_x10000, "
+            "CAST(round(c.c_acctbal*100) AS BIGINT) AS c_acctbal_cents "
+            "FROM rev r JOIN customer c ON c.c_custkey = r.c_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "ORDER BY r.revenue_x10000 DESC, r.c_custkey ASC LIMIT 20"
+        ),
+        "dormant_customers": (
+            "WITH g AS (SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) AS s, "
+            "count(*)::BIGINT AS n FROM customer "
+            "WHERE CAST(round(c_acctbal*100) AS BIGINT) > 0) "
+            "SELECT c_mktsegment, count(*)::BIGINT AS n_custs, "
+            "sum(CAST(round(c_acctbal*100) AS BIGINT))::BIGINT "
+            "AS total_acctbal_cents "
+            "FROM customer c, g "
+            "WHERE CAST(round(c_acctbal*100) AS BIGINT) * g.n > g.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '2000-01-01') "
+            "GROUP BY 1"
+        ),
+        "top_supplier": (
+            "WITH r AS (SELECT l_suppkey AS s_suppkey, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT))) AS total_revenue_x10000 "
+            "FROM lineitem WHERE l_shipdate >= '1996-01-01' "
+            "AND l_shipdate < '1996-04-01' GROUP BY 1) "
+            "SELECT r.s_suppkey::BIGINT AS s_suppkey, s.s_name, "
+            "r.total_revenue_x10000::BIGINT AS total_revenue_x10000 "
+            "FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey "
+            "WHERE r.total_revenue_x10000 = "
+            "(SELECT max(total_revenue_x10000) FROM r)"
+        ),
+        "nation_trade_volume": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS ship_year, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT "
+            "AS revenue_x10000 "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
+            "GROUP BY 1, 2, 3"
+        ),
+        "brand_revenue_share": (
+            "WITH br AS (SELECT p_brand, "
+            "sum(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_x10000 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1), "
+            "t AS (SELECT sum(revenue_x10000) AS tot FROM br) "
+            "SELECT p_brand, revenue_x10000::BIGINT AS revenue_x10000, "
+            "((revenue_x10000 * 10000) // t.tot)::BIGINT AS share_bp "
+            "FROM br, t WHERE (revenue_x10000 * 10000) // t.tot > 300"
+        ),
+        "supplier_part_counts": (
+            "SELECT p_brand, (p_size // 10)::BIGINT AS size_band, "
+            "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
