@@ -1615,6 +1615,59 @@ def q_supplier_part_counts(sf_dir: str):
     )
 
 
+def q_interarrival_quantiles(sf_dir: str):
+    """Exact per-event-type quantiles of same-(user,type) inter-arrival
+    gaps: one coarse hash(user) shuffle, vectorized in-partition sort+diff,
+    gap-histogram fold (quantile_disc rank rule)."""
+    import ray.data
+
+    from spider_ray.ops.windows import interarrival_quantiles
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return interarrival_quantiles(events)
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency slope over the corpus's top-1000 terms:
+    combiner→groupby term counts, bounded top-k fold, driver regression
+    (the tail vocabulary never reaches the driver)."""
+    import ray.data
+
+    from spider_ray.ops.ngrams import zipf_slope
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return zipf_slope(docs)
+
+
+def q_host_triangles(sf_dir: str):
+    """Exact triangle count on the undirected host graph via distributed
+    degree-orientation (wedge generation bounded by O(√m) out-degree,
+    wedge∩edge co-group); oracle = SQL joins over the link-graph golden."""
+    from spider_ray.ops.linkgraph import host_triangles
+
+    return host_triangles(_corpus_for(sf_dir))
+
+
+def q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center (farthest-point) coreset over the embedding table:
+    k streaming passes, each folding a per-block (min round-9 best-sim,
+    id) candidate against the broadcast center matrix; golden =
+    sequential farthest-point recompute of the same pinned spec."""
+    import ray.data
+
+    from spider_ray.ops.cluster import kcenter_coreset
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return kcenter_coreset(emb)
+
+
 def q_quality_by_source(sf_dir: str):
     """Per-source Gopher-gate keep report (exact integer share pair):
     gate stats + per-source collapse inside one actor-pool batch pass,
@@ -1828,6 +1881,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": q_nation_trade_volume,
         "brand_revenue_share": q_brand_revenue_share,
         "supplier_part_counts": q_supplier_part_counts,
+        "interarrival_quantiles": q_interarrival_quantiles,
+        "zipf_slope": q_zipf_slope,
+        "host_triangles": q_host_triangles,
+        "kcenter_coreset": q_kcenter_coreset,
         "props_stats": q_props_stats,
         "session_stats": q_session_stats,
         "best_line_per_order": q_best_line_per_order,
@@ -2591,6 +2648,42 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_suppkey NOT IN "
             "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
             "GROUP BY 1, 2"
+        ),
+        "interarrival_quantiles": (
+            "WITH d AS (SELECT event_type, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id, event_type ORDER BY ts, event_id) AS dt_us "
+            "FROM events), "
+            "g AS (SELECT event_type, dt_us::BIGINT AS dt_us FROM d "
+            "WHERE dt_us IS NOT NULL) "
+            "SELECT event_type, count(*)::BIGINT AS n_gaps, "
+            "quantile_disc(dt_us, 0.5)::BIGINT AS p50, "
+            "quantile_disc(dt_us, 0.9)::BIGINT AS p90 "
+            "FROM g GROUP BY 1"
+        ),
+        "zipf_slope": (
+            r"WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            r"'\S+')) AS term FROM documents), "
+            "c AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1 "
+            "ORDER BY n DESC, term ASC LIMIT 1000), "
+            "r AS (SELECT n, row_number() OVER "
+            "(ORDER BY n DESC, term ASC) AS rk FROM c) "
+            "SELECT count(*)::BIGINT AS n_terms, round("
+            "(count(*) * sum(ln(rk) * ln(n)) - sum(ln(rk)) * sum(ln(n))) / "
+            "(count(*) * sum(ln(rk) * ln(rk)) - sum(ln(rk)) * sum(ln(rk))), 6) "
+            "AS slope_r6 FROM r"
+        ),
+        "host_triangles": (
+            f"WITH e0 AS (SELECT DISTINCT least(src_host, dst_host) AS x, "
+            f"greatest(src_host, dst_host) AS y "
+            f"FROM read_parquet('{golden_path('sf0.01', 'link_graph')}') "
+            f"WHERE src_host <> dst_host) "
+            f"SELECT (SELECT count(*) FROM "
+            f"(SELECT x AS h FROM e0 UNION SELECT y FROM e0))::BIGINT AS n_hosts, "
+            f"(SELECT count(*) FROM e0)::BIGINT AS n_edges, "
+            f"(SELECT count(*) FROM e0 e1 "
+            f"JOIN e0 e2 ON e2.x = e1.x AND e2.y > e1.y "
+            f"JOIN e0 e3 ON e3.x = e1.y AND e3.y = e2.y)::BIGINT AS n_triangles"
         ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

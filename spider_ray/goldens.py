@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 34
+GOLDEN_VERSION = 35
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1250,6 +1250,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
         out["kmeans_clusters"] = seq_kmeans_clusters(sf_dir)
         out["embedding_pca"] = seq_embedding_pca(sf_dir)
         out["semdedup"] = seq_semdedup(sf_dir)
+        out["kcenter_coreset"] = seq_kcenter(sf_dir)
     out["simhash"] = pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -1419,6 +1420,30 @@ def _read_unit_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def seq_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
+    """Sequential greedy k-center (farthest-point) spec — the exact oracle
+    for ``ops/cluster.kcenter_coreset``: unit vectors in float64, first
+    center = smallest vec_id, each round picks the point with the SMALLEST
+    round-9 cosine to its nearest chosen center (ties by smaller id)."""
+    ids, m = _read_unit_embeddings(sf_dir)
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+    if len(ids) == 0:
+        return pa.table({"sel_order": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    centers = [0]
+    for _ in range(1, min(k, len(ids))):
+        sims = np.round(m @ m[centers].T, 9).max(axis=1)
+        sims[centers] = np.inf  # never re-pick a center
+        j = int(np.argmin(sims))  # first index == smallest id (ids sorted)
+        centers.append(j)
+    return pa.table(
+        {
+            "sel_order": pa.array(range(len(centers)), pa.int64()),
+            "vec_id": pa.array(ids[centers], pa.int64()),
+        }
+    )
+
 def seq_embedding_pca(sf_dir: str, top_k: int = 4) -> pa.Table:
     """Sequential PCA under the pinned integer-moment spec of
     ``ops/cluster.embedding_pca``: because the folded moments are integer
@@ -1572,6 +1597,7 @@ GOLDEN_QUERIES = (
     "kmeans_clusters",
     "embedding_pca",
     "semdedup",
+    "kcenter_coreset",
     "dup_ngram_spans",
     "remove_dup_spans",
     "simhash",

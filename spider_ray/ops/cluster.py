@@ -345,3 +345,115 @@ def embedding_pca(
             "eigenvalue": pa.array(eigs, pa.float64()),
         }
     )
+
+
+def kcenter_coreset(ds, k: int = 8, column: str = "embedding",
+                    id_column: str = "vec_id"):
+    """Greedy k-center (farthest-point) coreset selection — the classic
+    2-approximation for diverse subset selection over an embedding
+    column.  Returns ``(sel_order, vec_id)``: the k selected ids in
+    selection order.
+
+    Deterministic spec (sequential golden recomputes it verbatim):
+    vectors L2-normalize in float64; the first center is the smallest
+    vec_id; each round selects the point whose ROUND-9 cosine to its
+    nearest already-picked center is SMALLEST (i.e. the farthest point),
+    ties by smaller vec_id.  Round-9 before comparison because BLAS GEMM
+    blocking varies with batch shape (repo round-9 contract).
+
+    Scale shape: the slim (id, unit-vector) dataset materializes once;
+    each of the k rounds is ONE ``map_batches`` pass computing a
+    per-batch ``(min round-9 best-sim, id)`` candidate against the
+    broadcast ≤k×d center matrix, folded driver-side over O(blocks)
+    rows.  k passes × O(n·k) flops total; the dataset never gathers.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    def slim(batch: pa.Table) -> pa.Table:
+        m = _unit_rows(batch, column)
+        return pa.table(
+            {
+                id_column: pc.cast(batch.column(id_column), pa.int64()),
+                "unit": pa.array(list(m), pa.list_(pa.float64())),
+            }
+        )
+
+    unit = ds.select_columns([id_column, column]).map_batches(
+        slim, batch_format="pyarrow"
+    ).materialize()
+
+    # first center: globally smallest id (per-block partial min)
+    first = None
+    for b in unit.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows:
+            m = pc.min(b.column(id_column)).as_py()
+            first = m if first is None else min(first, m)
+    if first is None:
+        return ray.data.from_arrow(
+            pa.table({"sel_order": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64())})
+        )
+
+    def vec_of(target_id: int) -> np.ndarray:
+        def pick(batch: pa.Table) -> pa.Table:
+            hit = batch.filter(
+                pa.compute.equal(batch.column(id_column), target_id)
+            )
+            return hit.select([id_column, "unit"])
+
+        for b in unit.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            if b.num_rows:
+                return np.asarray(b.column("unit")[0].as_py(), dtype=np.float64)
+        raise KeyError(target_id)
+
+    centers_ids = [int(first)]
+    centers_mat = vec_of(centers_ids[0]).reshape(1, -1)
+
+    for _ in range(1, k):
+        cref = ray.put(centers_mat)
+        cids = pa.array(centers_ids, pa.int64())
+
+        def candidate(batch: pa.Table, cref=cref, cids=cids) -> pa.Table:
+            sub = batch.filter(
+                pa.compute.invert(
+                    pa.compute.is_in(batch.column(id_column), value_set=cids)
+                )
+            )
+            if sub.num_rows == 0:
+                return pa.table({"best": pa.array([], pa.float64()),
+                                 "id": pa.array([], pa.int64())})
+            flat = np.asarray(
+                sub.column("unit").combine_chunks().flatten(), dtype=np.float64
+            )
+            m = flat.reshape(sub.num_rows, -1)
+            sims = np.round(m @ ray.get(cref).T, 9).max(axis=1)
+            ids = np.asarray(sub.column(id_column))
+            # per-batch lexicographic min of (best, id)
+            j = np.lexsort((ids, sims))[0]
+            return pa.table({"best": pa.array([float(sims[j])], pa.float64()),
+                             "id": pa.array([int(ids[j])], pa.int64())})
+
+        best, bid = None, None
+        for b in unit.map_batches(candidate, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            for s, i in zip(b.column("best").to_pylist(), b.column("id").to_pylist()):
+                if best is None or (s, i) < (best, bid):
+                    best, bid = s, i
+        if bid is None:
+            break  # fewer than k points
+        centers_ids.append(int(bid))
+        centers_mat = np.vstack([centers_mat, vec_of(int(bid))])
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "sel_order": pa.array(range(len(centers_ids)), pa.int64()),
+                "vec_id": pa.array(centers_ids, pa.int64()),
+            }
+        )
+    )

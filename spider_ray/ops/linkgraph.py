@@ -668,3 +668,227 @@ def top_backlinks(corpus_dir: str, k: int = 100, concurrency=None):
             "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
         }
     )
+
+
+def host_triangles(corpus_dir: str):
+    """Exact triangle count on the UNDIRECTED host graph — one row
+    ``(n_hosts, n_edges, n_triangles)`` (hosts/edges = nodes/edges of the
+    undirected self-loop-free graph; isolated hosts don't appear).
+
+    Distributed degree-orientation algorithm (the MapReduce-classic
+    wedge-check, scale-safe at 10⁹ edges):
+
+    1. distinct undirected edges ``(x<y)`` via one slim groupby;
+    2. degree per host (mirrored emit + groupby);
+    3. each edge orients low→high by ``(degree, host)`` — attaching both
+       endpoint degrees takes two coarse ``hash(endpoint) & 63``
+       co-groups of ≤(pair+int) rows;
+    4. wedges: per source, all ordered out-neighbor pairs.  Degree
+       orientation bounds out-degree by O(√m), so wedge volume is
+       O(m^1.5) worst case and far less on power-law host graphs;
+    5. triangles = wedges ∩ oriented edges: one final co-group on the
+       wedge's lower endpoint, per-partition hash join, count.
+
+    Everything that shuffles is a (host, host[, int64]) row; html is
+    dropped inside the edge-extraction batch fn (`host_link_edges`).
+    """
+    import numpy as np
+    import ray.data
+
+    from .behavior import coarse_part
+
+    def _str_part(col) -> pa.Array:
+        """Coarse partition id for a STRING key: polars' vectorized 64-bit
+        hash (within-run deterministic) fed through the shared int mixer."""
+        import polars as pl
+
+        s = pl.from_arrow(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        h = s.hash(seed=0x5EED_0011).reinterpret(signed=True).to_arrow()
+        return coarse_part(h.cast(pa.int64()))
+
+    edges = host_link_edges(corpus_dir)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.invert(pc.equal(batch.column("src_host"), batch.column("dst_host")))
+        )
+        x = pc.min_element_wise(t.column("src_host"), t.column("dst_host"))
+        y = pc.max_element_wise(t.column("src_host"), t.column("dst_host"))
+        return (
+            pa.table({"x": x, "y": y}).group_by(["x", "y"]).aggregate([])
+        )
+
+    # materialize the slim undirected pair list ONCE: every downstream
+    # consumer (degrees, both orientation co-groups, the edge count) would
+    # otherwise re-execute the full corpus parse lineage
+    und = (
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .count()
+        .select_columns(["x", "y"])
+    ).materialize()
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        h = pa.chunked_array(
+            list(batch.column("x").chunks) + list(batch.column("y").chunks)
+        ) if isinstance(batch.column("x"), pa.ChunkedArray) else pa.chunked_array(
+            [batch.column("x"), batch.column("y")]
+        )
+        t = pa.table({"host": h, "deg": pa.nulls(len(h), pa.int64()).fill_null(1)})
+        return (
+            t.group_by(["host"]).aggregate([("deg", "sum")])
+            .rename_columns(["host", "deg"])
+        )
+
+    degrees = (
+        und.map_batches(mirror, batch_format="pyarrow")
+        .groupby("host")
+        .sum("deg")
+        .map_batches(
+            lambda b: pa.table(
+                {"host": b.column("host"),
+                 "deg": pc.cast(b.column("sum(deg)"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    # ---- attach deg(x) then deg(y) via two coarse co-groups ----
+    def tag_edge_x(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": batch.column("x"), "other": batch.column("y"),
+             "deg": pa.nulls(batch.num_rows, pa.int64()),
+             "part": _str_part(batch.column("x"))}
+        )
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": batch.column("host"),
+             "other": pa.nulls(batch.num_rows, pa.string()),
+             "deg": batch.column("deg"),
+             "part": _str_part(batch.column("host"))}
+        )
+
+    def join_deg(group: pa.Table) -> pa.Table:
+        ed = group.filter(pc.is_valid(group.column("other")))
+        dg = group.filter(pc.is_valid(group.column("deg")))
+        j = pa.table({"key": ed.column("key"), "other": ed.column("other")}).join(
+            pa.table({"key": dg.column("key"), "deg_key": dg.column("deg")}),
+            keys=["key"], join_type="inner",
+        )
+        return j  # (key=x, other=y, deg_key=deg(x))
+
+    with_dx = (
+        und.map_batches(tag_edge_x, batch_format="pyarrow")
+        .union(degrees.map_batches(tag_deg, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(join_deg, batch_format="pyarrow")
+    )
+
+    def tag_edge_y(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": batch.column("other"), "other": batch.column("key"),
+             "deg_other": batch.column("deg_key"),
+             "deg": pa.nulls(batch.num_rows, pa.int64()),
+             "part": _str_part(batch.column("other"))}
+        )
+
+    def tag_deg2(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": batch.column("host"),
+             "other": pa.nulls(batch.num_rows, pa.string()),
+             "deg_other": pa.nulls(batch.num_rows, pa.int64()),
+             "deg": batch.column("deg"),
+             "part": _str_part(batch.column("host"))}
+        )
+
+    def join_deg2(group: pa.Table) -> pa.Table:
+        ed = group.filter(pc.is_valid(group.column("other")))
+        dg = group.filter(pc.is_valid(group.column("deg")))
+        j = pa.table(
+            {"key": ed.column("key"), "other": ed.column("other"),
+             "deg_other": ed.column("deg_other")}
+        ).join(
+            pa.table({"key": dg.column("key"), "deg_key": dg.column("deg")}),
+            keys=["key"], join_type="inner",
+        )
+        # orient low→high by (deg, host): src = smaller endpoint
+        a_is_other = pc.or_(
+            pc.less(j.column("deg_other"), j.column("deg_key")),
+            pc.and_(pc.equal(j.column("deg_other"), j.column("deg_key")),
+                    pc.less(j.column("other"), j.column("key"))),
+        )
+        src = pc.if_else(a_is_other, j.column("other"), j.column("key"))
+        dst = pc.if_else(a_is_other, j.column("key"), j.column("other"))
+        sdeg = pc.if_else(a_is_other, j.column("deg_other"), j.column("deg_key"))
+        ddeg = pc.if_else(a_is_other, j.column("deg_key"), j.column("deg_other"))
+        return pa.table({"src": src, "dst": dst, "sdeg": sdeg, "ddeg": ddeg})
+
+    oriented = (
+        with_dx.map_batches(tag_edge_y, batch_format="pyarrow")
+        .union(degrees.map_batches(tag_deg2, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(join_deg2, batch_format="pyarrow")
+    ).materialize()
+
+    def wedges(group: pa.Table) -> pa.Table:
+        # group = all out-edges of one src; order neighbors by (deg, host)
+        idx = pc.sort_indices(
+            group, sort_keys=[("ddeg", "ascending"), ("dst", "ascending")]
+        )
+        nb = group.take(idx).column("dst").to_numpy(zero_copy_only=False)
+        k = len(nb)
+        if k < 2:
+            return pa.table({"u": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        iu, iv = np.triu_indices(k, 1)
+        return pa.table({"u": pa.array(nb[iu]), "v": pa.array(nb[iv])})
+
+    wedge_ds = oriented.groupby("src").map_groups(wedges, batch_format="pyarrow")
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": batch.column("u"), "v": batch.column("v"),
+             "is_edge": pa.nulls(batch.num_rows, pa.int8()).fill_null(0),
+             "part": _str_part(batch.column("u"))}
+        )
+
+    def tag_oedge(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": batch.column("src"), "v": batch.column("dst"),
+             "is_edge": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
+             "part": _str_part(batch.column("src"))}
+        )
+
+    def count_tri(group: pa.Table) -> pa.Table:
+        wg = group.filter(pc.equal(group.column("is_edge"), 0))
+        eg = group.filter(pc.equal(group.column("is_edge"), 1))
+        j = pa.table({"u": wg.column("u"), "v": wg.column("v")}).join(
+            pa.table({"u": eg.column("u"), "v": eg.column("v"),
+                      "hit": pa.nulls(eg.num_rows, pa.int64()).fill_null(1)}),
+            keys=["u", "v"], join_type="inner",
+        )
+        return pa.table({"n": pa.array([j.num_rows], pa.int64())})
+
+    tri_parts = (
+        wedge_ds.map_batches(tag_wedge, batch_format="pyarrow")
+        .union(oriented.map_batches(tag_oedge, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(count_tri, batch_format="pyarrow")
+    )
+    n_tri = sum(
+        pc.sum(b.column("n")).as_py() or 0
+        for b in tri_parts.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    )
+    n_hosts = degrees.count()
+    n_edges = und.count()
+    return ray.data.from_arrow(
+        pa.table(
+            {"n_hosts": pa.array([n_hosts], pa.int64()),
+             "n_edges": pa.array([n_edges], pa.int64()),
+             "n_triangles": pa.array([n_tri], pa.int64())}
+        )
+    )

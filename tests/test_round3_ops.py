@@ -1,0 +1,94 @@
+"""Oracle-parity tests for the round-3 analytic ops: inter-arrival
+quantiles, Zipf slope, host-graph triangle count, k-center coreset."""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "events documents embeddings".split()
+
+NAMES = ["interarrival_quantiles", "zipf_slope", "host_triangles", "kcenter_coreset"]
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+    return df
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as m
+
+    return m.queries(), m.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_round3_oracle_match(contract, con, name):
+    queries, oracles = contract
+    ray_df = _canon(_to_pandas(queries[name](SF_DIR)))
+    sql_df = _canon(con.sql(oracles[name]).df())
+    assert len(ray_df) == len(sql_df), (name, len(ray_df), len(sql_df))
+    pd.testing.assert_frame_equal(
+        ray_df, sql_df, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+
+
+def test_kcenter_covers_better_than_prefix(contract, ray_session):
+    """The greedy selection should cover the corpus at least as well as a
+    naive first-k prefix: max over points of distance-to-nearest-center is
+    minimized greedily (2-approx guarantee sanity check)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    queries, _ = contract
+    sel = _to_pandas(queries["kcenter_coreset"](SF_DIR))
+    assert list(sel.columns) == ["sel_order", "vec_id"]
+    assert len(sel) == 8
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.asarray(emb.column("vec_id"), dtype=np.int64)
+    m = np.asarray(
+        emb.column("embedding").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(len(ids), -1)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    def radius(center_ids):
+        rows = np.nonzero(np.isin(ids, center_ids))[0]
+        sims = (m @ m[rows].T).max(axis=1)
+        return 1.0 - sims.min()
+
+    greedy = radius(sel["vec_id"].to_numpy())
+    prefix = radius(np.sort(ids)[:8])
+    assert greedy <= prefix + 1e-12
