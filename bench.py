@@ -691,6 +691,145 @@ def run_bench() -> dict:
     quality_by_source(docs_qs).count()
     queries["quality_by_source"] = round(time.perf_counter() - t0, 3)
 
+    # --- second TPC-H batch (tpch2.py) -------------------------------------
+    from spider_ray.ops.tpch2 import (
+        brand_partkeys,
+        brand_revenue_share,
+        customer_names,
+        customer_nation_dims,
+        customer_nation_map,
+        dormant_customers,
+        large_orders,
+        nation_trade_volume,
+        negative_balance_suppliers,
+        part_brand_map,
+        part_class_map,
+        small_qty_revenue,
+        supplier_names,
+        supplier_nation_map,
+        supplier_part_counts,
+        top_returned_customers,
+        top_supplier,
+    )
+
+    li_q17 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    t0 = time.perf_counter()
+    small_qty_revenue(li_q17, brand_partkeys(sf_dir)).count()
+    queries["small_qty_revenue"] = round(time.perf_counter() - t0, 3)
+
+    li_q18 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+    ord_q18 = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    t0 = time.perf_counter()
+    large_orders(li_q18, ord_q18, customer_names(sf_dir)).count()
+    queries["large_orders"] = round(time.perf_counter() - t0, 3)
+
+    li_q10 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    ord_q10 = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    t0 = time.perf_counter()
+    top_returned_customers(li_q10, ord_q10, customer_nation_dims(sf_dir)).count()
+    queries["top_returned_customers"] = round(time.perf_counter() - t0, 3)
+
+    cust_q22 = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    ord_q22 = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    t0 = time.perf_counter()
+    dormant_customers(cust_q22, ord_q22).count()
+    queries["dormant_customers"] = round(time.perf_counter() - t0, 3)
+
+    li_q15 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    t0 = time.perf_counter()
+    top_supplier(li_q15, supplier_names(sf_dir)).count()
+    queries["top_supplier"] = round(time.perf_counter() - t0, 3)
+
+    li_q7 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+    ord_q7 = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    t0 = time.perf_counter()
+    nation_trade_volume(
+        li_q7, ord_q7, customer_nation_map(sf_dir), supplier_nation_map(sf_dir)
+    ).count()
+    queries["nation_trade_volume"] = round(time.perf_counter() - t0, 3)
+
+    li_q11 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    t0 = time.perf_counter()
+    brand_revenue_share(li_q11, part_brand_map(sf_dir)).count()
+    queries["brand_revenue_share"] = round(time.perf_counter() - t0, 3)
+
+    li_q16 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    )
+    t0 = time.perf_counter()
+    supplier_part_counts(
+        li_q16, part_class_map(sf_dir), negative_balance_suppliers(sf_dir)
+    ).count()
+    queries["supplier_part_counts"] = round(time.perf_counter() - t0, 3)
+
+    # --- round-3 analytic ops ----------------------------------------------
+    from spider_ray.ops.windows import interarrival_quantiles
+
+    ev_ia = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    t0 = time.perf_counter()
+    interarrival_quantiles(ev_ia).count()
+    queries["interarrival_quantiles"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.ngrams import zipf_slope
+
+    t0 = time.perf_counter()
+    zipf_slope(docs).count()
+    queries["zipf_slope"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.linkgraph import host_triangles
+
+    t0 = time.perf_counter()
+    host_triangles(corpus).count()
+    queries["host_triangles"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.cluster import kcenter_coreset
+
+    emb_kc = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    t0 = time.perf_counter()
+    kcenter_coreset(emb_kc).count()
+    queries["kcenter_coreset"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),
