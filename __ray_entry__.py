@@ -1653,6 +1653,31 @@ def q_host_triangles(sf_dir: str):
     return host_triangles(_corpus_for(sf_dir))
 
 
+def q_latest_shipper_orders(sf_dir: str):
+    """TPC-H-Q21-shaped per-order EXISTS analysis on one fact table: the
+    supplier with the lexicographically greatest (shipdate, suppkey) of
+    each multi-supplier order; combiner → one coarse hash(orderkey)
+    co-group, vectorized boundary resolve, slim (suppkey, n) rollup."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import latest_shipper_orders, supplier_names
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    return latest_shipper_orders(li, supplier_names(sf_dir))
+
+
+def q_host_reciprocity(sf_dir: str):
+    """Directed host-graph reciprocity without a self-join: distinct
+    directed pairs fold to unordered-pair orientation counts (a count of
+    2 = mutual); oracle = SQL over the link-graph golden."""
+    from spider_ray.ops.linkgraph import host_reciprocity
+
+    return host_reciprocity(_corpus_for(sf_dir))
+
+
 def q_kcenter_coreset(sf_dir: str):
     """Greedy k-center (farthest-point) coreset over the embedding table:
     k streaming passes, each folding a per-block (min round-9 best-sim,
@@ -1885,6 +1910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": q_zipf_slope,
         "host_triangles": q_host_triangles,
         "kcenter_coreset": q_kcenter_coreset,
+        "latest_shipper_orders": q_latest_shipper_orders,
+        "host_reciprocity": q_host_reciprocity,
         "props_stats": q_props_stats,
         "session_stats": q_session_stats,
         "best_line_per_order": q_best_line_per_order,
@@ -2672,6 +2699,27 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) * sum(ln(rk) * ln(n)) - sum(ln(rk)) * sum(ln(n))) / "
             "(count(*) * sum(ln(rk) * ln(rk)) - sum(ln(rk)) * sum(ln(rk))), 6) "
             "AS slope_r6 FROM r"
+        ),
+        "latest_shipper_orders": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "max(epoch_us(l_shipdate)) AS ship FROM lineitem GROUP BY 1, 2), "
+            "r AS (SELECT l_orderkey, l_suppkey, "
+            "row_number() OVER (PARTITION BY l_orderkey "
+            "ORDER BY ship DESC, l_suppkey DESC) AS rn, "
+            "count(*) OVER (PARTITION BY l_orderkey) AS nsupp FROM l) "
+            "SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name, "
+            "count(*)::BIGINT AS n_orders "
+            "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey "
+            "WHERE rn = 1 AND nsupp >= 2 GROUP BY 1, 2"
+        ),
+        "host_reciprocity": (
+            f"WITH e AS (SELECT DISTINCT src_host AS s, dst_host AS d "
+            f"FROM read_parquet('{golden_path('sf0.01', 'link_graph')}') "
+            f"WHERE src_host <> dst_host) "
+            f"SELECT (SELECT count(*) FROM e)::BIGINT AS n_directed, "
+            f"(SELECT count(*) FROM e a JOIN e b "
+            f"ON a.s = b.d AND a.d = b.s AND a.s < a.d)::BIGINT "
+            f"AS n_bidirectional"
         ),
         "host_triangles": (
             f"WITH e0 AS (SELECT DISTINCT least(src_host, dst_host) AS x, "

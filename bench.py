@@ -830,6 +830,22 @@ def run_bench() -> dict:
     kcenter_coreset(emb_kc).count()
     queries["kcenter_coreset"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.tpch2 import latest_shipper_orders
+
+    li_q21 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    t0 = time.perf_counter()
+    latest_shipper_orders(li_q21, supplier_names(sf_dir)).count()
+    queries["latest_shipper_orders"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.linkgraph import host_reciprocity
+
+    t0 = time.perf_counter()
+    host_reciprocity(corpus).count()
+    queries["host_reciprocity"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

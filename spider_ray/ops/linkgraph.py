@@ -672,6 +672,108 @@ def top_backlinks(corpus_dir: str, k: int = 100, concurrency=None):
 
 def host_triangles(corpus_dir: str):
     """Exact triangle count on the UNDIRECTED host graph — one row
+    ``(n_hosts, n_edges, n_triangles)``.
+
+    Same two-tier shape as ``host_pagerank`` / ``host_components``: the
+    expensive part (parsing the corpus into host-pair edges) is fully
+    distributed with per-batch combiners, the distinct undirected pair
+    list folds through ONE slim groupby, and the graph computation runs
+    in a single ``@ray.remote`` kernel over the aggregated edge block
+    refs (vectorized degree-orientation wedge-check; the driver never
+    materializes edges).  The host graph is orders of magnitude smaller
+    than the corpus (~10⁹ distinct pairs for a 10¹⁰-URL crawl — a fat
+    node holds that); above kernel RAM use
+    :func:`host_triangles_cogroup`, the shuffle-only twin with identical
+    output."""
+    import ray
+    import ray.data
+
+    und = _undirected_pairs(corpus_dir)
+    refs = und.to_arrow_refs()
+
+    @ray.remote
+    def _kernel(*blocks: pa.Table) -> pa.Table:
+        import numpy as np
+
+        live = [b for b in blocks if b.num_rows]
+        if not live:
+            return pa.table(
+                {"n_hosts": pa.array([0], pa.int64()),
+                 "n_edges": pa.array([0], pa.int64()),
+                 "n_triangles": pa.array([0], pa.int64())}
+            )
+        tbl = pa.concat_tables(live)
+        xs = tbl.column("x")
+        ys = tbl.column("y")
+        hosts_arr = pc.unique(
+            pa.chunked_array(list(xs.chunks) + list(ys.chunks))
+        )
+        hosts = sorted(hosts_arr.to_pylist())
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        a = np.fromiter((idx[h] for h in xs.to_pylist()), dtype=np.int64,
+                        count=len(tbl))
+        b = np.fromiter((idx[h] for h in ys.to_pylist()), dtype=np.int64,
+                        count=len(tbl))
+        m = len(a)
+        deg = np.bincount(np.concatenate([a, b]), minlength=n)
+        # orientation rank by (degree, host-index): rank[u] < rank[v] ⇒ u→v
+        rank = np.empty(n, dtype=np.int64)
+        rank[np.lexsort((np.arange(n), deg))] = np.arange(n)
+        swap = rank[b] < rank[a]
+        src = np.where(swap, b, a)
+        dst = np.where(swap, a, b)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        codes = src * n + dst  # n ≤ ~10⁸ keeps n² inside int64
+        # wedges per source: ordered out-neighbor pairs; out-degree is
+        # O(√m) under degree orientation, so total pairs are O(m^1.5)
+        starts = np.nonzero(np.r_[True, src[1:] != src[:-1]])[0]
+        lens = np.diff(np.append(starts, m))
+        tri = 0
+        for s, l in zip(starts, lens):
+            if l < 2:
+                continue
+            nb = dst[s : s + l]
+            nb = nb[np.argsort(rank[nb], kind="stable")]
+            iu, iv = np.triu_indices(l, 1)
+            wedge = nb[iu] * n + nb[iv]
+            pos = np.searchsorted(codes, wedge)
+            pos[pos >= m] = m - 1
+            tri += int((codes[pos] == wedge).sum())
+        return pa.table(
+            {"n_hosts": pa.array([n], pa.int64()),
+             "n_edges": pa.array([m], pa.int64()),
+             "n_triangles": pa.array([tri], pa.int64())}
+        )
+
+    return ray.data.from_arrow(ray.get(_kernel.remote(*refs)))
+
+
+def _undirected_pairs(corpus_dir: str):
+    """Materialized distinct self-loop-free undirected host pairs
+    ``(x < y)`` — the shared slim input of the triangle kernels."""
+
+    edges = host_link_edges(corpus_dir)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.invert(pc.equal(batch.column("src_host"), batch.column("dst_host")))
+        )
+        x = pc.min_element_wise(t.column("src_host"), t.column("dst_host"))
+        y = pc.max_element_wise(t.column("src_host"), t.column("dst_host"))
+        return pa.table({"x": x, "y": y}).group_by(["x", "y"]).aggregate([])
+
+    return (
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .count()
+        .select_columns(["x", "y"])
+    ).materialize()
+
+
+def host_triangles_cogroup(corpus_dir: str):
+    """Exact triangle count on the UNDIRECTED host graph — one row
     ``(n_hosts, n_edges, n_triangles)`` (hosts/edges = nodes/edges of the
     undirected self-loop-free graph; isolated hosts don't appear).
 
@@ -890,5 +992,69 @@ def host_triangles(corpus_dir: str):
             {"n_hosts": pa.array([n_hosts], pa.int64()),
              "n_edges": pa.array([n_edges], pa.int64()),
              "n_triangles": pa.array([n_tri], pa.int64())}
+        )
+    )
+
+
+def host_reciprocity(corpus_dir: str):
+    """Reciprocity of the directed host graph — one row ``(n_directed,
+    n_bidirectional)``: distinct self-loop-free directed host pairs, and
+    how many of them have the reverse edge too.
+
+    The directed distinct-pair list reduces per batch (C++ group_by), one
+    slim ``(unordered pair) groupby`` counts orientations — a pair with
+    both directions present contributes 2 — so reciprocity needs no
+    self-join at all; nothing wider than two host strings shuffles.
+    """
+    import ray.data
+
+    edges = host_link_edges(corpus_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.invert(pc.equal(batch.column("src_host"), batch.column("dst_host")))
+        )
+        return (
+            pa.table({"s": t.column("src_host"), "d": t.column("dst_host")})
+            .group_by(["s", "d"]).aggregate([])
+        )
+
+    dd = (
+        edges.map_batches(directed, batch_format="pyarrow")
+        .groupby(["s", "d"])
+        .count()
+        .select_columns(["s", "d"])
+    ).materialize()
+
+    def unordered(batch: pa.Table) -> pa.Table:
+        x = pc.min_element_wise(batch.column("s"), batch.column("d"))
+        y = pc.max_element_wise(batch.column("s"), batch.column("d"))
+        t = pa.table(
+            {"x": x, "y": y, "n": pa.nulls(len(x), pa.int64()).fill_null(1)}
+        )
+        return (
+            t.group_by(["x", "y"]).aggregate([("n", "sum")])
+            .rename_columns(["x", "y", "n"])
+        )
+
+    pairs = (
+        dd.map_batches(unordered, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .sum("n")
+    )
+    n_directed = 0
+    n_bidir = 0
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        if not b.num_rows:
+            continue
+        ns = b.column("sum(n)")
+        n_directed += pc.sum(ns).as_py() or 0
+        n_bidir += pc.sum(
+            pc.cast(pc.equal(ns, pa.scalar(2, pa.int64())), pa.int64())
+        ).as_py() or 0
+    return ray.data.from_arrow(
+        pa.table(
+            {"n_directed": pa.array([n_directed], pa.int64()),
+             "n_bidirectional": pa.array([n_bidir], pa.int64())}
         )
     )

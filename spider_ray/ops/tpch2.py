@@ -1070,3 +1070,98 @@ def negative_balance_suppliers(sf_dir: str) -> pa.Table:
     )
     sup = sup.filter(pc.less(sup.column("s_acctbal"), 0.0))
     return pa.table({"s_suppkey": pc.cast(sup.column("s_suppkey"), pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — latest shipper per multi-supplier order
+# ---------------------------------------------------------------------------
+
+
+def latest_shipper_orders(lineitem, supplier_names_tbl: pa.Table):
+    """TPC-H Q21 shape — per-order EXISTS analysis on a single fact table:
+    for each supplier, how many MULTI-supplier orders it closed (its
+    lineitem has the lexicographically greatest ``(shipdate, suppkey)`` of
+    the order — the "kept everyone waiting" supplier).
+
+    ``(s_suppkey, s_name, n_orders)``.  Per-batch C++ combiner folds
+    ``(okey, suppkey) → max ship`` so duplicate lines never shuffle; ONE
+    coarse ``hash(okey) & 63`` co-group merges cross-batch partials and
+    resolves each order vectorized (one sort + boundary mask per
+    partition — no per-order Python); only ``(suppkey, n)`` partials leave
+    the partition.  Supplier names broadcast to the final |suppliers|-row
+    rollup.
+    """
+    import numpy as np
+    import ray
+
+    from .behavior import coarse_part
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+                "supp": pc.cast(batch.column("l_suppkey"), pa.int64()),
+                "ship": pc.cast(batch.column("l_shipdate"), pa.int64()),
+            }
+        )
+        t = (
+            t.group_by(["okey", "supp"]).aggregate([("ship", "max")])
+            .rename_columns(["okey", "supp", "ship"])
+        )
+        return t.append_column("part", coarse_part(t.column("okey")))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = (
+            group.group_by(["okey", "supp"]).aggregate([("ship", "max")])
+            .rename_columns(["okey", "supp", "ship"])
+        )
+        idx = pc.sort_indices(
+            g, sort_keys=[("okey", "ascending"), ("ship", "descending"),
+                          ("supp", "descending")],
+        )
+        g = g.take(idx)
+        okeys = np.asarray(g.column("okey"))
+        supps = np.asarray(g.column("supp"))
+        first = np.ones(len(okeys), dtype=bool)
+        first[1:] = okeys[1:] != okeys[:-1]
+        # per-order supplier count: run-length of each okey block
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, len(okeys)))
+        winners = supps[starts[lens >= 2]]
+        t = pa.table(
+            {
+                "s_suppkey": pa.array(winners, pa.int64()),
+                "n_orders": pa.array(np.ones(len(winners), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["s_suppkey"]).aggregate([("n_orders", "sum")])
+            .rename_columns(["s_suppkey", "n_orders"])
+        )
+
+    names_ref = ray.put(supplier_names_tbl)
+
+    rolled = (
+        lineitem.map_batches(slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .sum("n_orders")
+    )
+
+    class _Name:
+        def __init__(self):
+            self.names = ray.get(names_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "s_suppkey": b.column("s_suppkey"),
+                    "n_orders": pc.cast(b.column("sum(n_orders)"), pa.int64()),
+                }
+            )
+            j = t.join(self.names, keys=["s_suppkey"], join_type="inner")
+            return j.select(["s_suppkey", "s_name", "n_orders"])
+
+    return rolled.map_batches(_Name, batch_format="pyarrow", concurrency=2,
+                              num_cpus=0.5)

@@ -92,3 +92,26 @@ def test_kcenter_covers_better_than_prefix(contract, ray_session):
     greedy = radius(sel["vec_id"].to_numpy())
     prefix = radius(np.sort(ids)[:8])
     assert greedy <= prefix + 1e-12
+
+
+def test_triangles_cogroup_twin_parity(ray_session):
+    """The shuffle-only co-group twin must agree with the kernel exactly."""
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.ops.linkgraph import host_triangles, host_triangles_cogroup
+
+    corpus = ensure_scale("sf0.001")
+    a = host_triangles(corpus).take_all()
+    b = host_triangles_cogroup(corpus).take_all()
+    assert a == b
+    assert a[0]["n_triangles"] >= 0
+
+
+def test_latest_shipper_and_reciprocity_shapes(ray_session):
+    import __ray_entry__ as m
+
+    q = m.queries()
+    ls = q["latest_shipper_orders"]("/root/testdata/sf0.001").to_pandas()
+    assert set(ls.columns) == {"s_suppkey", "s_name", "n_orders"}
+    assert (ls["n_orders"] > 0).all()
+    rc = q["host_reciprocity"]("/root/testdata/sf0.001").to_pandas()
+    assert rc["n_directed"].iloc[0] >= rc["n_bidirectional"].iloc[0]
