@@ -1653,6 +1653,35 @@ def q_host_triangles(sf_dir: str):
     return host_triangles(_corpus_for(sf_dir))
 
 
+def q_token_budget_trim(sf_dir: str):
+    """Distributed ordered prefix sum (scan): per-source token-budget gate
+    kept exact by (bucket totals → driver exclusive prefixes → broadcast →
+    per-bucket vectorized gate); driver state O(sources × buckets)."""
+    import ray.data
+
+    from spider_ray.ops.sampling import token_budget_trim
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    return token_budget_trim(docs)
+
+
+def q_event_trigrams(sf_dir: str):
+    """Top-20 3-event user journeys: coarse user shuffle, vectorized
+    in-partition sort + boundary masks, slim (trigram, n) partials."""
+    import ray.data
+
+    from spider_ray.ops.behavior import event_trigrams
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_trigrams(events)
+
+
 def q_latest_shipper_orders(sf_dir: str):
     """TPC-H-Q21-shaped per-order EXISTS analysis on one fact table: the
     supplier with the lexicographically greatest (shipdate, suppkey) of
@@ -1911,6 +1940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": q_host_triangles,
         "kcenter_coreset": q_kcenter_coreset,
         "latest_shipper_orders": q_latest_shipper_orders,
+        "token_budget_trim": q_token_budget_trim,
+        "event_trigrams": q_event_trigrams,
         "host_reciprocity": q_host_reciprocity,
         "props_stats": q_props_stats,
         "session_stats": q_session_stats,
@@ -2699,6 +2730,28 @@ def oracle_sql() -> dict[str, str]:
             "(count(*) * sum(ln(rk) * ln(n)) - sum(ln(rk)) * sum(ln(n))) / "
             "(count(*) * sum(ln(rk) * ln(rk)) - sum(ln(rk)) * sum(ln(rk))), 6) "
             "AS slope_r6 FROM r"
+        ),
+        "token_budget_trim": (
+            r"WITH t AS (SELECT doc_id, source, "
+            r"length(regexp_extract_all(text, '\S+'))::BIGINT AS tok "
+            r"FROM documents), "
+            "c AS (SELECT doc_id, source, tok, sum(tok) OVER "
+            "(PARTITION BY source ORDER BY doc_id) AS cum FROM t) "
+            "SELECT source, count(*)::BIGINT AS n_docs_kept, "
+            "sum(tok)::BIGINT AS n_tokens_kept, "
+            "max(doc_id)::BIGINT AS last_doc_id "
+            "FROM c WHERE cum <= 5000 GROUP BY 1"
+        ),
+        "event_trigrams": (
+            "WITH o AS (SELECT event_type AS t0, "
+            "lead(event_type, 1) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS t1, "
+            "lead(event_type, 2) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS t2 FROM events) "
+            "SELECT t0 || '>' || t1 || '>' || t2 AS trigram, "
+            "count(*)::BIGINT AS n FROM o "
+            "WHERE t1 IS NOT NULL AND t2 IS NOT NULL "
+            "GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 20"
         ),
         "latest_shipper_orders": (
             "WITH l AS (SELECT l_orderkey, l_suppkey, "

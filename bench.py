@@ -846,6 +846,26 @@ def run_bench() -> dict:
     host_reciprocity(corpus).count()
     queries["host_reciprocity"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.sampling import token_budget_trim
+
+    docs_tb = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    t0 = time.perf_counter()
+    token_budget_trim(docs_tb).count()
+    queries["token_budget_trim"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.behavior import event_trigrams
+
+    ev_tg = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    t0 = time.perf_counter()
+    event_trigrams(ev_tg).count()
+    queries["event_trigrams"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

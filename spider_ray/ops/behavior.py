@@ -529,3 +529,70 @@ def value_outliers(events):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def event_trigrams(events, k: int = 20):
+    """Top-``k`` most common 3-event journeys: consecutive event-type
+    triples within each user's ``(ts, event_id)``-ordered stream, counted
+    corpus-wide; ``(trigram, n)`` with ``n desc, trigram asc`` tie order.
+
+    Same coarse ``hash(user) & 63`` shuffle + vectorized in-partition
+    sort/boundary-mask shape as :func:`event_transitions` (which counts
+    bigrams); only ``(trigram, n)`` partials leave each partition, and the
+    final sort+limit runs over the ≤|event_types|³ aggregate."""
+
+    def slim(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "user_id": uid,
+                "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "part": coarse_part(uid),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("user_id", "ascending"), ("ts_us", "ascending"),
+                       ("event_id", "ascending")],
+        )
+        g = group.take(idx)
+        users = np.asarray(g.column("user_id"))
+        types = g.column("event_type").to_numpy(zero_copy_only=False)
+        n = len(users)
+        if n < 3:
+            return pa.table({"trigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = (users[2:] == users[:-2]) & (users[2:] == users[1:-1])
+        t0, t1, t2 = types[:-2][same], types[1:-1][same], types[2:][same]
+        tri = pa.table(
+            {
+                "trigram": pc.binary_join_element_wise(
+                    pa.array(t0), pa.array(t1), pa.array(t2), ">"
+                ),
+                "n": pa.nulls(int(same.sum()), pa.int64()).fill_null(1),
+            }
+        )
+        return (
+            tri.group_by(["trigram"]).aggregate([("n", "sum")])
+            .rename_columns(["trigram", "n"])
+        )
+
+    agg = (
+        events.map_batches(slim, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("trigram")
+        .sum("n")
+    )
+    out = agg.map_batches(
+        lambda b: pa.table(
+            {"trigram": b.column("trigram"),
+             "n": pc.cast(b.column("sum(n)"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort(["n", "trigram"], descending=[True, False]).limit(k)

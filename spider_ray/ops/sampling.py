@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 KNUTH = 2654435761
 MOD = 1 << 32
@@ -281,4 +282,156 @@ def host_cap(corpus_dir: str, cap: int = 20):
         pages.map_batches(local_cap, batch_format="pyarrow")
         .groupby("host")
         .map_groups(group_cap, batch_format="pyarrow")
+    )
+
+
+def token_budget_trim(docs, budget_tokens: int = 5_000,
+                      key_col: str = "doc_id", source_col: str = "source",
+                      text_col: str = "text", n_buckets: int = 4096):
+    """Per-source token-budget gate — keep each source's docs in ascending
+    ``doc_id`` order while the source's RUNNING token total stays within
+    ``budget_tokens`` (a doc is kept iff its whole count fits).  Returns
+    ``(source, n_docs_kept, n_tokens_kept, last_doc_id)``.
+
+    This is the distributed ORDERED PREFIX SUM (scan) pattern — the keep
+    decision for a doc depends on every smaller-id doc of its source:
+
+    1. slim pass: per-batch ``(bucket = doc_id·K >> S, source, tokens)``
+       partials (text never leaves the batch fn);
+    2. the (sources × ``n_buckets``) bucket-total table folds on the
+       driver — BOUNDED state at any corpus size — and turns into
+       exclusive per-source bucket prefixes, broadcast once;
+    3. second slim pass shuffles ``(doc_id, source, tokens)`` by id
+       bucket (uniform by construction — the bucket is a hash of the id,
+       ordered-prefix correctness needs only that every smaller-id doc
+       land in a lower-or-equal bucket, so the bucket is ``doc_id``
+       RANGE, not hash); each bucket task sorts its ids, adds its
+       broadcast prefix offset, applies the gate vectorized, and emits a
+       per-source partial.
+
+    One slim shuffle, driver state O(sources × buckets).  The SQL twin is
+    ``sum(tok) OVER (PARTITION BY source ORDER BY doc_id) <= budget``.
+    """
+    import ray
+
+    from .textstats import _TOKEN_RE
+
+    # bucket by doc_id RANGE: need max id to scale buckets; ids are assumed
+    # dense-ish int64 — use a cheap first pass max (slim column read)
+    id_max = 0
+    for b in docs.select_columns([key_col]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        if b.num_rows:
+            id_max = max(id_max, pc.max(b.column(key_col)).as_py())
+    width = max(1, (id_max + n_buckets) // n_buckets)
+
+    class _Slim:
+        def __init__(self):
+            self.re = _TOKEN_RE
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            toks = np.fromiter(
+                (len(self.re.findall(t or "")) for t in
+                 batch.column(text_col).to_pylist()),
+                dtype=np.int64, count=len(ids),
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "source": batch.column(source_col),
+                    "tok": pa.array(toks, pa.int64()),
+                    "bucket": pa.array(ids // width, pa.int64()),
+                }
+            )
+
+    from ..poolsize import autoscale_pool
+
+    slim = docs.select_columns([key_col, source_col, text_col]).map_batches(
+        _Slim, batch_format="pyarrow", concurrency=autoscale_pool(1), num_cpus=0.5
+    ).materialize()
+
+    # pass 1: bucket totals -> driver exclusive prefixes per source
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["source", "bucket", "tok"])
+            .group_by(["source", "bucket"]).aggregate([("tok", "sum")])
+            .rename_columns(["source", "bucket", "tok"])
+        )
+
+    totals: dict[tuple[str, int], int] = {}
+    for b in slim.map_batches(bucket_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for s, bk, tk in zip(b.column("source").to_pylist(),
+                             b.column("bucket").to_pylist(),
+                             b.column("tok").to_pylist()):
+            totals[(s, bk)] = totals.get((s, bk), 0) + tk
+    prefixes: dict[tuple[str, int], int] = {}
+    run: dict[str, int] = {}
+    for s, bk in sorted(totals):
+        prefixes[(s, bk)] = run.get(s, 0)
+        run[s] = run.get(s, 0) + totals[(s, bk)]
+    pref_ref = ray.put(prefixes)
+
+    def gate(group: pa.Table) -> pa.Table:
+        pref = ray.get(pref_ref)
+        idx = pc.sort_indices(
+            group, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(idx)
+        srcs = g.column("source").to_numpy(zero_copy_only=False)
+        ids = np.asarray(g.column("doc_id"))
+        toks = np.asarray(g.column("tok"))
+        bks = np.asarray(g.column("bucket"))
+        out_src, out_docs, out_toks, out_last = [], [], [], []
+        starts = np.flatnonzero(
+            np.concatenate(([True], srcs[1:] != srcs[:-1]))
+        ) if len(srcs) else np.array([], dtype=np.int64)
+        lens = np.diff(np.concatenate((starts, [len(srcs)])))
+        for st, ln in zip(starts, lens):
+            s = srcs[st]
+            sl = slice(st, st + ln)
+            cum = np.cumsum(toks[sl]) + pref.get((s, int(bks[st])), 0)
+            keep = cum <= budget_tokens
+            if keep.any():
+                out_src.append(s)
+                out_docs.append(int(keep.sum()))
+                out_toks.append(int(toks[sl][keep].sum()))
+                out_last.append(int(ids[sl][keep].max()))
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "n_docs_kept": pa.array(out_docs, pa.int64()),
+                "n_tokens_kept": pa.array(out_toks, pa.int64()),
+                "last_doc_id": pa.array(out_last, pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    # per-bucket partials are ≤ sources × buckets rows — driver fold is tiny
+    agg: dict[str, list[int]] = {}
+    for b in slim.groupby("bucket").map_groups(
+        gate, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for s, nd, nt, ld in zip(
+            b.column("source").to_pylist(), b.column("n_docs_kept").to_pylist(),
+            b.column("n_tokens_kept").to_pylist(), b.column("last_doc_id").to_pylist(),
+        ):
+            cur = agg.setdefault(s, [0, 0, -1])
+            cur[0] += nd
+            cur[1] += nt
+            cur[2] = max(cur[2], ld)
+    srcs = sorted(agg)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n_docs_kept": pa.array([agg[s][0] for s in srcs], pa.int64()),
+                "n_tokens_kept": pa.array([agg[s][1] for s in srcs], pa.int64()),
+                "last_doc_id": pa.array([agg[s][2] for s in srcs], pa.int64()),
+            }
+        )
     )

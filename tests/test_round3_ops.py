@@ -115,3 +115,23 @@ def test_latest_shipper_and_reciprocity_shapes(ray_session):
     assert (ls["n_orders"] > 0).all()
     rc = q["host_reciprocity"]("/root/testdata/sf0.001").to_pandas()
     assert rc["n_directed"].iloc[0] >= rc["n_bidirectional"].iloc[0]
+
+
+def test_token_budget_trim_and_trigrams_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    q, o = m.queries(), m.oracle_sql()
+    for name in ("token_budget_trim", "event_trigrams"):
+        ray_df = _canon(_to_pandas(q[name](sf)))
+        sql_df = _canon(con.sql(o[name]).df())
+        assert len(ray_df) == len(sql_df), name
+        pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+                                      check_exact=True)
