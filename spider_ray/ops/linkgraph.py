@@ -145,12 +145,31 @@ class EdgeExtractor:
         )
 
 
-def host_link_edges(corpus_dir: str, concurrency: int | None = None):
+# Session-scoped memo of the aggregated edge list per corpus dir: the edge
+# list is a pure derived artifact of an immutable corpus, and SIX graph ops
+# (degrees, pagerank, hits, components, triangles, reciprocity) start from
+# it — without the memo each one re-parses the whole corpus (the dominant
+# cost: ~15 s/query at sf0.1).  The memoized Dataset is materialized (object
+# store refs, host-pair rows only — KBs to low GBs at any corpus size, ~10⁹
+# distinct pairs for a 10¹⁰-URL crawl).  On a long-lived multi-tenant
+# cluster this is the "edge table" a real deployment would persist to
+# Parquet once per crawl snapshot.
+_EDGE_CACHE: dict[str, object] = {}
+
+
+def host_link_edges(corpus_dir: str, concurrency: int | None = None,
+                    use_cache: bool = True):
     """Dataset of ``(src_host, dst_host, n_links)`` — one row per distinct
-    host pair, ``n_links`` = number of (page, deduped-link) occurrences."""
+    host pair, ``n_links`` = number of (page, deduped-link) occurrences.
+    Memoized (materialized) per corpus dir unless ``use_cache=False`` or an
+    explicit ``concurrency`` is given."""
     import ray.data
 
     import ray
+
+    cacheable = use_cache and concurrency is None
+    if cacheable and corpus_dir in _EDGE_CACHE:
+        return _EDGE_CACHE[corpus_dir]
 
     ds = ray.data.read_parquet(corpus_dir, columns=["url", "html", "status"])
     # autoscale the parse pool with the cluster: the full-corpus parse is the
@@ -162,7 +181,7 @@ def host_link_edges(corpus_dir: str, concurrency: int | None = None):
         concurrency=concurrency or (2, max_actors),
     )
     agg = edges.groupby(["src_host", "dst_host"]).sum("n_links")
-    return agg.map_batches(
+    out = agg.map_batches(
         lambda b: pa.table(
             {
                 "src_host": b.column("src_host"),
@@ -172,6 +191,10 @@ def host_link_edges(corpus_dir: str, concurrency: int | None = None):
         ),
         batch_format="pyarrow",
     )
+    if cacheable:
+        out = out.materialize()
+        _EDGE_CACHE[corpus_dir] = out
+    return out
 
 
 def host_degrees(corpus_dir: str):
