@@ -1653,6 +1653,24 @@ def q_host_triangles(sf_dir: str):
     return host_triangles(_corpus_for(sf_dir))
 
 
+def q_host_kcore(sf_dir: str):
+    """k-core decomposition of the host graph: memoized edge aggregation →
+    one remote vectorized-peel kernel (integer-exact; golden = independent
+    Matula–Beck implementation)."""
+    from spider_ray.ops.linkgraph import host_kcore
+
+    return host_kcore(_corpus_for(sf_dir))
+
+
+def q_host_ppr(sf_dir: str):
+    """Personalized PageRank from the smallest source host (teleport +
+    dangling mass to the seed), pinned accumulation order like
+    host_pagerank; golden = sequential pinned-order replay."""
+    from spider_ray.ops.linkgraph import host_ppr
+
+    return host_ppr(_corpus_for(sf_dir))
+
+
 def q_token_budget_trim(sf_dir: str):
     """Distributed ordered prefix sum (scan): per-source token-budget gate
     kept exact by (bucket totals → driver exclusive prefixes → broadcast →
@@ -1941,6 +1959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": q_kcenter_coreset,
         "latest_shipper_orders": q_latest_shipper_orders,
         "token_budget_trim": q_token_budget_trim,
+        "host_kcore": q_host_kcore,
+        "host_ppr": q_host_ppr,
         "event_trigrams": q_event_trigrams,
         "host_reciprocity": q_host_reciprocity,
         "props_stats": q_props_stats,

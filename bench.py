@@ -866,6 +866,16 @@ def run_bench() -> dict:
     event_trigrams(ev_tg).count()
     queries["event_trigrams"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.linkgraph import host_kcore, host_ppr
+
+    t0 = time.perf_counter()
+    host_kcore(corpus).count()
+    queries["host_kcore"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    host_ppr(corpus).count()
+    queries["host_ppr"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 35
+GOLDEN_VERSION = 36
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1224,6 +1224,78 @@ def seq_host_pagerank(edges: pa.Table, damping: float = 0.85, iters: int = 10) -
     )
 
 
+def seq_host_kcore(edges: pa.Table) -> pa.Table:
+    """INDEPENDENT k-core implementation (dict-based min-degree peeling —
+    core numbers are graph-theoretically unique, so any correct algorithm
+    is an oracle for the kernel's vectorized peel)."""
+    pairs = {
+        tuple(sorted((s, d)))
+        for s, d in zip(edges.column("src_host").to_pylist(),
+                        edges.column("dst_host").to_pylist())
+        if s != d
+    }
+    adj: dict[str, set] = {}
+    for x, y in pairs:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    deg = {h: len(nb) for h, nb in adj.items()}
+    core: dict[str, int] = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        # Matula–Beck: peel the min-degree vertex; its core number is the
+        # running max of min-degrees seen so far
+        h = min(alive, key=lambda x: (deg[x], x))
+        k = max(k, deg[h])
+        core[h] = k
+        alive.remove(h)
+        for nb in adj[h]:
+            if nb in alive:
+                deg[nb] -= 1
+    hosts = sorted(core)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "core": pa.array([int(core[h]) for h in hosts], pa.int64()),
+        }
+    )
+
+
+def seq_host_ppr(edges: pa.Table, damping: float = 0.85, iters: int = 10) -> pa.Table:
+    """Plain-loop personalized PageRank with the pinned accumulation order
+    (mirrors seq_host_pagerank; teleport + dangling mass to the seed = the
+    lexicographically smallest host that has an outgoing edge)."""
+    pair_list = sorted(
+        zip(edges.column("src_host").to_pylist(), edges.column("dst_host").to_pylist())
+    )
+    hosts = sorted({h for e in pair_list for h in e})
+    out_deg: dict[str, int] = {h: 0 for h in hosts}
+    for s, _ in pair_list:
+        out_deg[s] += 1
+    dangling_hosts = [h for h in hosts if out_deg[h] == 0]
+    by_dst_src = sorted(pair_list, key=lambda e: (e[1], e[0]))
+    seed = min(s for s, _ in pair_list) if pair_list else hosts[0]
+    e_vec = {h: (1.0 if h == seed else 0.0) for h in hosts}
+    r = dict(e_vec)
+    for _ in range(iters):
+        contrib = {h: 0.0 for h in hosts}
+        for s, d in by_dst_src:
+            contrib[d] += r[s] / out_deg[s]
+        dangling = sum(r[h] for h in dangling_hosts)
+        r = {
+            h: (1.0 - damping) * e_vec[h]
+            + damping * (contrib[h] + dangling * e_vec[h])
+            for h in hosts
+        }
+    vals = np.round(np.array([r[h] for h in hosts], dtype=np.float64), 12)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "ppr": pa.array(vals, pa.float64()),
+        }
+    )
+
+
 def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -1617,6 +1689,8 @@ GOLDEN_QUERIES = (
     "top_backlinks",
     "robots_audit",
     "host_components",
+    "host_kcore",
+    "host_ppr",
     "scrape_markdown",
     "scrape_commonmark",
     "anchor_terms",
@@ -1658,6 +1732,8 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     tables["top_backlinks"] = seq_top_backlinks(sf_name)
     tables["robots_audit"] = seq_robots_audit(sf_name)
     tables["host_components"] = seq_host_components(lg)
+    tables["host_kcore"] = seq_host_kcore(lg)
+    tables["host_ppr"] = seq_host_ppr(lg)
     if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
         _build_ops_goldens(sf_dir, tables)
     else:  # no documents table at this scale — multimodal is still derivable

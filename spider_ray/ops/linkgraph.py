@@ -1081,3 +1081,131 @@ def host_reciprocity(corpus_dir: str):
              "n_bidirectional": pa.array([n_bidir], pa.int64())}
         )
     )
+
+
+def host_kcore(corpus_dir: str):
+    """k-core decomposition of the undirected host graph — ``(host, core)``
+    per non-isolated host, ``core`` = the largest k such that the host
+    survives in the subgraph where every node has degree ≥ k.
+
+    Pure-integer peeling (no float spec needed — core numbers are
+    graph-theoretically unique, so the sequential golden is an INDEPENDENT
+    implementation, not a replay): the distributed part is the corpus →
+    distinct undirected pair aggregation (memoized, shared with
+    `host_triangles`); the peel runs in one remote kernel as vectorized
+    rounds (drop all nodes below k, recompute degrees, repeat; bump k when
+    stable).  Same fat-node bound and >RAM co-group alternative as the
+    other graph kernels.
+    """
+    import ray
+    import ray.data
+
+    und = _undirected_pairs(corpus_dir)
+    refs = und.to_arrow_refs()
+
+    @ray.remote
+    def _kernel(*blocks: pa.Table) -> pa.Table:
+        import numpy as np
+
+        live = [b for b in blocks if b.num_rows]
+        if not live:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "core": pa.array([], pa.int64())})
+        tbl = pa.concat_tables(live)
+        hosts_arr = pc.unique(
+            pa.chunked_array(
+                list(tbl.column("x").chunks) + list(tbl.column("y").chunks)
+            )
+        )
+        hosts = sorted(hosts_arr.to_pylist())
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        a = np.fromiter((idx[h] for h in tbl.column("x").to_pylist()),
+                        dtype=np.int64, count=len(tbl))
+        b = np.fromiter((idx[h] for h in tbl.column("y").to_pylist()),
+                        dtype=np.int64, count=len(tbl))
+        core = np.zeros(n, dtype=np.int64)
+        alive_edge = np.ones(len(a), dtype=bool)
+        alive_node = np.ones(n, dtype=bool)
+        k = 1
+        while alive_node.any():
+            deg = np.bincount(
+                np.concatenate([a[alive_edge], b[alive_edge]]), minlength=n
+            )
+            drop = alive_node & (deg < k)
+            if drop.any():
+                core[drop] = k - 1
+                alive_node[drop] = False
+                alive_edge &= alive_node[a] & alive_node[b]
+                continue  # re-peel at the same k (cascade)
+            core[alive_node] = k  # everyone left survives at k
+            k += 1
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()),
+             "core": pa.array(core, pa.int64())}
+        )
+
+    return ray.data.from_arrow(ray.get(_kernel.remote(*refs)))
+
+
+def host_ppr(corpus_dir: str, damping: float = PAGERANK_DAMPING,
+             iters: int = PAGERANK_ITERS):
+    """Personalized PageRank from the lexicographically smallest source
+    host — ``(host, ppr)``: the teleport vector concentrates on the seed
+    (dangling mass also returns to it), giving seed-centric proximity
+    scores (the classic crawl-frontier prioritization signal).
+
+    Same two-tier shape and determinism contract as ``host_pagerank``:
+    ascending ``(dst, src)`` contribution order, ascending-host dangling
+    sum, float64, final round-12 — the sequential golden replays the
+    pinned order, not shared code.
+    """
+    import ray
+    import ray.data
+
+    edges = host_link_edges(corpus_dir).materialize()
+    refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def _kernel(*blocks: pa.Table) -> pa.Table:
+        import numpy as np
+
+        live = [b for b in blocks if b.num_rows]
+        if not live:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "ppr": pa.array([], pa.float64())})
+        tbl = pa.concat_tables(live)
+        src_s, dst_s = tbl.column("src_host"), tbl.column("dst_host")
+        hosts_arr = pc.unique(
+            pa.chunked_array(list(src_s.chunks) + list(dst_s.chunks))
+        )
+        hosts = sorted(hosts_arr.to_pylist())
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        src = np.fromiter((idx[h] for h in src_s.to_pylist()), dtype=np.int64,
+                          count=len(tbl))
+        dst = np.fromiter((idx[h] for h in dst_s.to_pylist()), dtype=np.int64,
+                          count=len(tbl))
+        order = np.lexsort((src, dst))  # ascending (dst, src) — pinned
+        src, dst = src[order], dst[order]
+        out_deg = np.bincount(src, minlength=n).astype(np.float64)
+        dangling_ids = np.flatnonzero(out_deg == 0.0)
+        seed = int(np.min(src)) if len(src) else 0
+        # seed = smallest host index that has an outgoing edge; fall back to
+        # host 0 on an edgeless graph (kernel returns empty above anyway)
+        e = np.zeros(n, dtype=np.float64)
+        e[seed] = 1.0
+        r = e.copy()
+        safe_deg = np.where(out_deg == 0.0, 1.0, out_deg)
+        for _ in range(iters):
+            contrib = np.zeros(n, dtype=np.float64)
+            np.add.at(contrib, dst, r[src] / safe_deg[src])
+            # sequential ascending-host sum — pinned like _pagerank_kernel
+            dangling = sum(r[i] for i in dangling_ids)
+            r = (1.0 - damping) * e + damping * (contrib + dangling * e)
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()),
+             "ppr": pa.array(np.round(r, 12), pa.float64())}
+        )
+
+    return ray.data.from_arrow(ray.get(_kernel.remote(*refs)))

@@ -135,3 +135,36 @@ def test_token_budget_trim_and_trigrams_oracle(ray_session):
         assert len(ray_df) == len(sql_df), name
         pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
                                       check_exact=True)
+
+
+def test_kcore_and_ppr_golden(ray_session):
+    """Kernel k-core vs the independent Matula–Beck golden; PPR vs the
+    pinned-order sequential replay — at sf0.001 (sf0.01 runs in the
+    driver-contract sweep)."""
+    import pyarrow.parquet as pq
+
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.goldens import (
+        ensure_goldens,
+        golden_path,
+        seq_host_kcore,
+        seq_host_ppr,
+    )
+    from spider_ray.ops.linkgraph import host_kcore, host_link_edges, host_ppr
+
+    corpus = ensure_scale("sf0.001")
+    edges = host_link_edges(corpus)
+    import pyarrow as pa
+
+    etbl = pa.concat_tables(
+        [b for b in edges.iter_batches(batch_format="pyarrow", batch_size=None)
+         if b.num_rows]
+    )
+    got_kc = host_kcore(corpus).to_pandas().sort_values("host").reset_index(drop=True)
+    want_kc = seq_host_kcore(etbl).to_pandas().sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_kc, want_kc)
+    got_ppr = host_ppr(corpus).to_pandas().sort_values("host").reset_index(drop=True)
+    want_ppr = seq_host_ppr(etbl).to_pandas().sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_ppr, want_ppr)
+    # PPR mass sanity: total mass ≈ 1 under full teleport-to-seed
+    assert abs(got_ppr["ppr"].sum() - 1.0) < 1e-6
