@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..parsepage import extract_links_only
+from ..parsepage import LinkResolver, extract_links_only
 from ..scope import get_page_selectors
 from ..urlnorm import url_host_port
 
@@ -86,14 +86,21 @@ class EdgeExtractor:
 
     def __init__(self):
         self._sel_cache: dict[str, tuple] = {}
+        self._attr_memo: dict[str, tuple] = {}
+        self._generic_memo: dict[tuple, str | None] = {}
 
     def _src_state(self, url: str):
         host, port = url_host_port(url)
         key = f"{host}:{port}" if port is not None else host
-        st = self._sel_cache.get(key)
+        ck = url[: url.find("://") + 3] + key  # scheme-aware cache key —
+        # host_state's scope checks depend on the page scheme too
+        st = self._sel_cache.get(ck)
         if st is None:
-            st = (key, get_page_selectors(url, False, False), _page_root(url))
-            self._sel_cache[key] = st
+            sel = get_page_selectors(url, False, False)
+            root = _page_root(url)
+            hs = LinkResolver(url, root, sel, ALL_DOMAINS).host_state()
+            st = (key, sel, root, hs)
+            self._sel_cache[ck] = st
         return st
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -117,12 +124,14 @@ class EdgeExtractor:
                 continue
             if isinstance(html, (bytes, bytearray)):
                 html = html.decode("utf-8", "replace")
-            src_host, sel, root = self._src_state(url)
+            src_host, sel, root, hs = self._src_state(url)
             # links-only restricted scan: same link semantics as
             # parse_page (corpus-parity pinned in tests/test_parsepage.py),
             # ~2.2x fewer Python handler iterations
             page_links = extract_links_only(
-                html, url, root, sel, external_domains=ALL_DOMAINS
+                html, url, root, sel, external_domains=ALL_DOMAINS,
+                host_state=hs, attr_memo=self._attr_memo,
+                generic_memo=self._generic_memo,
             )
             for link in page_links.values():
                 dst = dst_host_of.get(link)
@@ -612,10 +621,12 @@ class BacklinkExtractor(EdgeExtractor):
                 continue
             if isinstance(html, (bytes, bytearray)):
                 html = html.decode("utf-8", "replace")
-            _, sel, root = self._src_state(url)
+            _, sel, root, hs = self._src_state(url)
             counts.update(
                 extract_links_only(
-                    html, url, root, sel, external_domains=ALL_DOMAINS
+                    html, url, root, sel, external_domains=ALL_DOMAINS,
+                    host_state=hs, attr_memo=self._attr_memo,
+                    generic_memo=self._generic_memo,
                 ).values()
             )
         return pa.table(

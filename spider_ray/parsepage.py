@@ -73,10 +73,13 @@ def parse_page(
     full_resources: bool = False,
     want_signature: bool = False,
     want_text: bool = True,
+    host_state: tuple | None = None,
+    generic_memo: dict | None = None,
 ) -> ParsedPage:
     # --- link/meta state (htmlparse.extract_links_and_meta) ---
     links: dict[str, str] = {}
-    resolver = LinkResolver(page_url, crawl_root, selectors, external_domains)
+    resolver = LinkResolver(page_url, crawl_root, selectors, external_domains,
+                            host_state=host_state, generic_memo=generic_memo)
     title = description = og_image = None
     base_element: str | None = None
     in_head = 0
@@ -328,9 +331,13 @@ class LinkResolver:
     __slots__ = (
         "page_url", "crawl_root", "selectors", "external_domains",
         "page_dir", "page_prefix_ok", "root_prefix", "root_ok",
+        "_page_host_ok", "generic_memo",
     )
 
-    def __init__(self, page_url, crawl_root, selectors, external_domains):
+    def __init__(self, page_url, crawl_root, selectors, external_domains,
+                 host_state: tuple | None = None,
+                 generic_memo: dict | None = None):
+        self.generic_memo = generic_memo
         self.page_url = page_url
         self.crawl_root = crawl_root
         self.selectors = selectors
@@ -342,14 +349,21 @@ class LinkResolver:
             self.page_dir = page_url[: cut + 1]
         else:
             self.page_dir = None
+        if host_state is not None:
+            # per-host reuse: the scope checks below depend only on the
+            # page's scheme://authority (+ selectors/crawl_root), so batch
+            # stages compute them once per host via ``host_state()`` —
+            # measured ~18% of the links-only scan when done per page
+            page_host_ok, self.root_prefix, self.root_ok = host_state
+            self.page_prefix_ok = page_host_ok and self.page_dir is not None
+            return
         # fast paths are valid only when the inherited scheme already equals
         # the parent scheme (no coercion step), that scheme is crawlable, and
         # the base's host passes the scope check (computed ONCE here)
         scheme = selectors.parent_host_scheme
         scheme_ok = scheme in ("http", "https") and page_url.startswith(scheme + "://")
-        self.page_prefix_ok = (
-            scheme_ok and self.page_dir is not None and self._host_in_scope(page_url)
-        )
+        self._page_host_ok = scheme_ok and self._host_in_scope(page_url)
+        self.page_prefix_ok = self._page_host_ok and self.page_dir is not None
         self.root_prefix = None
         self.root_ok = False
         if crawl_root is not None and crawl_root.endswith("/"):
@@ -359,6 +373,12 @@ class LinkResolver:
                 and crawl_root.startswith(scheme + "://")
                 and self._host_in_scope(crawl_root)
             )
+
+    def host_state(self) -> tuple:
+        """``(page_host_ok, root_prefix, root_ok)`` — constant across all
+        pages sharing this page's scheme://authority, selectors and crawl
+        root; pass back as ``host_state=`` to skip the scope recheck."""
+        return (self._page_host_ok, self.root_prefix, self.root_ok)
 
     def _host_in_scope(self, url: str) -> bool:
         """The host-acceptance part of ``validate_link`` (page.rs:2756-2795)."""
@@ -400,6 +420,19 @@ class LinkResolver:
                 return self.page_dir + h
         # generic path
         base = choose_join_base(h, self.page_url, self.crawl_root, base_element)
+        memo = self.generic_memo
+        if memo is not None and base is self.crawl_root:
+            # crawl_root-based joins (absolute/external/root-ish hrefs) are
+            # page-independent — the SAME (root, href) resolves identically
+            # for every page of the host, and external links repeat across
+            # a host's pages (nav/footer); keyed by (root, raw href)
+            key = (base, h)
+            if key in memo:
+                return memo[key]
+            out = push_link(base, h, self.selectors, self.external_domains)
+            if len(memo) < 1 << 20:  # bound actor memory
+                memo[key] = out
+            return out
         return push_link(base, h, self.selectors, self.external_domains)
 
 
@@ -427,6 +460,9 @@ def extract_links_only(
     crawl_root: str | None,
     selectors: Selectors,
     external_domains: frozenset[str] = frozenset(),
+    host_state: tuple | None = None,
+    attr_memo: dict | None = None,
+    generic_memo: dict | None = None,
 ) -> dict[str, str]:
     """Links-only fast path: the anchor/base/raw-text subset of
     ``parse_page``'s handler loop over a RESTRICTED token stream — for
@@ -446,7 +482,8 @@ def extract_links_only(
     that edge exactly use ``parse_page``.
     """
     links: dict[str, str] = {}
-    resolver = LinkResolver(page_url, crawl_root, selectors, external_domains)
+    resolver = LinkResolver(page_url, crawl_root, selectors, external_domains,
+                            host_state=host_state, generic_memo=generic_memo)
     base_element: str | None = None
     pos = 0
     search = _LINKS_TOKEN_RE.search
@@ -461,13 +498,32 @@ def extract_links_only(
         tag = tag.lower()
         attrs_str = attrs_str or ""
         if tag == "a":
-            attrs = parse_attrs(attrs_str)
-            href = _attr(attrs, "href")
-            if (
-                href is not None
-                and _attr(attrs, "aria-hidden") != "true"
-                and not anchor_href_filtered(href)
-            ):
+            # anchor attr strings repeat heavily across a host's pages
+            # (nav/footer markup) — memoize the page-independent part:
+            # (href, passes the hidden/extension filters)
+            if attr_memo is not None:
+                hit = attr_memo.get(attrs_str)
+                if hit is None:
+                    attrs = parse_attrs(attrs_str)
+                    href = _attr(attrs, "href")
+                    ok = (
+                        href is not None
+                        and _attr(attrs, "aria-hidden") != "true"
+                        and not anchor_href_filtered(href)
+                    )
+                    if len(attr_memo) < 1 << 20:  # bound actor memory
+                        attr_memo[attrs_str] = (href, ok)
+                else:
+                    href, ok = hit
+            else:
+                attrs = parse_attrs(attrs_str)
+                href = _attr(attrs, "href")
+                ok = (
+                    href is not None
+                    and _attr(attrs, "aria-hidden") != "true"
+                    and not anchor_href_filtered(href)
+                )
+            if ok:
                 abs_url = resolver.resolve(href, base_element)
                 if abs_url is not None:
                     key = abs_url.lower()

@@ -71,6 +71,27 @@ class ParsePages:
         # frontier-only crawls (keep_pages=False refs path) skip the text
         # extraction pass — links/metadata/signature don't need it
         self.want_text = want_text
+        # per-actor resolve memos: host-level scope checks computed once per
+        # (response authority, requested host); crawl_root-based generic
+        # joins (absolute/external hrefs) memoized across pages — both
+        # page-independent by construction (see parsepage.LinkResolver)
+        self._hs_cache: dict[tuple, tuple] = {}
+        self._generic_memo: dict[tuple, str | None] = {}
+
+    def _host_state(self, url: str, host: str, sel, root):
+        i = url.find("://")
+        j = url.find("/", i + 3) if i >= 0 else -1
+        aprefix = url if j < 0 else url[:j]
+        key = (aprefix, host)
+        hs = self._hs_cache.get(key)
+        if hs is None:
+            from ..parsepage import LinkResolver
+
+            hs = LinkResolver(
+                url, root, sel, self.config.external_domains
+            ).host_state()
+            self._hs_cache[key] = hs
+        return hs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
@@ -107,6 +128,8 @@ class ParsePages:
                     cfg.full_resources,
                     want_signature=cfg.normalize,
                     want_text=self.want_text,
+                    host_state=self._host_state(url, host, sel, root),
+                    generic_memo=self._generic_memo,
                 )
                 sig = ex.signature if cfg.normalize else None
                 dest = url if requested != url else None
