@@ -304,6 +304,14 @@ def q_scrape_commonmark(sf_dir: str):
     return transform_corpus(_corpus_for(sf_dir), "commonmark")
 
 
+def q_scrape_xml(sf_dir: str):
+    """XML return-format (token-level reserialization — lowercase tags,
+    quoted attrs, escaped text, void self-close)."""
+    from spider_ray.markdown import transform_corpus
+
+    return transform_corpus(_corpus_for(sf_dir), "xml")
+
+
 def q_host_page_counts(sf_dir: str):
     import ray.data
 
@@ -1850,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_parity": q_extract_text_parity,
         "scrape_markdown": q_scrape_markdown,
         "scrape_commonmark": q_scrape_commonmark,
+        "scrape_xml": q_scrape_xml,
         "host_page_counts": q_host_page_counts,
         "host_cap": q_host_cap,
         "dsir_weights": q_dsir_weights,

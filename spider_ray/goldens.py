@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 36
+GOLDEN_VERSION = 37
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1693,6 +1693,7 @@ GOLDEN_QUERIES = (
     "host_ppr",
     "scrape_markdown",
     "scrape_commonmark",
+    "scrape_xml",
     "anchor_terms",
 )
 
@@ -1725,6 +1726,7 @@ def ensure_goldens(sf_name: str, sf_dir: str | None = None) -> str:
     tables["needs_js"] = seq_needs_js(sf_name)
     tables["scrape_markdown"] = seq_scrape_transform(sf_name, "markdown")
     tables["scrape_commonmark"] = seq_scrape_transform(sf_name, "commonmark")
+    tables["scrape_xml"] = seq_scrape_transform(sf_name, "xml")
     tables["anchor_terms"] = seq_anchor_terms(sf_name)
     tables["host_degrees"] = seq_host_degrees(lg)
     tables["host_pagerank"] = seq_host_pagerank(lg)
