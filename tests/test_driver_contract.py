@@ -84,6 +84,16 @@ def test_all_queries_run(contract):
         "events_per_day",
         "tumbling_events",
         "sessionize",
+        "small_qty_revenue",
+        "dormant_customers",
+        "top_supplier",
+        "nation_trade_volume",
+        "supplier_part_counts",
+        "latest_shipper_orders",
+        "interarrival_quantiles",
+        "event_trigrams",
+        "token_budget_trim",
+        "zipf_slope",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
