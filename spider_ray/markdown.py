@@ -47,7 +47,8 @@ from __future__ import annotations
 import html as _htmllib
 import re
 
-from .htmlparse import COMMENT, END, RAWTEXT, START, TEXT, parse_attrs, tokenize
+from .htmlparse import (COMMENT, END, RAWTEXT, START, TEXT, _RAW_CLOSE_RE,
+                        _RAW_TEXT, _TOKEN_RE, parse_attrs, tokenize)
 from .textextract import extract_text
 
 RETURN_FORMATS = ("markdown", "commonmark", "raw", "text", "xml")
@@ -206,7 +207,11 @@ class _MarkdownEmitter:
         return "".join(out)
 
 
-def _to_markdown(html: str, commonmark: bool) -> str:
+def _to_markdown_tokenized(html: str, commonmark: bool) -> str:
+    """Reference dispatcher over the ``htmlparse.tokenize`` generator —
+    the SPEC for :func:`_to_markdown` (which inlines the tokenizer the way
+    ``parse_page`` does; parity pinned by tests/test_markdown.py's
+    corpus-wide cross-check)."""
     em = _MarkdownEmitter(commonmark)
     skip_depth = 0
     for kind, tag, attrs_str, raw in tokenize(html):
@@ -331,6 +336,165 @@ def _to_markdown(html: str, commonmark: bool) -> str:
                 em.table_stack.pop()
         elif tag in _BLOCK_CONTAINERS:
             em.flush_block()
+    return em.result()
+
+
+def _to_markdown(html: str, commonmark: bool) -> str:
+    """Inlined-tokenizer markdown converter — token-for-token identical to
+    :func:`_to_markdown_tokenized` (the generator yields + tuple unpacks
+    were ~40% of the transform wall; same rework as ``parse_page``).
+
+    The synthetic END event the tokenizer emits after a raw-text span is a
+    provable no-op in this dispatcher (script/style never increment
+    ``skip_depth``; textarea/title/xmp match no END branch), so the inlined
+    loop skips it.
+    """
+    em = _MarkdownEmitter(commonmark)
+    skip_depth = 0
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            if pos < n and not skip_depth:
+                em.text(html[pos:])
+            break
+        start = m.start()
+        if start > pos and not skip_depth:
+            em.text(html[pos:start])
+        pos = m.end()
+        tag = m.group(2)
+        if tag is None:  # comment / doctype / CDATA / PI
+            continue
+        tag = tag.lower()
+        if m.group(1):
+            # ---- END dispatch ----
+            if tag in _SKIP_SUBTREE:
+                if skip_depth and tag not in ("script", "style"):
+                    skip_depth -= 1
+                continue
+            if skip_depth:
+                continue
+            if tag in _HEADINGS:
+                em.flush_heading(_HEADINGS[tag])
+            elif tag == "pre":
+                if em.pre_depth:
+                    em.pre_depth -= 1
+                    if not em.pre_depth:
+                        content = "".join(em.pre_buf).strip("\n")
+                        em.pre_buf.clear()
+                        em.blocks.append(("```\n" + content + "\n```", "para"))
+            elif tag == "blockquote":
+                em.flush_block()
+                em.quote_depth = max(0, em.quote_depth - 1)
+            elif tag in ("ul", "ol"):
+                em.flush_block()
+                if em.list_stack:
+                    em.list_stack.pop()
+            elif tag == "li":
+                em.flush_list_item()
+            elif tag == "a":
+                href = em.anchor_stack.pop() if em.anchor_stack else None
+                if href is not None:
+                    em.marker(f"]({href})")
+            elif tag in ("strong", "b"):
+                em.marker("**")
+            elif tag in ("em", "i"):
+                em.marker("*")
+            elif tag == "code" and not em.pre_depth:
+                em.marker("`")
+            elif tag in ("td", "th"):
+                if em.cells is not None:
+                    em.cells.append(em._inline_text())
+                else:
+                    em.break_line()
+            elif tag == "tr":
+                em.flush_row()
+            elif tag == "table":
+                em.flush_row()
+                em.flush_block()
+                if em.table_stack:
+                    em.table_stack.pop()
+            elif tag in _BLOCK_CONTAINERS:
+                em.flush_block()
+            continue
+        attrs_str = m.group(3) or ""
+        # ---- START dispatch ----
+        if tag in _SKIP_SUBTREE:
+            self_closing = attrs_str.rstrip().endswith("/")
+            em.flush_block()
+            if tag not in ("script", "style") and not self_closing:
+                skip_depth += 1
+        elif not skip_depth:
+            if tag in _HEADINGS:
+                em.flush_block()
+            elif tag == "pre":
+                em.flush_block()
+                em.pre_depth += 1
+            elif tag == "blockquote":
+                em.flush_block()
+                em.quote_depth += 1
+            elif tag in ("ul", "ol"):
+                em.flush_block()
+                em.list_stack.append({"type": tag, "n": 0})
+            elif tag == "li":
+                em.flush_block()
+            elif tag == "a":
+                href = None
+                if attrs_str:
+                    for k, v in parse_attrs(attrs_str):
+                        if k == "href":
+                            href = v
+                            break
+                em.anchor_stack.append(href)
+                if href is not None:
+                    em.marker("[")
+            elif tag == "img":
+                alt = src_v = None
+                if attrs_str:
+                    for k, v in parse_attrs(attrs_str):
+                        if k == "alt" and alt is None:
+                            alt = v
+                        elif k == "src" and src_v is None:
+                            src_v = v
+                em.marker(f"![{_collapse(alt or '')}]({src_v or ''})")
+            elif tag in ("strong", "b"):
+                em.marker("**")
+            elif tag in ("em", "i"):
+                em.marker("*")
+            elif tag == "code" and not em.pre_depth:
+                em.marker("`")
+            elif tag == "br":
+                em.break_line()
+            elif tag == "hr":
+                em.flush_block()
+                em.blocks.append(("---", "para"))
+            elif tag == "table":
+                em.flush_block()
+                em.table_stack.append({"emitted_header": False})
+            elif tag == "tr":
+                em.flush_row()
+                em.cells = []
+            elif tag in ("td", "th"):
+                em.break_line()
+            elif tag in _BLOCK_CONTAINERS:
+                em.flush_block()
+        # ---- raw-text span consumption (tokenizer-level, dispatcher-free) --
+        if tag in _RAW_TEXT and not attrs_str.rstrip().endswith("/"):
+            close = _RAW_CLOSE_RE.get(tag)
+            if close is None:
+                close = _RAW_CLOSE_RE[tag] = re.compile(rf"</{tag}\s*>", re.I)
+            cm = close.search(html, pos)
+            if cm is None:
+                raw = html[pos:]
+                if not skip_depth and tag == "textarea" and raw:
+                    em.text(raw)
+                break
+            raw = html[pos : cm.start()]
+            if not skip_depth and tag == "textarea" and raw:
+                em.text(raw)
+            pos = cm.end()
     return em.result()
 
 

@@ -158,3 +158,47 @@ def test_transform_html_total_and_deterministic(soup, fmt):
     a = transform_html(soup, fmt)
     b = transform_html(soup, fmt)
     assert isinstance(a, str) and a == b
+
+
+def test_inlined_converter_matches_tokenized_reference():
+    """The inlined-tokenizer converter must be byte-identical to the
+    generator-dispatcher reference on every fixture page and on the
+    raw-text / skip-subtree / unclosed-tag edge snippets."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spider_ray.encoding import decode_html
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.markdown import _to_markdown, _to_markdown_tokenized
+
+    corpus = ensure_scale("sf0.001")
+    for f in sorted(glob.glob(corpus + "/*/*.parquet")):
+        t = pq.read_table(f, columns=["html"])
+        for h in t.column("html").to_pylist():
+            if not h:
+                continue
+            s = decode_html(h)
+            for cm in (False, True):
+                assert _to_markdown(s, cm) == _to_markdown_tokenized(s, cm)
+    snippets = [
+        "<textarea>raw <b>kept</b></textarea>after",
+        "<script>var a='<b>no</b>';</script>x",
+        "<div><noscript><p>hidden</p></noscript>shown</div>",
+        "<noscript/><p>sc</p>",
+        "<title>t</title><xmp><i>x</i></xmp>tail",
+        "<pre><code>a\nb</code></pre>",
+        "<ul><li>one<ul><li>two</li></ul></li></ul>",
+        "<table><tr><th>h</th></tr><tr><td>c</td></tr></table>",
+        "<blockquote><p>q</p><blockquote>qq</blockquote></blockquote>",
+        "<a href='/x'>l</a><a>noref</a><img alt='a&amp;b' src='/i.png'>",
+        "<style>p{}</style><textarea/>selfclose",
+        "text <!-- c --> more <![CDATA[z]]> end",
+        "<script>never closed",
+        "<textarea>never closed either",
+        "<iframe><p>gone</p></iframe>back",
+        "<h2>head</h2><hr><br>",
+    ]
+    for s in snippets:
+        for cm in (False, True):
+            assert _to_markdown(s, cm) == _to_markdown_tokenized(s, cm), (s, cm)
