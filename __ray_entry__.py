@@ -1679,6 +1679,16 @@ def q_host_ppr(sf_dir: str):
     return host_ppr(_corpus_for(sf_dir))
 
 
+def q_host_cocitation(sf_dir: str):
+    """Bipartite co-occurrence projection: top-50 co-cited host pairs via
+    one groupby(dst) with a hub cap (part of the spec, applied in both
+    engines) bounding per-group pair fan-out; SQL self-join oracle over
+    the link-graph golden."""
+    from spider_ray.ops.linkgraph import host_cocitation
+
+    return host_cocitation(_corpus_for(sf_dir))
+
+
 def q_token_budget_trim(sf_dir: str):
     """Distributed ordered prefix sum (scan): per-source token-budget gate
     kept exact by (bucket totals → driver exclusive prefixes → broadcast →
@@ -1970,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_trim": q_token_budget_trim,
         "host_kcore": q_host_kcore,
         "host_ppr": q_host_ppr,
+        "host_cocitation": q_host_cocitation,
         "event_trigrams": q_event_trigrams,
         "host_reciprocity": q_host_reciprocity,
         "props_stats": q_props_stats,
@@ -2802,6 +2813,17 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT count(*) FROM e a JOIN e b "
             f"ON a.s = b.d AND a.d = b.s AND a.s < a.d)::BIGINT "
             f"AS n_bidirectional"
+        ),
+        "host_cocitation": (
+            f"WITH e AS (SELECT DISTINCT src_host AS s, dst_host AS d "
+            f"FROM read_parquet('{golden_path('sf0.01', 'link_graph')}') "
+            f"WHERE src_host <> dst_host), "
+            f"ok AS (SELECT d FROM e GROUP BY d HAVING count(*) <= 256 "
+            f"AND count(*) >= 2) "
+            f"SELECT a.s AS host_a, b.s AS host_b, count(*)::BIGINT AS shared "
+            f"FROM e a JOIN e b ON a.d = b.d AND a.s < b.s "
+            f"JOIN ok ON ok.d = a.d GROUP BY 1, 2 "
+            f"ORDER BY shared DESC, host_a ASC, host_b ASC LIMIT 50"
         ),
         "host_triangles": (
             f"WITH e0 AS (SELECT DISTINCT least(src_host, dst_host) AS x, "

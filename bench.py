@@ -876,6 +876,12 @@ def run_bench() -> dict:
     host_ppr(corpus).count()
     queries["host_ppr"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.linkgraph import host_cocitation
+
+    t0 = time.perf_counter()
+    host_cocitation(corpus).count()
+    queries["host_cocitation"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

@@ -1220,3 +1220,88 @@ def host_ppr(corpus_dir: str, damping: float = PAGERANK_DAMPING,
         )
 
     return ray.data.from_arrow(ray.get(_kernel.remote(*refs)))
+
+
+def host_cocitation(corpus_dir: str, k: int = 50, max_citers: int = 256):
+    """Top-``k`` co-cited host pairs — ``(host_a, host_b, shared)``: how
+    many distinct target hosts both sources link to, ranked
+    ``shared desc, host_a, host_b``.  The classic bipartite co-occurrence
+    projection (co-citation similarity).
+
+    Scale shape: distinct directed pairs reduce per batch, ONE
+    ``groupby(dst)`` co-locates each target's citer set, and targets with
+    more than ``max_citers`` citers are EXCLUDED (in both engines — the
+    hub cap is part of the op spec, not an approximation knob), bounding
+    per-group pair fan-out at C(max_citers, 2); pair partials then fold
+    through a slim ``(a, b) groupby`` and a per-block top-k merge.
+    Without the cap one mega-hub (every page links to it) generates
+    O(hosts²) pairs — the same failure mode as uncapped LSH buckets.
+    """
+    import numpy as np
+    import ray.data
+
+    edges = host_link_edges(corpus_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.invert(pc.equal(batch.column("src_host"), batch.column("dst_host")))
+        )
+        return (
+            pa.table({"s": t.column("src_host"), "d": t.column("dst_host")})
+            .group_by(["s", "d"]).aggregate([])
+        )
+
+    dd = (
+        edges.map_batches(directed, batch_format="pyarrow")
+        .groupby(["s", "d"])
+        .count()
+        .select_columns(["s", "d"])
+    )
+
+    def pairs_of_target(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2 or n > max_citers:
+            return pa.table({"host_a": pa.array([], pa.string()),
+                             "host_b": pa.array([], pa.string()),
+                             "shared": pa.array([], pa.int64())})
+        srcs = np.sort(group.column("s").to_numpy(zero_copy_only=False))
+        iu, iv = np.triu_indices(n, 1)
+        return pa.table(
+            {"host_a": pa.array(srcs[iu]), "host_b": pa.array(srcs[iv]),
+             "shared": pa.array(np.ones(len(iu), dtype=np.int64))}
+        )
+
+    rolled = (
+        dd.groupby("d")
+        .map_groups(pairs_of_target, batch_format="pyarrow")
+        .groupby(["host_a", "host_b"])
+        .sum("shared")
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"host_a": batch.column("host_a"), "host_b": batch.column("host_b"),
+             "shared": pc.cast(batch.column("sum(shared)"), pa.int64())}
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("shared", "descending"), ("host_a", "ascending"),
+                          ("host_b", "ascending")],
+        )
+        return t.take(idx.slice(0, min(k, len(idx))))
+
+    parts = [
+        b for b in rolled.map_batches(block_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table({"host_a": pa.array([], pa.string()),
+                      "host_b": pa.array([], pa.string()),
+                      "shared": pa.array([], pa.int64())})
+        )
+    merged = pa.concat_tables(parts)
+    idx = pc.sort_indices(
+        merged, sort_keys=[("shared", "descending"), ("host_a", "ascending"),
+                           ("host_b", "ascending")],
+    )
+    return ray.data.from_arrow(merged.take(idx.slice(0, min(k, len(idx)))))

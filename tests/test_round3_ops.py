@@ -168,3 +168,31 @@ def test_kcore_and_ppr_golden(ray_session):
     pd.testing.assert_frame_equal(got_ppr, want_ppr)
     # PPR mass sanity: total mass ≈ 1 under full teleport-to-seed
     assert abs(got_ppr["ppr"].sum() - 1.0) < 1e-6
+
+
+def test_host_cocitation_oracle(ray_session):
+    """Co-citation vs a brute-force pandas recompute at sf0.001."""
+    import pyarrow as pa
+
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.ops.linkgraph import host_cocitation, host_link_edges
+
+    corpus = ensure_scale("sf0.001")
+    got = host_cocitation(corpus).to_pandas()
+    etbl = pa.concat_tables(
+        [b for b in host_link_edges(corpus).iter_batches(
+            batch_format="pyarrow", batch_size=None) if b.num_rows]
+    ).to_pandas()
+    e = etbl[etbl.src_host != etbl.dst_host][["src_host", "dst_host"]].drop_duplicates()
+    from collections import Counter
+
+    citers = e.groupby("dst_host")["src_host"].apply(sorted)
+    c: Counter = Counter()
+    for srcs in citers:
+        if 2 <= len(srcs) <= 256:
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    c[(srcs[i], srcs[j])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got_rows = list(zip(zip(got.host_a, got.host_b), got.shared))
+    assert [(k, v) for k, v in got_rows] == [(k, v) for k, v in want]
