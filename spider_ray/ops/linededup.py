@@ -256,20 +256,19 @@ def global_line_dedup(corpus_dir: str):
             pc.is_valid(group.column("idx")),
             pc.greater_equal(group.column("idx"), 0),
         )
+        # integer keys (shard row index × 2³² + line idx) instead of the old
+        # "url\x00lpad(idx)" strings: one index_in over the winner urls
+        # replaces tens of MBs of per-line string building (urls are unique
+        # within a shard, so index_in is an exact row lookup)
         wurl = pc.cast(group.column("url").filter(wmask), pa.string())
-        widx = pc.utf8_lpad(
-            pc.cast(group.column("idx").filter(wmask), pa.string()),
-            width=10,
-            padding="0",
-        )
-        wkey = pc.binary_join_element_wise(wurl, widx, "\x00").combine_chunks()
+        widx = np.asarray(group.column("idx").filter(wmask), dtype=np.int64)
+        wrow_arr = pc.index_in(wurl, value_set=pc.cast(t.column("url"), pa.string()))
+        wrow_valid = np.asarray(pc.is_valid(wrow_arr))
+        wrow = np.asarray(wrow_arr.fill_null(0), dtype=np.int64)
+        wkey = (wrow[wrow_valid] << np.int64(32)) + widx[wrow_valid]
 
-        key = pc.binary_join_element_wise(
-            pc.cast(pc.take(t.column("url"), pa.array(parent)), pa.string()),
-            pc.utf8_lpad(pc.cast(pa.array(idx), pa.string()), width=10, padding="0"),
-            "\x00",
-        )
-        keep = np.asarray(pc.or_(pc.equal(flat, ""), pc.is_in(key, value_set=wkey)))
+        key = (parent << np.int64(32)) + idx
+        keep = np.asarray(pc.equal(flat, "")) | np.isin(key, wkey)
         kept_parent = parent[keep]
         kept_count = np.bincount(kept_parent, minlength=n)
         # rejoin kept lines per page in one vectorized group_by (polars
