@@ -55,21 +55,21 @@ def robots_audit(corpus_dir: str, concurrency=None):
     import ray
     import ray.data
 
-    pages = ray.data.read_parquet(corpus_dir, columns=["url", "html", "status"])
+    import pyarrow.dataset as pads
 
-    def robots_rows(batch: pa.Table) -> pa.Table:
-        keep = pc.ends_with(batch.column("url"), "robots.txt")
-        t = batch.filter(keep)
-        return pa.table(
-            {
-                "url": t.column("url"),
-                "html": t.column("html"),
-                "status": t.column("status"),
-            }
-        )
+    # robots rows are ~1/host: push the url predicate into the Parquet scan
+    # so the html column decompresses ONLY for matching rows — the audit
+    # pass below never reads html at all (the op was reading the full html
+    # column twice; this is a pure url/status analysis plus |hosts| bodies)
+    robots_scan = ray.data.read_parquet(
+        corpus_dir,
+        columns=["url", "html", "status"],
+        filter=pc.ends_with(pads.field("url"), pattern="robots.txt"),
+    )
+    pages = ray.data.read_parquet(corpus_dir, columns=["url", "status"])
 
     robots_by_host: dict[str, tuple[int, str | None]] = {}
-    for r in pages.map_batches(robots_rows, batch_format="pyarrow").take_all():
+    for r in robots_scan.take_all():
         host = r["url"].split("://", 1)[1].split("/", 1)[0]
         robots_by_host[host] = (r["status"], _decode(r["html"]))
     robots_ref = ray.put(robots_by_host)
