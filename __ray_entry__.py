@@ -1679,6 +1679,21 @@ def q_host_ppr(sf_dir: str):
     return host_ppr(_corpus_for(sf_dir))
 
 
+def q_daily_revenue_anomaly(sf_dir: str):
+    """Day-over-trailing-baseline anomaly: fact rows fold to per-day
+    integer partials, the trailing-window compare runs over the
+    calendar-bounded day aggregate (aggregate-then-window)."""
+    import ray.data
+
+    from spider_ray.ops.relational import daily_revenue_anomaly
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    return daily_revenue_anomaly(orders)
+
+
 def q_host_cocitation(sf_dir: str):
     """Bipartite co-occurrence projection: top-50 co-cited host pairs via
     one groupby(dst) with a hub cap (part of the spec, applied in both
@@ -1981,6 +1996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_kcore": q_host_kcore,
         "host_ppr": q_host_ppr,
         "host_cocitation": q_host_cocitation,
+        "daily_revenue_anomaly": q_daily_revenue_anomaly,
         "event_trigrams": q_event_trigrams,
         "host_reciprocity": q_host_reciprocity,
         "props_stats": q_props_stats,
@@ -2813,6 +2829,18 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT count(*) FROM e a JOIN e b "
             f"ON a.s = b.d AND a.d = b.s AND a.s < a.d)::BIGINT "
             f"AS n_bidirectional"
+        ),
+        "daily_revenue_anomaly": (
+            "WITH d AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 "
+            "AS day, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "w AS (SELECT a.day, a.cents, "
+            "(SELECT coalesce(sum(b.cents), 0) FROM d b "
+            "WHERE b.day >= a.day - 7 AND b.day < a.day) AS trail FROM d a) "
+            "SELECT (day * 86400)::BIGINT AS day_s, cents::BIGINT "
+            "AS revenue_cents, trail::BIGINT AS trailing_cents, "
+            "((cents * 10000) // trail)::BIGINT AS ratio_bp "
+            "FROM w WHERE trail > 0"
         ),
         "host_cocitation": (
             f"WITH e AS (SELECT DISTINCT src_host AS s, dst_host AS d "

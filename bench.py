@@ -882,6 +882,16 @@ def run_bench() -> dict:
     host_cocitation(corpus).count()
     queries["host_cocitation"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.relational import daily_revenue_anomaly
+
+    ord_dra = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    t0 = time.perf_counter()
+    daily_revenue_anomaly(ord_dra).count()
+    queries["daily_revenue_anomaly"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

@@ -887,3 +887,76 @@ def best_line_per_order(lineitem):
         )
 
     return rolled.map_batches(unpack, batch_format="pyarrow")
+
+
+def daily_revenue_anomaly(orders, window_days: int = 7):
+    """``(day_s, revenue_cents, trailing_cents, ratio_bp)`` per order day
+    with a strictly-prior ``window_days``-day revenue baseline — the
+    day-over-baseline anomaly readout (spike/drop detection).  Rows where
+    the trailing window is empty (the first days) are dropped;
+    ``ratio_bp`` = today × 10⁴ // trailing, integer basis points.
+
+    Scale shape: the fact table folds to per-day integer partials in one
+    combiner pass + one ``groupby(day)`` of slim rows; the trailing-window
+    comparison then runs over the DAY-level aggregate, which is bounded by
+    the calendar (≤ a few thousand rows for any corpus) — aggregate-then-
+    window is the correct distribution of every "vs trailing baseline"
+    op: the window never touches fact rows.
+    """
+    import ray.data
+
+    from .numeric import to_cents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(batch.column("o_orderdate"), pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        t = pa.table(
+            {"day": day, "cents": to_cents(batch.column("o_totalprice"))}
+        )
+        return (
+            t.group_by(["day"]).aggregate([("cents", "sum")])
+            .rename_columns(["day", "cents"])
+        )
+
+    rolled = orders.map_batches(partial, batch_format="pyarrow").groupby("day").sum(
+        "cents"
+    )
+    parts = [
+        b for b in rolled.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table({"day_s": pa.array([], pa.int64()),
+                      "revenue_cents": pa.array([], pa.int64()),
+                      "trailing_cents": pa.array([], pa.int64()),
+                      "ratio_bp": pa.array([], pa.int64())})
+        )
+    import numpy as np
+
+    tbl = pa.concat_tables(parts)
+    order = pc.sort_indices(tbl.column("day"))
+    days = np.asarray(pc.take(tbl.column("day"), order))
+    cents = np.asarray(pc.cast(pc.take(tbl.column("sum(cents)"), order), pa.int64()))
+    # dense day axis so gaps contribute zero to the trailing sum
+    lo, hi = int(days[0]), int(days[-1])
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[days - lo] = cents
+    csum = np.concatenate(([0], np.cumsum(dense)))
+    pos = days - lo
+    trail = csum[pos] - csum[np.maximum(pos - window_days, 0)]
+    keep = trail > 0
+    ratio = np.zeros(len(days), dtype=np.int64)
+    ratio[keep] = (cents[keep] * 10_000) // trail[keep]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day_s": pa.array(days[keep] * 86_400, pa.int64()),
+                "revenue_cents": pa.array(cents[keep], pa.int64()),
+                "trailing_cents": pa.array(trail[keep], pa.int64()),
+                "ratio_bp": pa.array(ratio[keep], pa.int64()),
+            }
+        )
+    )

@@ -72,3 +72,11 @@ def test_tpch2_oracle_match(contract, con, name):
     sql_df = _canon(con.sql(oracles[name]).df())
     assert len(ray_df) == len(sql_df), (name, len(ray_df), len(sql_df))
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=True)
+
+
+def test_daily_revenue_anomaly_oracle(contract, con):
+    queries, oracles = contract
+    ray_df = _canon(_to_pandas(queries["daily_revenue_anomaly"](SF_DIR)))
+    sql_df = _canon(con.sql(oracles["daily_revenue_anomaly"]).df())
+    assert len(ray_df) == len(sql_df)
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=True)
