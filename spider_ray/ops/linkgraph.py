@@ -177,8 +177,15 @@ def host_link_edges(corpus_dir: str, concurrency: int | None = None,
     import ray
 
     cacheable = use_cache and concurrency is None
-    if cacheable and corpus_dir in _EDGE_CACHE:
-        return _EDGE_CACHE[corpus_dir]
+    # key by (ray job, corpus): a ray.shutdown()+init() in the same process
+    # would otherwise serve object refs from the dead session
+    try:
+        job = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job = None
+    ck = (job, corpus_dir)
+    if cacheable and ck in _EDGE_CACHE:
+        return _EDGE_CACHE[ck]
 
     ds = ray.data.read_parquet(corpus_dir, columns=["url", "html", "status"])
     # autoscale the parse pool with the cluster: the full-corpus parse is the
@@ -202,7 +209,7 @@ def host_link_edges(corpus_dir: str, concurrency: int | None = None,
     )
     if cacheable:
         out = out.materialize()
-        _EDGE_CACHE[corpus_dir] = out
+        _EDGE_CACHE[ck] = out
     return out
 
 
