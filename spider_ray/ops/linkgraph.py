@@ -1265,22 +1265,65 @@ def host_cocitation(corpus_dir: str, k: int = 50, max_citers: int = 256):
         .select_columns(["s", "d"])
     )
 
-    def pairs_of_target(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2 or n > max_citers:
+    def tag_part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = batch.column("d")
+        h = pl.from_arrow(
+            d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        ).hash(seed=0x5EED_0021).reinterpret(signed=True).to_arrow()
+        from .behavior import coarse_part
+
+        return batch.append_column(
+            "part", coarse_part(h.cast(pa.int64()))
+        )
+
+    def pairs_of_partition(group: pa.Table) -> pa.Table:
+        # ONE Ray group per coarse partition (64 total), NOT per dst —
+        # per-dst groups are the millions-of-tiny-Python-calls anti-pattern
+        # at web scale.  Inside: one Arrow sort by (d, s), run-length
+        # segments, per-segment pair generation (bounded by the hub cap).
+        idx = pc.sort_indices(
+            group, sort_keys=[("d", "ascending"), ("s", "ascending")]
+        )
+        g = group.take(idx)
+        ds_ = g.column("d").to_numpy(zero_copy_only=False)
+        ss = g.column("s").to_numpy(zero_copy_only=False)
+        m = len(ds_)
+        if m < 2:
             return pa.table({"host_a": pa.array([], pa.string()),
                              "host_b": pa.array([], pa.string()),
                              "shared": pa.array([], pa.int64())})
-        srcs = np.sort(group.column("s").to_numpy(zero_copy_only=False))
-        iu, iv = np.triu_indices(n, 1)
-        return pa.table(
-            {"host_a": pa.array(srcs[iu]), "host_b": pa.array(srcs[iv]),
-             "shared": pa.array(np.ones(len(iu), dtype=np.int64))}
+        starts = np.flatnonzero(np.concatenate(([True], ds_[1:] != ds_[:-1])))
+        lens = np.diff(np.append(starts, m))
+        out_a, out_b = [], []
+        for st, ln in zip(starts, lens):
+            if ln < 2 or ln > max_citers:
+                continue
+            seg = ss[st : st + ln]  # already sorted ascending
+            iu, iv = np.triu_indices(ln, 1)
+            out_a.append(seg[iu])
+            out_b.append(seg[iv])
+        if not out_a:
+            return pa.table({"host_a": pa.array([], pa.string()),
+                             "host_b": pa.array([], pa.string()),
+                             "shared": pa.array([], pa.int64())})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        t = pa.table(
+            {"host_a": pa.array(a), "host_b": pa.array(b),
+             "shared": pa.array(np.ones(len(a), dtype=np.int64))}
+        )
+        # in-partition combiner before the slim pair shuffle
+        return (
+            t.group_by(["host_a", "host_b"]).aggregate([("shared", "sum")])
+            .rename_columns(["host_a", "host_b", "shared"])
         )
 
     rolled = (
-        dd.groupby("d")
-        .map_groups(pairs_of_target, batch_format="pyarrow")
+        dd.map_batches(tag_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_of_partition, batch_format="pyarrow")
         .groupby(["host_a", "host_b"])
         .sum("shared")
     )
