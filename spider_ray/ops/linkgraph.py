@@ -976,20 +976,46 @@ def host_triangles_cogroup(corpus_dir: str):
         .map_groups(join_deg2, batch_format="pyarrow")
     ).materialize()
 
+    def tag_src_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column("part", _str_part(batch.column("src")))
+
     def wedges(group: pa.Table) -> pa.Table:
-        # group = all out-edges of one src; order neighbors by (deg, host)
+        # ONE Ray group per coarse partition — per-src groups would be the
+        # tiny-Python-calls anti-pattern at 10⁸ sources.  Inside: one sort
+        # by (src, orientation rank of dst), run-length segments, per-
+        # segment ordered pairs (bounded by the √m out-degree).
         idx = pc.sort_indices(
-            group, sort_keys=[("ddeg", "ascending"), ("dst", "ascending")]
+            group, sort_keys=[("src", "ascending"), ("ddeg", "ascending"),
+                              ("dst", "ascending")],
         )
-        nb = group.take(idx).column("dst").to_numpy(zero_copy_only=False)
-        k = len(nb)
-        if k < 2:
+        g = group.take(idx)
+        srcs = g.column("src").to_numpy(zero_copy_only=False)
+        nbs = g.column("dst").to_numpy(zero_copy_only=False)
+        m = len(srcs)
+        if m < 2:
             return pa.table({"u": pa.array([], pa.string()),
                              "v": pa.array([], pa.string())})
-        iu, iv = np.triu_indices(k, 1)
-        return pa.table({"u": pa.array(nb[iu]), "v": pa.array(nb[iv])})
+        starts = np.flatnonzero(np.concatenate(([True], srcs[1:] != srcs[:-1])))
+        lens = np.diff(np.append(starts, m))
+        out_u, out_v = [], []
+        for st, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            nb = nbs[st : st + ln]  # already in orientation order
+            iu, iv = np.triu_indices(ln, 1)
+            out_u.append(nb[iu])
+            out_v.append(nb[iv])
+        if not out_u:
+            return pa.table({"u": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string())})
+        return pa.table({"u": pa.array(np.concatenate(out_u)),
+                         "v": pa.array(np.concatenate(out_v))})
 
-    wedge_ds = oriented.groupby("src").map_groups(wedges, batch_format="pyarrow")
+    wedge_ds = (
+        oriented.map_batches(tag_src_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
 
     def tag_wedge(batch: pa.Table) -> pa.Table:
         return pa.table(
