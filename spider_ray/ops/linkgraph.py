@@ -188,14 +188,17 @@ def host_link_edges(corpus_dir: str, concurrency: int | None = None,
         return _EDGE_CACHE[ck]
 
     ds = ray.data.read_parquet(corpus_dir, columns=["url", "html", "status"])
-    # autoscale the parse pool with the cluster: the full-corpus parse is the
-    # dominant cost, a fixed small cap would bottleneck large sessions
-    max_actors = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    edges = ds.map_batches(
-        EdgeExtractor,
-        batch_format="pyarrow",
-        concurrency=concurrency or (2, max_actors),
+    # FIXED fractional pool sized to the cluster: the parse is the dominant
+    # cost and the autoscaler's ramp-up dominates short jobs (13.2 s ->
+    # 7.8 s at sf0.1/32 with concurrency=CPUs, num_cpus=0.5)
+    from ..poolsize import fixed_pool
+
+    kwargs = (
+        {"concurrency": concurrency}
+        if concurrency is not None
+        else {"concurrency": fixed_pool(), "num_cpus": 0.5}
     )
+    edges = ds.map_batches(EdgeExtractor, batch_format="pyarrow", **kwargs)
     agg = edges.groupby(["src_host", "dst_host"]).sum("n_links")
     out = agg.map_batches(
         lambda b: pa.table(
@@ -677,11 +680,14 @@ def top_backlinks(corpus_dir: str, k: int = 100, concurrency=None):
                 "part", pc.bit_wise_and(pc.cast(part, pa.int64()), 255)
             )
 
-    partials = ds.map_batches(
-        PartedExtractor,
-        batch_format="pyarrow",
-        concurrency=concurrency or (2, max_actors),
+    from ..poolsize import fixed_pool
+
+    bl_kwargs = (
+        {"concurrency": concurrency}
+        if concurrency is not None
+        else {"concurrency": fixed_pool(), "num_cpus": 0.5}
     )
+    partials = ds.map_batches(PartedExtractor, batch_format="pyarrow", **bl_kwargs)
 
     def part_topk(group: pa.Table) -> pa.Table:
         agg = (
