@@ -2789,7 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_budget_trim": (
             r"WITH t AS (SELECT doc_id, source, "
-            r"length(regexp_extract_all(text, '\S+'))::BIGINT AS tok "
+            r"length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS tok "
             r"FROM documents), "
             "c AS (SELECT doc_id, source, tok, sum(tok) OVER "
             "(PARTITION BY source ORDER BY doc_id) AS cum FROM t) "

@@ -92,8 +92,11 @@ class EdgeExtractor:
     def _src_state(self, url: str):
         host, port = url_host_port(url)
         key = f"{host}:{port}" if port is not None else host
-        ck = url[: url.find("://") + 3] + key  # scheme-aware cache key —
-        # host_state's scope checks depend on the page scheme too
+        # scheme-aware cache key — host_state's scope checks depend on the
+        # page scheme too; schemeless URLs get a sentinel prefix so they
+        # can't collide with any real scheme's entry
+        sep = url.find("://")
+        ck = (url[: sep + 3] if sep >= 0 else "\x00noscheme\x00") + key
         st = self._sel_cache.get(ck)
         if st is None:
             sel = get_page_selectors(url, False, False)

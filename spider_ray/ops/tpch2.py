@@ -40,10 +40,6 @@ import pyarrow.compute as pc
 from .numeric import to_cents
 
 
-def _one(v) -> pa.Table:  # pragma: no cover - trivial
-    return v
-
-
 # ---------------------------------------------------------------------------
 # Q17 — small-quantity revenue (correlated per-part average)
 # ---------------------------------------------------------------------------
@@ -478,8 +474,20 @@ def dormant_customers(customer, orders, cutoff: str = "2000-01-01"):
             ),
             batch_format="pyarrow",
         )
-        .take_all()  # exactly one tiny row
+        .take_all()  # exactly one tiny row (zero when customer is empty)
     )
+    if not stats:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_custs": pa.array([], pa.int64()),
+                    "total_acctbal_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
     sum_cents, n_pos = int(stats[0]["s"]), int(stats[0]["n"])
 
     def recent_ids(batch: pa.Table) -> pa.Table:

@@ -430,7 +430,10 @@ class LinkResolver:
             if key in memo:
                 return memo[key]
             out = push_link(base, h, self.selectors, self.external_domains)
-            if len(memo) < 1 << 20:  # bound actor memory
+            # bound actor memory: entry count AND key bytes (hostile pages
+            # with many unique multi-KB hrefs would otherwise grow the memo
+            # to GBs before the count cap engages)
+            if len(memo) < 1 << 20 and len(h) <= 4096:
                 memo[key] = out
             return out
         return push_link(base, h, self.selectors, self.external_domains)
@@ -511,7 +514,9 @@ def extract_links_only(
                         and _attr(attrs, "aria-hidden") != "true"
                         and not anchor_href_filtered(href)
                     )
-                    if len(attr_memo) < 1 << 20:  # bound actor memory
+                    # bound actor memory: entry count AND key bytes (skip
+                    # memoizing pathological multi-KB attr strings)
+                    if len(attr_memo) < 1 << 20 and len(attrs_str) <= 4096:
                         attr_memo[attrs_str] = (href, ok)
                 else:
                     href, ok = hit

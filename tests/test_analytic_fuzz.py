@@ -78,7 +78,7 @@ def test_fuzz_token_budget_trim(ray_session, con, trial):
     got = _canon(token_budget_trim(docs, budget_tokens=budget).to_pandas())
     want = _canon(con.sql(rf"""
         WITH t AS (SELECT doc_id, source,
-            length(regexp_extract_all(text, '\S+'))::BIGINT AS tok
+            length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS tok
             FROM documents),
         c AS (SELECT doc_id, source, tok, sum(tok) OVER
             (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
