@@ -96,6 +96,10 @@ def anchor_text_terms(corpus_dir: str, k: int = 10):
     import pyarrow.compute as pc
     import ray.data
 
+    from ..poolsize import coarse_fanout
+
+    part_mask = coarse_fanout(floor=256, per_cpu=8) - 1  # driver-resolved
+
     def partials(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
         for u, h in zip(batch.column("url").to_pylist(), batch.column("html").to_pylist()):
@@ -112,7 +116,8 @@ def anchor_text_terms(corpus_dir: str, k: int = 10):
                 }
             )
         targets, terms = zip(*counts.keys())
-        parts = [zlib.crc32(t.encode("utf-8", "replace")) & 255 for t in targets]
+        parts = [zlib.crc32(t.encode("utf-8", "replace")) & part_mask
+                 for t in targets]
         return pa.table(
             {
                 "target": pa.array(targets, pa.string()),

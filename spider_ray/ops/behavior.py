@@ -24,13 +24,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _KNUTH = 2654435761
-_NPARTS = 64  # coarse partitions; each fold is one C++ group_by
+_NPARTS = 64  # fallback coarse-partition count (see poolsize.coarse_fanout)
 
 
 def coarse_part(key_col: pa.ChunkedArray | pa.Array, nparts: int = _NPARTS) -> pa.Array:
     """Deterministic coarse partition id from an int64 key (wrapping
     multiply is intentional — this is a scatter key, not a value).
-    Shared by every coarse-hash-aggregate op in the package."""
+    Shared by every coarse-hash-aggregate op in the package.  Callers pass
+    ``nparts = poolsize.coarse_fanout()`` resolved ON THE DRIVER so every
+    task of a shuffle agrees on the partition count."""
     mixed = pc.multiply(pc.cast(key_col, pa.int64()), pa.scalar(_KNUTH, pa.int64()))
     return pc.bit_wise_and(pc.shift_right(mixed, pa.scalar(17, pa.int64())),
                            pa.scalar(nparts - 1, pa.int64()))
@@ -61,8 +63,11 @@ def funnel_counts(events, stages=_FUNNEL_STAGES, window_s: int = 86400):
     per-partition vectorized chain of ``group_by(min)`` + hash join +
     filter — three Arrow kernels per partition, no per-user Python.
     """
+    from ..poolsize import coarse_fanout
+
     stages = tuple(stages)
     window_us = int(window_s) * 1_000_000
+    nparts = coarse_fanout()
 
     stage_set = pa.array(stages)
 
@@ -80,7 +85,7 @@ def funnel_counts(events, stages=_FUNNEL_STAGES, window_s: int = 86400):
                 "ts_us": pc.cast(t.column("ts"), pa.int64()),
             }
         )
-        return out.append_column("part", _part_of(out.column("user_id")))
+        return out.append_column("part", _part_of(out.column("user_id"), nparts))
 
     def fold_partition(group: pa.Table) -> pa.Table:
         # stage 0: first t0 per user
@@ -164,6 +169,9 @@ def retention_cohorts(events):
     coarse shuffle by user hash, then per partition: global re-dedup, min
     day per user, one hash join, one group count — all Arrow kernels.
     """
+    from ..poolsize import coarse_fanout
+
+    nparts = coarse_fanout()
 
     def slim(batch: pa.Table) -> pa.Table:
         days = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
@@ -175,7 +183,7 @@ def retention_cohorts(events):
             t.group_by(["user_id", "day"])
             .aggregate([])  # distinct (user, day) within the batch
         )
-        return t.append_column("part", _part_of(t.column("user_id")))
+        return t.append_column("part", _part_of(t.column("user_id"), nparts))
 
     def fold_partition(group: pa.Table) -> pa.Table:
         t = group.select(["user_id", "day"]).group_by(["user_id", "day"]).aggregate([])
@@ -232,6 +240,9 @@ def event_transitions(events):
     library.  The shuffle payload is 4 slim columns; type strings
     dictionary-encode in flight.
     """
+    from ..poolsize import coarse_fanout
+
+    nparts = coarse_fanout()
 
     def slim(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -242,7 +253,7 @@ def event_transitions(events):
                 "event_type": batch.column("event_type"),
             }
         )
-        return t.append_column("part", coarse_part(t.column("user_id")))
+        return t.append_column("part", coarse_part(t.column("user_id"), nparts))
 
     def fold_partition(group: pa.Table) -> pa.Table:
         t = group.sort_by(
@@ -310,7 +321,10 @@ def rolling_active_users(events, window_days: int = 7):
     own are dropped in the final fold (matching the SQL oracle's "days
     present in the data" frame).
     """
+    from ..poolsize import coarse_fanout
+
     span = int(window_days)
+    nparts = coarse_fanout()
 
     def slim(batch: pa.Table) -> pa.Table:
         days = pc.divide(pc.cast(batch.column("ts"), pa.int64()),
@@ -319,7 +333,7 @@ def rolling_active_users(events, window_days: int = 7):
             {"user_id": pc.cast(batch.column("user_id"), pa.int64()), "day": days}
         )
         t = t.group_by(["user_id", "day"]).aggregate([])
-        return t.append_column("part", coarse_part(t.column("user_id")))
+        return t.append_column("part", coarse_part(t.column("user_id"), nparts))
 
     def fold_partition(group: pa.Table) -> pa.Table:
         t = group.select(["user_id", "day"]).group_by(["user_id", "day"]).aggregate([])
@@ -540,6 +554,9 @@ def event_trigrams(events, k: int = 20):
     sort/boundary-mask shape as :func:`event_transitions` (which counts
     bigrams); only ``(trigram, n)`` partials leave each partition, and the
     final sort+limit runs over the ≤|event_types|³ aggregate."""
+    from ..poolsize import coarse_fanout
+
+    nparts = coarse_fanout()
 
     def slim(batch: pa.Table) -> pa.Table:
         uid = pc.cast(batch.column("user_id"), pa.int64())
@@ -549,7 +566,7 @@ def event_trigrams(events, k: int = 20):
                 "ts_us": pc.cast(batch.column("ts"), pa.int64()),
                 "event_id": pc.cast(batch.column("event_id"), pa.int64()),
                 "event_type": batch.column("event_type"),
-                "part": coarse_part(uid),
+                "part": coarse_part(uid, nparts),
             }
         )
 

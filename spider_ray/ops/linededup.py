@@ -181,6 +181,10 @@ def global_line_dedup(corpus_dir: str):
         )
     files_ref = ray.put(files)  # O(shards) path list, shipped once
 
+    from ..poolsize import coarse_fanout
+
+    part_mask = coarse_fanout(floor=256, per_cpu=8) - 1  # driver-resolved
+
     def explode_shard(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
@@ -198,13 +202,15 @@ def global_line_dedup(corpus_dir: str):
             out.append(
                 rows.append_column(
                     "part",
-                    pc.bit_wise_and(rows.column("h1"), pa.scalar(255, pa.int64())),
+                    pc.bit_wise_and(rows.column("h1"),
+                                    pa.scalar(part_mask, pa.int64())),
                 )
             )
         return pa.concat_tables(out)
 
     def part_winners(group: pa.Table) -> pa.Table:
-        # one call per hash partition (256 total): the cross-shard min is a
+        # one call per hash partition (coarse_fanout total): the
+        # cross-shard min is a
         # C++ group_by over the partition, never per-line Python.  Ray's
         # native groupby(h1, h2).min on the same input measured 349 s at
         # sf0.1 (37.6M rows); this coarse manual hash-aggregate does the

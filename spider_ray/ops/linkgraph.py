@@ -667,8 +667,11 @@ def top_backlinks(corpus_dir: str, k: int = 100, concurrency=None):
     import ray
     import ray.data
 
+    from ..poolsize import coarse_fanout
+
     ds = ray.data.read_parquet(corpus_dir, columns=["url", "html", "status"])
     max_actors = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    part_mask = coarse_fanout(floor=256, per_cpu=8) - 1  # driver-resolved
 
     class PartedExtractor(BacklinkExtractor):
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -680,7 +683,7 @@ def top_backlinks(corpus_dir: str, k: int = 100, concurrency=None):
                 .to_arrow()
             )
             return t.append_column(
-                "part", pc.bit_wise_and(pc.cast(part, pa.int64()), 255)
+                "part", pc.bit_wise_and(pc.cast(part, pa.int64()), part_mask)
             )
 
     from ..poolsize import fixed_pool
@@ -847,7 +850,10 @@ def host_triangles_cogroup(corpus_dir: str):
     import numpy as np
     import ray.data
 
+    from ..poolsize import coarse_fanout
     from .behavior import coarse_part
+
+    nparts = coarse_fanout()
 
     def _str_part(col) -> pa.Array:
         """Coarse partition id for a STRING key: polars' vectorized 64-bit
@@ -858,7 +864,7 @@ def host_triangles_cogroup(corpus_dir: str):
             col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         )
         h = s.hash(seed=0x5EED_0011).reinterpret(signed=True).to_arrow()
-        return coarse_part(h.cast(pa.int64()))
+        return coarse_part(h.cast(pa.int64()), nparts)
 
     edges = host_link_edges(corpus_dir)
 
@@ -1282,6 +1288,9 @@ def host_cocitation(corpus_dir: str, k: int = 50, max_citers: int = 256):
     import numpy as np
     import ray.data
 
+    from ..poolsize import coarse_fanout
+
+    nparts = coarse_fanout()
     edges = host_link_edges(corpus_dir)
 
     def directed(batch: pa.Table) -> pa.Table:
@@ -1310,7 +1319,7 @@ def host_cocitation(corpus_dir: str, k: int = 50, max_citers: int = 256):
         from .behavior import coarse_part
 
         return batch.append_column(
-            "part", coarse_part(h.cast(pa.int64()))
+            "part", coarse_part(h.cast(pa.int64()), nparts)
         )
 
     def pairs_of_partition(group: pa.Table) -> pa.Table:

@@ -551,7 +551,10 @@ def customer_order_distribution(customer, orders):
     it crashes on empty hash partitions (Ray 2.49) and would shuffle wide
     rows; here nothing wider than 17 bytes moves.
     """
+    from ..poolsize import coarse_fanout
     from .behavior import coarse_part
+
+    nparts = coarse_fanout()
 
     def cust_slim(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -561,7 +564,7 @@ def customer_order_distribution(customer, orders):
                 "tag": pa.nulls(batch.num_rows, pa.int8()).fill_null(1),
             }
         )
-        return t.append_column("part", coarse_part(t.column("custkey")))
+        return t.append_column("part", coarse_part(t.column("custkey"), nparts))
 
     def order_partials(batch: pa.Table) -> pa.Table:
         c = (
@@ -571,7 +574,7 @@ def customer_order_distribution(customer, orders):
             .rename_columns(["custkey", "n"])
         )
         t = c.append_column("tag", pa.nulls(c.num_rows, pa.int8()).fill_null(0))
-        return t.append_column("part", coarse_part(t.column("custkey")))
+        return t.append_column("part", coarse_part(t.column("custkey"), nparts))
 
     def fold_partition(group: pa.Table) -> pa.Table:
         custs = (

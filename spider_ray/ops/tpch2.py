@@ -286,7 +286,10 @@ def top_returned_customers(lineitem, orders, cust_dims: pa.Table, k: int = 20,
     """
     from datetime import datetime, timezone
 
+    from ..poolsize import coarse_fanout
     from .behavior import coarse_part
+
+    nparts = coarse_fanout()
 
     def _us(s: str) -> int:
         return int(
@@ -317,7 +320,7 @@ def top_returned_customers(lineitem, orders, cust_dims: pa.Table, k: int = 20,
                 "okey": t.column("okey"),
                 "ckey": pa.nulls(len(t), pa.int64()),
                 "rev": t.column("rev"),
-                "part": coarse_part(t.column("okey")),
+                "part": coarse_part(t.column("okey"), nparts),
             }
         )
 
@@ -333,7 +336,7 @@ def top_returned_customers(lineitem, orders, cust_dims: pa.Table, k: int = 20,
                 "okey": okey,
                 "ckey": pc.cast(hit.column("o_custkey"), pa.int64()),
                 "rev": pa.nulls(len(hit), pa.int64()),
-                "part": coarse_part(okey),
+                "part": coarse_part(okey, nparts),
             }
         )
 
@@ -673,7 +676,10 @@ def nation_trade_volume(lineitem, orders, customer, supp_nations: pa.Table):
     """
     import ray
 
+    from ..poolsize import coarse_fanout
     from .behavior import coarse_part
+
+    nparts = coarse_fanout()
 
     supp_ref = ray.put(supp_nations)
 
@@ -683,14 +689,14 @@ def nation_trade_volume(lineitem, orders, customer, supp_nations: pa.Table):
         return pa.table(
             {"okey": okey, "ckey": ckey,
              "nat": pa.nulls(len(batch), pa.string()),
-             "part": coarse_part(ckey)}
+             "part": coarse_part(ckey, nparts)}
         )
 
     def cust_slim(batch: pa.Table) -> pa.Table:
         ckey = pc.cast(batch.column("c_custkey"), pa.int64())
         return pa.table(
             {"okey": pa.nulls(len(batch), pa.int64()), "ckey": ckey,
-             "nat": batch.column("n_name"), "part": coarse_part(ckey)}
+             "nat": batch.column("n_name"), "part": coarse_part(ckey, nparts)}
         )
 
     def cust_fold(group: pa.Table) -> pa.Table:
@@ -703,7 +709,7 @@ def nation_trade_volume(lineitem, orders, customer, supp_nations: pa.Table):
         okey = j.column("okey")
         return pa.table(
             {"okey": okey, "cust_nation": j.column("cust_nation"),
-             "part": coarse_part(okey)}
+             "part": coarse_part(okey, nparts)}
         )
 
     order_nation = (
@@ -744,7 +750,7 @@ def nation_trade_volume(lineitem, orders, customer, supp_nations: pa.Table):
                     "cust_nation": pa.nulls(len(j), pa.string()),
                     "ship_year": j.column("ship_year"),
                     "rev": j.column("rev"),
-                    "part": coarse_part(j.column("okey")),
+                    "part": coarse_part(j.column("okey"), nparts),
                 }
             )
 
@@ -982,7 +988,10 @@ def supplier_part_counts(lineitem, part_class: pa.Table,
     """
     import ray
 
+    from ..poolsize import coarse_fanout
     from .behavior import coarse_part
+
+    nparts = coarse_fanout()
 
     class_ref = ray.put(part_class)
     excl_ref = ray.put(excluded_suppliers)
@@ -1006,7 +1015,7 @@ def supplier_part_counts(lineitem, part_class: pa.Table,
             j = (
                 j.group_by(["p_brand", "size_band", "s_suppkey"]).aggregate([])
             )
-            return j.append_column("part", coarse_part(j.column("s_suppkey")))
+            return j.append_column("part", coarse_part(j.column("s_suppkey"), nparts))
 
     def part_fold(group: pa.Table) -> pa.Table:
         d = group.group_by(["p_brand", "size_band", "s_suppkey"]).aggregate([])
@@ -1102,7 +1111,10 @@ def latest_shipper_orders(lineitem, supplier_names_tbl: pa.Table):
     import numpy as np
     import ray
 
+    from ..poolsize import coarse_fanout
     from .behavior import coarse_part
+
+    nparts = coarse_fanout()
 
     def slim(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -1116,7 +1128,7 @@ def latest_shipper_orders(lineitem, supplier_names_tbl: pa.Table):
             t.group_by(["okey", "supp"]).aggregate([("ship", "max")])
             .rename_columns(["okey", "supp", "ship"])
         )
-        return t.append_column("part", coarse_part(t.column("okey")))
+        return t.append_column("part", coarse_part(t.column("okey"), nparts))
 
     def fold(group: pa.Table) -> pa.Table:
         g = (

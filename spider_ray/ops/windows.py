@@ -395,8 +395,11 @@ def interarrival_quantiles(events, qs=(0.5, 0.9), q_names=("p50", "p90")):
     (`corpusstats.group_quantiles` contract: value at 1-based rank
     ``ceil(q*n)``), so the wide shuffle carries only gap histograms.
     """
+    from ..poolsize import coarse_fanout
     from .behavior import coarse_part
     from .corpusstats import group_quantiles
+
+    nparts = coarse_fanout()
 
     def slim(batch: pa.Table) -> pa.Table:
         ts = pc.cast(batch.column("ts"), pa.int64())
@@ -408,7 +411,7 @@ def interarrival_quantiles(events, qs=(0.5, 0.9), q_names=("p50", "p90")):
                 "event_id": pc.cast(batch.column("event_id"), pa.int64()),
             }
         )
-        return t.append_column("part", coarse_part(t.column("user_id")))
+        return t.append_column("part", coarse_part(t.column("user_id"), nparts))
 
     def gaps(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
