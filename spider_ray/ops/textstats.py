@@ -162,8 +162,126 @@ class Fingerprinter:
 # ---------------------------------------------------------------------------
 
 
+def _round_half_away(x: float) -> int:
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _docpart_fold(partials, dparts: int, value_cols: tuple[str, ...]):
+    """Coarse-partitioned per-doc sum fold shared by the logprob cogroup
+    paths: slim ``(doc_id, *value_cols, dpart)`` partials co-locate per
+    doc and collapse through one C++ ``group_by`` per partition."""
+
+    def fold(group: pa.Table) -> pa.Table:
+        agg = (
+            group.select(["doc_id", *value_cols])
+            .group_by(["doc_id"])
+            .aggregate([(c, "sum") for c in value_cols])
+            .rename_columns(["doc_id", *value_cols])
+        )
+        return agg
+
+    return partials.groupby("dpart").map_groups(fold, batch_format="pyarrow")
+
+
+def _unigram_cogroup(ds, text_column: str, id_column: str):
+    """Term-hash-partitioned unigram scoring (O(1) driver state): docs
+    explode to ``(doc_id, term, in-doc count)``, the corpus total folds as
+    one distributed scalar, one shuffle keyed by ``hash(term)`` computes
+    each term's EXACT global count locally and scores its rows, and a
+    second slim shuffle sums per-doc partials.  Identical values to the
+    broadcast path: the partition maps DISTINCT counts through the same
+    scalar ``math.log`` formula."""
+    import math
+
+    import numpy as np
+
+    from ..poolsize import coarse_fanout
+    from .behavior import coarse_part
+    from .tfidf import term_hash_parts
+
+    tparts = coarse_fanout(floor=256, per_cpu=8)
+    dparts = coarse_fanout()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, terms, ns = [], [], []
+        for doc_id, t in zip(
+            batch.column(id_column).to_pylist(),
+            batch.column(text_column).to_pylist(),
+        ):
+            c = Counter(tok.lower() for tok in _TOKEN_RE.findall(t or ""))
+            ids.extend([doc_id] * len(c))
+            terms.extend(c.keys())
+            ns.extend(c.values())
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+        return t.append_column("tpart", term_hash_parts(t.column("term"), tparts))
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    total = int(exploded.sum("n") or 0)
+
+    def score_partition(group: pa.Table) -> pa.Table:
+        t = group.select(["doc_id", "term", "n"])
+        enc = pa.compute.dictionary_encode(t.column("term").combine_chunks())
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        n_v = t.column("n").to_numpy(zero_copy_only=False)
+        cnt = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(cnt, codes, n_v)  # exact int64 global count per term
+        c_v = cnt[codes]
+        uniq, inv = np.unique(c_v, return_inverse=True)
+        lp_u = np.array(
+            [_round_half_away(math.log(int(c) / total) * 1e6) for c in uniq],
+            dtype=np.int64,
+        )
+        contrib = n_v * lp_u[inv]
+        agg = (
+            pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_tokens": t.column("n"),
+                    "sum_logp_x1e6": pa.array(contrib, pa.int64()),
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("n_tokens", "sum"), ("sum_logp_x1e6", "sum")])
+            .rename_columns(["doc_id", "n_tokens", "sum_logp_x1e6"])
+        )
+        return agg.append_column("dpart", coarse_part(agg.column("doc_id"), dparts))
+
+    partials = exploded.groupby("tpart").map_groups(
+        score_partition, batch_format="pyarrow"
+    )
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.cast(batch.column(id_column), pa.int64())
+        t = pa.table(
+            {
+                "doc_id": ids,
+                "n_tokens": pa.nulls(len(batch), pa.int64()).fill_null(0),
+                "sum_logp_x1e6": pa.nulls(len(batch), pa.int64()).fill_null(0),
+            }
+        )
+        return t.append_column("dpart", coarse_part(t.column("doc_id"), dparts))
+
+    zero_rows = ds.select_columns([id_column]).map_batches(
+        anchors, batch_format="pyarrow"
+    )
+    return _docpart_fold(
+        partials.union(zero_rows), dparts, ("n_tokens", "sum_logp_x1e6")
+    )
+
+
 def unigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
-                    concurrency: int = 4):
+                    concurrency: int = 4, mode: str = "auto",
+                    broadcast_max_terms: int = 2_000_000):
     """Per-doc unigram log-probability — the standard perplexity-proxy
     quality score (CCNet/RefinedWeb filter on LM perplexity, reduced to the
     order-0 model so the oracle is exact SQL).
@@ -173,17 +291,26 @@ def unigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
     ``lp(term) = round(ln(c / N) * 1e6)`` (half away from zero, int64);
     a doc's score is the int64 sum of its tokens' ``lp``.
 
-    Shape: one ``map_batches`` emits per-batch partial term counts, a
-    ``groupby(term)`` folds them, and the scoring pass broadcasts ONLY the
-    repeated terms (count >= 2): a lookup miss is exactly count 1 with
-    ``lp = round(ln(1/N) * 1e6)`` — the same hapax-elision trick as
-    ``tfidf.py``, so the broadcast dict is bounded by the repeated-term
-    vocabulary, not the corpus vocabulary.
+    ``mode="broadcast"``: one ``map_batches`` emits per-batch partial term
+    counts, a ``groupby(term)`` folds them, and the scoring pass
+    broadcasts ONLY the repeated terms (count >= 2): a lookup miss is
+    exactly count 1 with ``lp = round(ln(1/N) * 1e6)`` — the same
+    hapax-elision trick as ``tfidf.py``, so the broadcast dict is bounded
+    by the repeated-term vocabulary, not the corpus vocabulary.
+
+    ``mode="cogroup"``: the 100-TB path — the repeated vocabulary of a
+    web corpus is still ~10⁸-10⁹ terms, a multi-GB driver dict; the
+    term-hash-partitioned scorer (:func:`_unigram_cogroup`) keeps the
+    driver at O(1).  ``mode="auto"`` counts the repeated vocabulary
+    distributedly and picks.  Identical int64 results in every mode.
     """
     import math
 
     import ray
     import pyarrow.compute as pc
+
+    if mode == "cogroup":
+        return _unigram_cogroup(ds, text_column, id_column)
 
     def term_partials(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -204,6 +331,14 @@ def unigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
         .sum("n")
         .materialize()
     )
+    if mode == "auto":
+        n_repeated = counts.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("sum(n)"), 2))
+            if "sum(n)" in b.column_names else b.slice(0, 0),
+            batch_format="pyarrow",
+        ).count()
+        if n_repeated > broadcast_max_terms:
+            return _unigram_cogroup(ds, text_column, id_column)
     total = int(counts.sum("sum(n)"))
     repeated = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("sum(n)"), 2)),
@@ -296,8 +431,153 @@ def heuristic_filter(ds, text_column: str = "text", id_column: str = "doc_id"):
     )
 
 
+def _bigram_cogroup(ds, text_column: str, id_column: str):
+    """First-token-hash-partitioned bigram scoring (O(1) driver state):
+    docs explode to tagged slim rows — per-doc unigram counts
+    ``(kind=0, w)`` and bigram counts ``(kind=1, w1·SEP·w2)`` — BOTH
+    routed by ``hash(w1)``, so a partition holds every occurrence of each
+    of its first-tokens' unigrams AND bigrams and computes the exact
+    global ``c(w1 w2) / c(w1)`` ratio locally; per-doc partials then sum
+    through one slim doc-hash shuffle.  Each distinct ``(cb, cu)`` pair
+    maps through the same scalar ``math.log`` the broadcast scorer uses —
+    identical int64 results."""
+    import math
+
+    import numpy as np
+
+    from ..poolsize import coarse_fanout
+    from .behavior import coarse_part
+    from .tfidf import term_hash_parts
+
+    SEP = " "
+    tparts = coarse_fanout(floor=256, per_cpu=8)
+    dparts = coarse_fanout()
+
+    def explode_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, kinds, keys, firsts, ns = [], [], [], [], []
+        for doc_id, t in zip(
+            batch.column(id_column).to_pylist(),
+            batch.column(text_column).to_pylist(),
+        ):
+            toks = [tok.lower() for tok in _TOKEN_RE.findall(t or "")]
+            uni: Counter = Counter(toks)
+            bi: Counter = Counter(
+                toks[i - 1] + SEP + toks[i] for i in range(1, len(toks))
+            )
+            ids.extend([doc_id] * (len(uni) + len(bi)))
+            kinds.extend([0] * len(uni) + [1] * len(bi))
+            keys.extend(uni.keys())
+            firsts.extend(uni.keys())
+            ns.extend(uni.values())
+            keys.extend(bi.keys())
+            firsts.extend(k.split(SEP, 1)[0] for k in bi.keys())
+            ns.extend(bi.values())
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.int8()),
+                "key": pa.array(keys, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "tpart", term_hash_parts(pa.array(firsts, pa.string()), tparts)
+        )
+
+    def score_partition(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k0 = group.filter(pc.equal(group.column("kind"), 0))
+        k1 = group.filter(pc.equal(group.column("kind"), 1))
+        if k1.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "sum_logp_x1e6": pa.array([], pa.int64()),
+                    "dpart": pa.array([], pa.int64()),
+                }
+            )
+        # one dictionary over first-token strings: k0 keys then k1 prefixes
+        k1_first = pc.list_element(
+            pc.split_pattern(k1.column("key").combine_chunks(), SEP,
+                             max_splits=1),
+            0,
+        )
+        joint = pa.chunked_array(
+            [k0.column("key").combine_chunks(), k1_first]
+        ).combine_chunks()
+        enc = pc.dictionary_encode(joint)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        n0 = k0.num_rows
+        cu_tab = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.add.at(cu_tab, codes[:n0],
+                  k0.column("n").to_numpy(zero_copy_only=False))
+        cu = cu_tab[codes[n0:]]
+        cu = np.maximum(cu, 1)  # unreachable guard: every bigram implies w1
+        enc_b = pc.dictionary_encode(k1.column("key").combine_chunks())
+        codes_b = np.asarray(enc_b.indices, dtype=np.int64)
+        n1_v = k1.column("n").to_numpy(zero_copy_only=False)
+        cb_tab = np.zeros(len(enc_b.dictionary), dtype=np.int64)
+        np.add.at(cb_tab, codes_b, n1_v)
+        cb = cb_tab[codes_b]
+        pairs = np.empty(len(cb), dtype=[("cb", np.int64), ("cu", np.int64)])
+        pairs["cb"], pairs["cu"] = cb, cu
+        uniq, inv = np.unique(pairs, return_inverse=True)
+        lp_u = np.array(
+            [
+                _round_half_away(math.log(int(p["cb"]) / int(p["cu"])) * 1e6)
+                for p in uniq
+            ],
+            dtype=np.int64,
+        )
+        contrib = n1_v * lp_u[inv]
+        agg = (
+            pa.table(
+                {
+                    "doc_id": k1.column("doc_id"),
+                    "n_bigrams": k1.column("n"),
+                    "sum_logp_x1e6": pa.array(contrib, pa.int64()),
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("n_bigrams", "sum"), ("sum_logp_x1e6", "sum")])
+            .rename_columns(["doc_id", "n_bigrams", "sum_logp_x1e6"])
+        )
+        return agg.append_column("dpart", coarse_part(agg.column("doc_id"), dparts))
+
+    partials = (
+        ds.map_batches(explode_rows, batch_format="pyarrow")
+        .groupby("tpart")
+        .map_groups(score_partition, batch_format="pyarrow")
+    )
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch.column(id_column), pa.int64())
+        t = pa.table(
+            {
+                "doc_id": ids,
+                "n_bigrams": pa.nulls(len(batch), pa.int64()).fill_null(0),
+                "sum_logp_x1e6": pa.nulls(len(batch), pa.int64()).fill_null(0),
+            }
+        )
+        return t.append_column("dpart", coarse_part(t.column("doc_id"), dparts))
+
+    zero_rows = ds.select_columns([id_column]).map_batches(
+        anchors, batch_format="pyarrow"
+    )
+    return _docpart_fold(
+        partials.union(zero_rows), dparts, ("n_bigrams", "sum_logp_x1e6")
+    )
+
+
 def bigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
-                   concurrency: int = 4):
+                   concurrency: int = 4, mode: str = "auto",
+                   broadcast_max_terms: int = 2_000_000):
     """Per-doc order-1 (bigram) conditional log-probability — one step
     closer to real LM perplexity than ``unigram_logprob``, still with an
     exact SQL oracle.
@@ -307,18 +587,27 @@ def bigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
     away from zero, int64); a doc's score is the int64 sum plus the
     bigram count.
 
-    Scale: ONE tagged shuffle folds bigram and unigram counts together;
-    the scoring broadcast keeps only repeated items (count >= 2) — a
-    bigram miss is exactly count 1 (``lp = round(ln(1/c(prev)) * 1e6)``)
-    and a unigram miss is exactly count 1 (then its bigram count is also
-    1, so ``lp = 0``) — the hapax-elision trick, both dicts bounded by
-    the repeated vocabulary."""
+    ``mode="broadcast"``: ONE tagged shuffle folds bigram and unigram
+    counts together; the scoring broadcast keeps only repeated items
+    (count >= 2) — a bigram miss is exactly count 1
+    (``lp = round(ln(1/c(prev)) * 1e6)``) and a unigram miss is exactly
+    count 1 (then its bigram count is also 1, so ``lp = 0``) — the
+    hapax-elision trick, both dicts bounded by the repeated vocabulary.
+
+    ``mode="cogroup"``: the 100-TB path with O(1) driver state
+    (:func:`_bigram_cogroup` — both count kinds route by the FIRST token,
+    so the conditional ratio evaluates entirely in-partition).
+    ``mode="auto"`` counts the repeated vocabulary distributedly and
+    picks.  Identical int64 results in every mode."""
     import math
 
     import ray
     import pyarrow.compute as pc
 
     SEP = " "
+
+    if mode == "cogroup":
+        return _bigram_cogroup(ds, text_column, id_column)
 
     def count_partials(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -346,11 +635,16 @@ def bigram_logprob(ds, text_column: str = "text", id_column: str = "doc_id",
         ds.map_batches(count_partials, batch_format="pyarrow")
         .groupby(["kind", "key"])
         .sum("n")
+        .materialize()
     )
-    repeated = counts.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("sum(n)"), 2)),
+    repeated_ds = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("sum(n)"), 2))
+        if "sum(n)" in b.column_names else b.slice(0, 0),
         batch_format="pyarrow",
-    ).take_all()
+    ).materialize()
+    if mode == "auto" and repeated_ds.count() > broadcast_max_terms:
+        return _bigram_cogroup(ds, text_column, id_column)
+    repeated = repeated_ds.take_all()
     uni_map = {r["key"]: r["sum(n)"] for r in repeated if r["kind"] == 0}
     bi_map = {r["key"]: r["sum(n)"] for r in repeated if r["kind"] == 1}
     refs = ray.put((uni_map, bi_map))
