@@ -384,34 +384,27 @@ def kcenter_coreset(ds, k: int = 8, column: str = "embedding",
         slim, batch_format="pyarrow"
     ).materialize()
 
-    # first center: globally smallest id (per-block partial min)
-    first = None
-    for b in unit.iter_batches(batch_format="pyarrow", batch_size=None):
-        if b.num_rows:
-            m = pc.min(b.column(id_column)).as_py()
-            first = m if first is None else min(first, m)
-    if first is None:
+    # first center: globally smallest id — per-block (min id, vector)
+    # partials, O(blocks) driver rows (NOT a driver stream of every block)
+    def first_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "unit": pa.array([], pa.list_(pa.float64()))})
+        ids = np.asarray(batch.column(id_column))
+        j = int(np.argmin(ids))
+        return pa.table({"id": pa.array([int(ids[j])], pa.int64()),
+                         "unit": pa.array([batch.column("unit")[j].as_py()],
+                                          pa.list_(pa.float64()))})
+
+    first_rows = unit.map_batches(first_partial, batch_format="pyarrow").take_all()
+    if not first_rows:
         return ray.data.from_arrow(
             pa.table({"sel_order": pa.array([], pa.int64()),
                       "vec_id": pa.array([], pa.int64())})
         )
-
-    def vec_of(target_id: int) -> np.ndarray:
-        def pick(batch: pa.Table) -> pa.Table:
-            hit = batch.filter(
-                pa.compute.equal(batch.column(id_column), target_id)
-            )
-            return hit.select([id_column, "unit"])
-
-        for b in unit.map_batches(pick, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        ):
-            if b.num_rows:
-                return np.asarray(b.column("unit")[0].as_py(), dtype=np.float64)
-        raise KeyError(target_id)
-
-    centers_ids = [int(first)]
-    centers_mat = vec_of(centers_ids[0]).reshape(1, -1)
+    fr = min(first_rows, key=lambda r: r["id"])
+    centers_ids = [int(fr["id"])]
+    centers_mat = np.asarray(fr["unit"], dtype=np.float64).reshape(1, -1)
 
     for _ in range(1, k):
         cref = ray.put(centers_mat)
@@ -425,29 +418,34 @@ def kcenter_coreset(ds, k: int = 8, column: str = "embedding",
             )
             if sub.num_rows == 0:
                 return pa.table({"best": pa.array([], pa.float64()),
-                                 "id": pa.array([], pa.int64())})
+                                 "id": pa.array([], pa.int64()),
+                                 "unit": pa.array([], pa.list_(pa.float64()))})
             flat = np.asarray(
                 sub.column("unit").combine_chunks().flatten(), dtype=np.float64
             )
             m = flat.reshape(sub.num_rows, -1)
             sims = np.round(m @ ray.get(cref).T, 9).max(axis=1)
             ids = np.asarray(sub.column(id_column))
-            # per-batch lexicographic min of (best, id)
+            # per-batch lexicographic min of (best, id); the winner's
+            # VECTOR rides along so no per-center fetch scan is needed
             j = np.lexsort((ids, sims))[0]
             return pa.table({"best": pa.array([float(sims[j])], pa.float64()),
-                             "id": pa.array([int(ids[j])], pa.int64())})
+                             "id": pa.array([int(ids[j])], pa.int64()),
+                             "unit": pa.array([sub.column("unit")[j].as_py()],
+                                              pa.list_(pa.float64()))})
 
-        best, bid = None, None
-        for b in unit.map_batches(candidate, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        ):
-            for s, i in zip(b.column("best").to_pylist(), b.column("id").to_pylist()):
-                if best is None or (s, i) < (best, bid):
-                    best, bid = s, i
+        # O(blocks) candidate rows fold on the driver
+        best, bid, bvec = None, None, None
+        for r in unit.map_batches(candidate, batch_format="pyarrow").take_all():
+            s, i = r["best"], r["id"]
+            if best is None or (s, i) < (best, bid):
+                best, bid, bvec = s, i, r["unit"]
         if bid is None:
             break  # fewer than k points
         centers_ids.append(int(bid))
-        centers_mat = np.vstack([centers_mat, vec_of(int(bid))])
+        centers_mat = np.vstack(
+            [centers_mat, np.asarray(bvec, dtype=np.float64)]
+        )
 
     return ray.data.from_arrow(
         pa.table(

@@ -17,15 +17,23 @@ Pinned spec:
 * agent: the wildcard ``"*"`` entry (an audit has no single crawler
   identity).
 
-Ray Data shape: the robots rows are one tiny row per host — they are
-collected once, shipped via ``ray.put`` as a host→(status, body) dict, and
-each audit actor PARSES a host's rules lazily on first use (memoized per
-actor).  The page pass is a stateless per-batch count combiner
-``(host, n_pages, n_disallowed)`` followed by one ``groupby(host)`` fold
-of integer partials.  At 10⁸+ hosts, shard the robots dict by
-``hash(host)`` and route page batches to the owning shard instead of the
-single broadcast (the ``textclean.host_boilerplate_removal`` auto
-broadcast/cogroup pattern).
+Ray Data shape (auto broadcast/cogroup, the
+``textclean.host_boilerplate_removal`` pattern):
+
+* **broadcast** (host count fits a worker heap): robots rows — one tiny
+  row per host — collect once and ship via ``ray.put`` as a
+  host→(status, body) dict; each audit actor PARSES a host's rules
+  lazily on first use (memoized per actor).  The page pass is a
+  stateless per-batch count combiner ``(host, n_pages, n_disallowed)``
+  followed by one ``groupby(host)`` fold of integer partials.
+* **cogroup** (10⁸+ hosts — the dict itself is a driver/worker
+  materialization): robots rows and slim ``(host, url)`` page rows
+  tag-union into ONE shuffle keyed by ``hash(host)``; every host's rules
+  AND pages co-locate, so the partition parses each host's rules once,
+  evaluates its pages, and emits FINAL ``(host, n_pages, n_disallowed)``
+  rows — no second fold, no driver state.
+* ``mode="auto"`` counts robots hosts distributedly (O(1) driver) and
+  picks broadcast iff at most ``broadcast_max_hosts``.
 """
 
 from __future__ import annotations
@@ -49,9 +57,108 @@ def _decode(body) -> str | None:
     return body
 
 
-def robots_audit(corpus_dir: str, concurrency=None):
+def _page_keep_mask(batch: pa.Table):
+    """Audited-page predicate: status-200 minus robots.txt/sitemap.xml."""
+    urls = batch.column("url")
+    return pc.and_(
+        pc.equal(batch.column("status"), 200),
+        pc.invert(
+            pc.or_(
+                pc.ends_with(urls, "robots.txt"),
+                pc.ends_with(urls, "sitemap.xml"),
+            )
+        ),
+    )
+
+
+def _robots_audit_cogroup(robots_scan, pages):
+    """Sharded tier (module docstring): one hash(host) shuffle co-locates
+    each host's robots rules with its slim page rows; partitions emit
+    final per-host counts."""
+    from ..poolsize import coarse_fanout
+    from .tfidf import term_hash_parts
+
+    nparts = coarse_fanout()
+
+    def robots_tagged(batch: pa.Table) -> pa.Table:
+        hosts = pa.array(
+            [u.split("://", 1)[1].split("/", 1)[0]
+             for u in batch.column("url").to_pylist()],
+            pa.string(),
+        )
+        t = pa.table(
+            {
+                "host": hosts,
+                "url": pa.nulls(len(batch), pa.string()),
+                "status": pc.cast(batch.column("status"), pa.int64()),
+                "body": pa.array(
+                    [_decode(b) for b in batch.column("html").to_pylist()],
+                    pa.string(),
+                ),
+                "is_robots": pa.nulls(len(batch), pa.int8()).fill_null(1),
+            }
+        )
+        return t.append_column("part", term_hash_parts(hosts, nparts))
+
+    def page_tagged(batch: pa.Table) -> pa.Table:
+        t = batch.filter(_page_keep_mask(batch))
+        hosts = _hosts_of(t.column("url")) if len(t) else pa.array([], pa.string())
+        out = pa.table(
+            {
+                "host": hosts,
+                "url": t.column("url"),
+                "status": pa.nulls(len(t), pa.int64()),
+                "body": pa.nulls(len(t), pa.string()),
+                "is_robots": pa.nulls(len(t), pa.int8()).fill_null(0),
+            }
+        )
+        return out.append_column("part", term_hash_parts(out.column("host"), nparts))
+
+    def audit_partition(group: pa.Table) -> pa.Table:
+        is_r = group.column("is_robots")
+        rb = group.filter(pc.equal(is_r, 1))
+        parsers: dict[str, RobotFileParser | None] = {}
+        for h, st, body in zip(
+            rb.column("host").to_pylist(),
+            rb.column("status").to_pylist(),
+            rb.column("body").to_pylist(),
+        ):
+            p = RobotFileParser()
+            p.read_status(int(st), body)
+            parsers[h] = p
+        pg = group.filter(pc.equal(is_r, 0))
+        n_pages: dict[str, int] = {}
+        n_dis: dict[str, int] = {}
+        for host, url in zip(
+            pg.column("host").to_pylist(), pg.column("url").to_pylist()
+        ):
+            n_pages[host] = n_pages.get(host, 0) + 1
+            p = parsers.get(host)
+            if p is not None and not p.can_fetch(AUDIT_AGENT, url):
+                n_dis[host] = n_dis.get(host, 0) + 1
+        keys = list(n_pages.keys())
+        return pa.table(
+            {
+                "host": pa.array(keys, pa.string()),
+                "n_pages": pa.array([n_pages[h] for h in keys], pa.int64()),
+                "n_disallowed": pa.array(
+                    [n_dis.get(h, 0) for h in keys], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        robots_scan.map_batches(robots_tagged, batch_format="pyarrow")
+        .union(pages.map_batches(page_tagged, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(audit_partition, batch_format="pyarrow")
+    )
+
+
+def robots_audit(corpus_dir: str, concurrency=None, mode: str = "auto",
+                 broadcast_max_hosts: int = 1_000_000):
     """``(host, n_pages, n_disallowed)`` per corpus host (see module
-    docstring for the pinned spec)."""
+    docstring for the pinned spec and the broadcast/cogroup tiers)."""
     import ray
     import ray.data
 
@@ -67,6 +174,13 @@ def robots_audit(corpus_dir: str, concurrency=None):
         filter=pc.ends_with(pads.field("url"), pattern="robots.txt"),
     )
     pages = ray.data.read_parquet(corpus_dir, columns=["url", "status"])
+
+    if mode == "cogroup":
+        return _robots_audit_cogroup(robots_scan, pages)
+    if mode == "auto":
+        robots_scan = robots_scan.materialize()
+        if robots_scan.count() > broadcast_max_hosts:
+            return _robots_audit_cogroup(robots_scan, pages)
 
     robots_by_host: dict[str, tuple[int, str | None]] = {}
     for r in robots_scan.take_all():
@@ -91,17 +205,7 @@ def robots_audit(corpus_dir: str, concurrency=None):
             return self.parsers[host]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            urls = batch.column("url")
-            keep = pc.and_(
-                pc.equal(batch.column("status"), 200),
-                pc.invert(
-                    pc.or_(
-                        pc.ends_with(urls, "robots.txt"),
-                        pc.ends_with(urls, "sitemap.xml"),
-                    )
-                ),
-            )
-            t = batch.filter(keep)
+            t = batch.filter(_page_keep_mask(batch))
             hosts = _hosts_of(t.column("url")).to_pylist()
             n_pages: dict[str, int] = {}
             n_dis: dict[str, int] = {}

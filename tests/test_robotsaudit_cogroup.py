@@ -1,0 +1,48 @@
+"""Sharded robots-audit tier (VERDICT r3 #2): the forced-cogroup path —
+one hash(host) shuffle co-locating each host's rules with its pages —
+must produce exactly the broadcast path's per-host counts."""
+
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+
+def _canon(ds):
+    df = ds.to_pandas()
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_cogroup_matches_broadcast(ray_session):
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.ops.robotsaudit import robots_audit
+
+    corpus = ensure_scale("sf0.001")
+    a = _canon(robots_audit(corpus, mode="broadcast"))
+    b = _canon(robots_audit(corpus, mode="cogroup"))
+    assert len(a) and len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_auto_switches_on_host_count(ray_session, monkeypatch):
+    """auto with a 0 threshold must route through the cogroup tier —
+    proven by forbidding the broadcast dict's ray.put of a dict."""
+    import ray
+
+    from spider_ray.fixtures import ensure_scale
+    from spider_ray.ops.robotsaudit import robots_audit
+
+    corpus = ensure_scale("sf0.001")
+    want = _canon(robots_audit(corpus, mode="broadcast"))
+
+    orig_put = ray.put
+
+    def guard_put(obj, *a, **k):
+        assert not isinstance(obj, dict), "broadcast dict put in cogroup mode"
+        return orig_put(obj, *a, **k)
+
+    monkeypatch.setattr(ray, "put", guard_put)
+    got = _canon(robots_audit(corpus, mode="auto", broadcast_max_hosts=0))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
