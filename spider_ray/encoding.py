@@ -9,7 +9,10 @@ there are no Content-Type headers in the table):
 2. ``<meta charset=X>`` or ``<meta http-equiv="content-type" content="...charset=X">``
    within the first 1024 bytes (sniffed via a latin-1 view, per the HTML spec
    prescan)
-3. UTF-8 with replacement (the fixtures' default)
+3. content-based sniff (:func:`content_sniff`) — the ``auto_encoder``
+   analogue for unlabeled bodies: strict-UTF-8 validation first, then a
+   pinned deterministic legacy heuristic (Shift_JIS structural check,
+   high-byte run statistics for Windows-1251 vs Windows-1252)
 """
 
 from __future__ import annotations
@@ -32,6 +35,45 @@ _ALIASES = {
 }
 
 
+_SJIS_LEAD_RE = re.compile(rb"[\x81-\x9f]")
+_HIGH_RUN_RE = re.compile(rb"[\x80-\xff]+")
+
+
+def content_sniff(html: bytes) -> str:
+    """Content-based charset detection for bodies with NO BOM and NO meta
+    tag — the ``auto_encoder`` analogue (``page.rs:9384-9394``; the
+    reference delegates to encoding_rs/chardetng).  Pinned deterministic
+    heuristic, part of the op spec:
+
+    1. strict UTF-8 validation → ``utf-8``;
+    2. a strict Shift_JIS decode PLUS at least one 0x81-0x9F lead byte
+       (real Japanese text always has kana/common-kanji leads there;
+       Windows-1251 Cyrillic text almost never does) → ``shift_jis``;
+    3. high-byte runs averaging >= 3 consecutive bytes →
+       ``windows-1251`` (Cyrillic words are entirely high bytes, while
+       western accents are isolated among ASCII);
+    4. else ``windows-1252`` (the western superset fallback).
+
+    A deterministic approximation of a chardetng-class detector — real
+    deployments can plug a full detector behind the same hook.
+    """
+    try:
+        html.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        pass
+    if _SJIS_LEAD_RE.search(html):
+        try:
+            html.decode("shift_jis", "strict")
+            return "shift_jis"
+        except UnicodeDecodeError:
+            pass
+    runs = _HIGH_RUN_RE.findall(html)
+    if runs and sum(len(r) for r in runs) >= 3 * len(runs):
+        return "windows-1251"
+    return "windows-1252"
+
+
 def detect_charset(html: bytes, sniff_len: int = 1024) -> str:
     if html.startswith(codecs.BOM_UTF8):
         return "utf-8-sig"
@@ -49,7 +91,7 @@ def detect_charset(html: bytes, sniff_len: int = 1024) -> str:
             return label
         except LookupError:
             pass
-    return "utf-8"
+    return content_sniff(html)
 
 
 def decode_html(html: bytes | None) -> str:

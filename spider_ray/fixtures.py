@@ -399,6 +399,26 @@ def _add_encoding_page(add, root: str):
     html, text = p.render()
     add(url, html, text, lang="ja", encoding="shift_jis")
 
+    # meta-LESS legacy pages: no BOM, no <meta charset> — content-based
+    # sniffing (encoding.content_sniff, the auto_encoder analogue of
+    # page.rs:9384-9394) is the ONLY way to recover the golden text.
+    # ORPHANS by design: not nav-linked and absent from the sitemap, so
+    # every crawl scenario is unchanged; corpus-wide queries recompute
+    # from the same parquet in both engines.
+    url = root + "ja/noheader-sjis"
+    p = _PageBuilder(url, "ja raw page")
+    p.heading("ヘッダーなしのページ")
+    p.para("メタタグのないシフトJISの本文です。")
+    html, text = p.render()
+    add(url, html, text, lang="ja", encoding="shift_jis")
+
+    url = root + "ru/noheader-1251"
+    p = _PageBuilder(url, "ru raw page")
+    p.heading("Страница без метки")
+    p.para("Это русская страница в кодировке без метатега.")
+    html, text = p.render()
+    add(url, html, text, lang="ru", encoding="windows-1251")
+
 
 def _add_redirect_pages(add, root: str):
     """FIXTURES §redirects — one row per redirect-semantics class
@@ -640,7 +660,7 @@ SCALE_PARAMS = {
 }
 
 # bump when generator output changes so cached corpora auto-invalidate
-GENERATOR_VERSION = 6
+GENERATOR_VERSION = 7
 
 FIXTURE_BASE = "/tmp/spider_ray_fixtures"
 

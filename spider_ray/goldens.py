@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 37
+GOLDEN_VERSION = 38
 
 TESTDATA_BASE = "/root/testdata"
 

@@ -235,3 +235,38 @@ def test_charset_detection_shift_jis():
     assert detect_charset(b"<p>plain</p>") == "utf-8"
     # bogus label falls back
     assert detect_charset(b'<meta charset="no-such-enc"><p>x</p>') == "utf-8"
+
+
+def test_content_sniff_unlabeled_bodies():
+    """auto_encoder analogue (page.rs:9384-9394): NO BOM, NO meta tag —
+    content-based detection must still recover the text."""
+    from spider_ray.encoding import content_sniff, decode_html, detect_charset
+
+    sj = "<body><p>ヘッダーなしのシフトJISページです。</p></body>".encode("shift_jis")
+    ru = "<body><p>Это русская страница без метатега.</p></body>".encode(
+        "windows-1251"
+    )
+    fr = "<body><p>caf\xe9 cr\xe8me br\xfbl\xe9e r\xe9sum\xe9</p></body>".encode(
+        "latin-1"
+    )
+    assert detect_charset(sj) == "shift_jis"
+    assert "ヘッダーなしのシフトJISページです。" in decode_html(sj)
+    assert detect_charset(ru) == "windows-1251"
+    assert "Это русская страница без метатега." in decode_html(ru)
+    # isolated accents among ASCII -> western fallback, text preserved
+    assert content_sniff(fr) == "windows-1252"
+    assert "café crème brûlée résumé" in decode_html(fr)
+    # valid UTF-8 short-circuits before any legacy heuristic
+    assert content_sniff("日本語 и русский".encode("utf-8")) == "utf-8"
+
+
+def test_fixture_metaless_pages_roundtrip():
+    """The meta-less Shift_JIS / Windows-1251 fixture orphans decode
+    byte-identically through the full extract_text path (the rows the
+    extract_text_parity oracle compares)."""
+    from spider_ray.fixtures import build_corpus
+
+    rows = {r["url"]: r for r in build_corpus(n_hosts=1, pages_per_host=24)}
+    for suffix in ("ja/noheader-sjis", "ru/noheader-1251"):
+        row = rows[f"https://www.site0.example/{suffix}"]
+        assert extract_text(row["html"]) == row["text"]
