@@ -638,6 +638,50 @@ def q_top_backlinks(sf_dir: str):
     return top_backlinks(_corpus_for(sf_dir))
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC sink byte-layout proof (utils/warc.rs:1-120 analogue): write
+    the corpus as per-block .warc files, parse the BYTES back, and emit
+    per-record digests; the oracle computes the same digests from the
+    corpus table, so a value match pins the record layout end to end."""
+    from spider_ray.sinks.warc import warc_export_roundtrip
+
+    out = os.path.join(
+        "/tmp/spider_ray_scratch", f"warc_{_sf_name(sf_dir)}"
+    )
+    return warc_export_roundtrip(_corpus_for(sf_dir), out)
+
+
+def q_download_manifest(sf_dir: str):
+    """DOWNLOAD sink manifest (build_folders.rs:84-120 path construction):
+    one-site download of www.site0.example with digests of the bytes
+    written; paths are host-less per the reference CLI, hence the single
+    host."""
+    import pyarrow.compute as pc
+
+    from spider_ray.sinks.download import download_pages
+
+    dest = os.path.join(
+        "/tmp/spider_ray_scratch", f"dl_{_sf_name(sf_dir)}"
+    )
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
+    m = download_pages(
+        _corpus_for(sf_dir), dest, url_prefix="https://www.site0.example/"
+    )
+    rel = pc.utf8_slice_codeunits(
+        m.column("path"), start=len(dest) + 1, stop=1 << 30
+    )
+    return pa.table(
+        {
+            "url": m.column("url"),
+            "rel_path": rel,
+            "n_bytes": m.column("n_bytes"),
+            "payload_md5": m.column("payload_md5"),
+        }
+    )
+
+
 def q_host_hits(sf_dir: str):
     """Kleinberg HITS over the host link graph — distributed edge
     aggregation, one pinned-order remote kernel (host_pagerank's shape)."""
@@ -1891,6 +1935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": q_host_hits,
         "top_backlinks": q_top_backlinks,
         "robots_audit": q_robots_audit,
+        "warc_roundtrip": q_warc_roundtrip,
+        "download_manifest": q_download_manifest,
         "url_features": q_url_features,
         "host_lang_mix": q_host_lang_mix,
         "lang_confusion": q_lang_confusion,
@@ -2080,6 +2126,32 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "warc_roundtrip": (
+            "SELECT url, "
+            "strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date, "
+            "status::BIGINT AS http_status, "
+            "octet_length(coalesce(html, ''::BLOB))::BIGINT AS content_length, "
+            "md5(base64(coalesce(html, ''::BLOB))) AS payload_md5 "
+            f"FROM read_parquet('{corpus_glob}')"
+        ),
+        "download_manifest": (
+            "WITH p AS (SELECT url, html, "
+            "CASE WHEN regexp_replace(url, '^[a-z]+://[^/]+', '') = '' THEN '/' "
+            "ELSE regexp_replace(url, '^[a-z]+://[^/]+', '') END AS path "
+            f"FROM read_parquet('{corpus_glob}') "
+            "WHERE html IS NOT NULL AND url LIKE 'https://www.site0.example/%'), "
+            "s AS (SELECT url, html, path, "
+            "list_filter(string_split(path, '/'), x -> x <> '') AS segs, "
+            "path LIKE '%/' AS trail FROM p) "
+            "SELECT url, "
+            "CASE WHEN len(segs) = 0 THEN 'index.html' "
+            "ELSE array_to_string(list_slice(segs, 1, len(segs) - 1) || "
+            "[CASE WHEN trail OR strpos(segs[len(segs)], '.') = 0 "
+            "THEN segs[len(segs)] || '.html' ELSE segs[len(segs)] END], '/') "
+            "END AS rel_path, "
+            "octet_length(html)::BIGINT AS n_bytes, "
+            "md5(base64(html)) AS payload_md5 FROM s"
         ),
         "host_page_counts": (
             f"SELECT split_part(split_part(url, '://', 2), '/', 1) AS host, "

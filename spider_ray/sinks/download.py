@@ -96,7 +96,9 @@ class _BatchWriter:
         self.urls = ray.get(url_set_ref) if url_set_ref is not None else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls_out, paths_out = [], []
+        import base64
+
+        urls_out, paths_out, nbytes_out, md5_out = [], [], [], []
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         for url, html in zip(urls, htmls):
@@ -109,15 +111,28 @@ class _BatchWriter:
                 f.write(html)
             urls_out.append(url)
             paths_out.append(final)
+            nbytes_out.append(len(html))
+            # md5(base64(bytes)) so the digest is SQL-expressible (DuckDB
+            # md5 takes VARCHAR) — written-manifest audit column
+            md5_out.append(hashlib.md5(base64.b64encode(html)).hexdigest())
         return pa.table(
-            {"url": pa.array(urls_out, pa.string()), "path": pa.array(paths_out, pa.string())}
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "path": pa.array(paths_out, pa.string()),
+                "n_bytes": pa.array(nbytes_out, pa.int64()),
+                "payload_md5": pa.array(md5_out, pa.string()),
+            }
         )
 
 
 def download_pages(corpus_dir: str, dest: str, visited: set[str] | None = None,
-                   concurrency: int | None = None) -> pa.Table:
+                   concurrency: int | None = None,
+                   url_prefix: str | None = None) -> pa.Table:
     """Write raw html files for ``visited`` URLs (or the whole corpus when
-    None); returns the (url, path) manifest table."""
+    None); returns the ``(url, path, n_bytes, payload_md5)`` manifest
+    table.  ``url_prefix`` filters at the Parquet scan (the one-site
+    download the reference CLI performs — paths are host-less, so a
+    whole-corpus download of a multi-host corpus would collide)."""
     import ray
     import ray.data
 
@@ -125,7 +140,15 @@ def download_pages(corpus_dir: str, dest: str, visited: set[str] | None = None,
     url_set_ref = (
         ray.put(frozenset(u.lower() for u in visited)) if visited is not None else None
     )
-    ds = ray.data.read_parquet(corpus_dir, columns=["url", "html"])
+    scan_filter = None
+    if url_prefix is not None:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        scan_filter = pc.starts_with(pads.field("url"), pattern=url_prefix)
+    ds = ray.data.read_parquet(
+        corpus_dir, columns=["url", "html"], filter=scan_filter
+    )
     # 0.5 CPU per writer: the stage is IO-bound, and a full-CPU pool could
     # starve the upstream read tasks on small sessions
     out = ds.map_batches(
