@@ -638,6 +638,20 @@ def q_top_backlinks(sf_dir: str):
     return top_backlinks(_corpus_for(sf_dir))
 
 
+def q_incremental_curation(sf_dir: str):
+    """End-to-end incremental curation cycle (the per-ingest production
+    composition): fresh generation → dedup vs ingested reference → C4
+    quality gate → exact-dedup canonicalization → resumable partitioned
+    write → read-back from disk (pipelines/incremental.py)."""
+    import shutil
+
+    from spider_ray.pipelines.incremental import incremental_curation
+
+    out = os.path.join("/tmp/spider_ray_scratch", f"inc_{_sf_name(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    return incremental_curation(_docs(sf_dir), out)
+
+
 def q_warc_roundtrip(sf_dir: str):
     """WARC sink byte-layout proof (utils/warc.rs:1-120 analogue): write
     the corpus as per-block .warc files, parse the BYTES back, and emit
@@ -1935,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": q_host_hits,
         "top_backlinks": q_top_backlinks,
         "robots_audit": q_robots_audit,
+        "incremental_curation": q_incremental_curation,
         "warc_roundtrip": q_warc_roundtrip,
         "download_manifest": q_download_manifest,
         "url_features": q_url_features,
@@ -2126,6 +2141,22 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "incremental_curation": (
+            r"WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0), "
+            r"fresh AS (SELECT * FROM documents WHERE doc_id % 2 = 1), "
+            r"nodup AS (SELECT f.* FROM fresh f WHERE NOT EXISTS "
+            r"(SELECT 1 FROM ref r WHERE coalesce(r.text, '') = coalesce(f.text, ''))), "
+            r"tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS term FROM nodup), "
+            r"c AS (SELECT doc_id, term, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2), "
+            r"agg AS (SELECT doc_id, sum(n) AS nw, count(*) AS nd, max(n) AS mx FROM c GROUP BY 1), "
+            r"q AS (SELECT d.* FROM nodup d JOIN agg a USING (doc_id) "
+            r"WHERE a.nw BETWEEN 10 AND 100000 AND 2*a.nd >= a.nw AND 8*a.mx <= a.nw), "
+            r"canon AS (SELECT * FROM q WHERE doc_id IN "
+            r"(SELECT min(doc_id) FROM q GROUP BY coalesce(text, ''))) "
+            r"SELECT doc_id, source, "
+            r"length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tokens "
+            r"FROM canon"
         ),
         "warc_roundtrip": (
             "SELECT url, "

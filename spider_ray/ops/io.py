@@ -57,9 +57,18 @@ def write_partitioned(
     completed = frozenset(str(v) for v in completed) if completed else frozenset()
 
     def write_group(tbl: pa.Table) -> pa.Table:
+        import glob as _glob
+
         val = tbl.column(by)[0].as_py()
         pdir = os.path.join(out_dir, f"{by}={_sanitize(val)}")
         final = os.path.join(pdir, "part.parquet")
+        # sweep orphaned tmps from a killed writer FIRST — they must never
+        # be mistaken for data by a glob-reading consumer
+        for stale in _glob.glob(final + ".tmp.*"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         if str(val) in completed or (skip_existing and os.path.exists(final)):
             return pa.table(
                 {
