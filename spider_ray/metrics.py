@@ -1,0 +1,103 @@
+"""Opt-in per-stage operator metrics — the observability surface a 100-TB
+operator actually needs (VERDICT r3 #10; the catalog-op analogue of the
+crawl's SURVEY §1.3 ``metrics`` schema).
+
+Enable with ``SPIDER_RAY_METRICS=1``.  When enabled, instrumented batch
+fns report one row per call — ``(op, stage, pid, rows_in, rows_out,
+wall_us)`` — to a named collector actor (fire-and-forget ``.remote``, so
+the hot path never blocks on the sink); the driver folds them with
+:func:`collect`.  When disabled (the default), :func:`wrap` returns the
+fn UNWRAPPED — zero overhead, no actor, no timers.
+
+The collector is a single lightweight actor holding slim tuples: at any
+corpus size the row count is O(batches), the same order as Ray's own
+per-task bookkeeping.  For multi-day jobs, drain it periodically with
+``collect(clear=True)`` and append to a Parquet sink.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+
+_ACTOR_NAME = "spider_ray_metrics_sink"
+
+
+def enabled() -> bool:
+    return os.environ.get("SPIDER_RAY_METRICS") == "1"
+
+
+def _sink():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class MetricsSink:
+        def __init__(self):
+            self.rows: list[tuple] = []
+
+        def add(self, rows):
+            self.rows.extend(rows)
+
+        def drain(self, clear: bool):
+            out = list(self.rows)
+            if clear:
+                self.rows = []
+            return out
+
+    return MetricsSink.options(
+        name=_ACTOR_NAME, get_if_exists=True
+    ).remote()
+
+
+class _Instrumented:
+    """Wraps a batch fn (or a callable-class INSTANCE) with per-call
+    metric reporting.  Picklable: the sink handle is re-resolved lazily in
+    the worker process."""
+
+    def __init__(self, fn, op: str, stage: str):
+        self.fn = fn
+        self.op = op
+        self.stage = stage
+        self._handle = None
+        # Ray Data reads fn.__name__ for display / wrapper naming
+        self.__name__ = getattr(fn, "__name__", f"{op}:{stage}")
+
+    def __call__(self, batch):
+        t0 = time.perf_counter()
+        out = self.fn(batch)
+        wall_us = int((time.perf_counter() - t0) * 1e6)
+        if self._handle is None:
+            self._handle = _sink()
+        self._handle.add.remote(
+            [(self.op, self.stage, os.getpid(), getattr(batch, "num_rows", len(batch)),
+              getattr(out, "num_rows", len(out)), wall_us)]
+        )
+        return out
+
+
+def wrap(fn, op: str, stage: str):
+    """Instrument ``fn`` when metrics are enabled; return it untouched
+    otherwise (the disabled path adds nothing to the pipeline)."""
+    if not enabled():
+        return fn
+    return _Instrumented(fn, op, stage)
+
+
+def collect(clear: bool = False) -> pa.Table:
+    """Driver-side fold of every reported row so far."""
+    import ray
+
+    rows = ray.get(_sink().drain.remote(clear))
+    cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
+    return pa.table(
+        {
+            "op": pa.array(cols[0], pa.string()),
+            "stage": pa.array(cols[1], pa.string()),
+            "pid": pa.array(cols[2], pa.int64()),
+            "rows_in": pa.array(cols[3], pa.int64()),
+            "rows_out": pa.array(cols[4], pa.int64()),
+            "wall_us": pa.array(cols[5], pa.int64()),
+        }
+    )

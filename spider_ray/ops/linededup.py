@@ -222,11 +222,15 @@ def global_line_dedup(corpus_dir: str):
         )
         return _decode_winners(won)
 
+    from ..metrics import wrap
+
     shards = ray.data.from_items(list(range(len(files))))
     winners = (
-        shards.map_batches(explode_shard, batch_format="pyarrow", batch_size=1)
+        shards.map_batches(wrap(explode_shard, "line_dedup", "explode"),
+                           batch_format="pyarrow", batch_size=1)
         .groupby("part")
-        .map_groups(part_winners, batch_format="pyarrow")
+        .map_groups(wrap(part_winners, "line_dedup", "winners"),
+                    batch_format="pyarrow")
     )
 
     # one sentinel row per shard so shards with zero winners still rebuild
@@ -298,7 +302,7 @@ def global_line_dedup(corpus_dir: str):
         )
 
     return tagged.groupby("file_id").map_groups(
-        rebuild_shard, batch_format="pyarrow"
+        wrap(rebuild_shard, "line_dedup", "rebuild"), batch_format="pyarrow"
     )
 
 
