@@ -892,6 +892,36 @@ def run_bench() -> dict:
     daily_revenue_anomaly(ord_dra).count()
     queries["daily_revenue_anomaly"] = round(time.perf_counter() - t0, 3)
 
+    # --- round-4 additions --------------------------------------------------
+    import shutil
+
+    from spider_ray.pipelines.incremental import incremental_curation
+
+    inc_out = "/tmp/spider_ray_scratch/bench_inc"
+    shutil.rmtree(inc_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    incremental_curation(docs, inc_out).count()
+    queries["incremental_curation"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.sinks.warc import warc_export_roundtrip
+
+    t0 = time.perf_counter()
+    warc_export_roundtrip(corpus, "/tmp/spider_ray_scratch/bench_warc").count()
+    queries["warc_roundtrip"] = round(time.perf_counter() - t0, 3)
+
+    # cogroup scale paths timed next to their broadcast twins above
+    t0 = time.perf_counter()
+    tfidf_top_terms(docs, k=5, mode="cogroup").count()
+    queries["tfidf_cogroup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    unigram_logprob(docs, mode="cogroup").count()
+    queries["unigram_logprob_cogroup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    robots_audit(corpus, mode="cogroup").count()
+    queries["robots_audit_cogroup"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

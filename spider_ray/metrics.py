@@ -24,12 +24,21 @@ import pyarrow as pa
 
 _ACTOR_NAME = "spider_ray_metrics_sink"
 
+# per-process cached handle: a named non-detached actor dies when every
+# handle drops, so each process (driver AND reused workers) pins one for
+# its lifetime; wrap() creates it from the DRIVER at pipeline-build time
+# so short-lived worker tasks can never be the sole owner
+_CACHED = None
+
 
 def enabled() -> bool:
     return os.environ.get("SPIDER_RAY_METRICS") == "1"
 
 
 def _sink():
+    global _CACHED
+    if _CACHED is not None:
+        return _CACHED
     import ray
 
     @ray.remote(num_cpus=0)
@@ -46,9 +55,8 @@ def _sink():
                 self.rows = []
             return out
 
-    return MetricsSink.options(
-        name=_ACTOR_NAME, get_if_exists=True
-    ).remote()
+    _CACHED = MetricsSink.options(name=_ACTOR_NAME, get_if_exists=True).remote()
+    return _CACHED
 
 
 class _Instrumented:
@@ -82,14 +90,30 @@ def wrap(fn, op: str, stage: str):
     otherwise (the disabled path adds nothing to the pipeline)."""
     if not enabled():
         return fn
+    _sink()  # driver-side: pin the collector before any worker reports
     return _Instrumented(fn, op, stage)
 
 
-def collect(clear: bool = False) -> pa.Table:
-    """Driver-side fold of every reported row so far."""
+def collect(clear: bool = False, settle_s: float = 2.0) -> pa.Table:
+    """Driver-side fold of every reported row so far.
+
+    Reporting is fire-and-forget, so rows from just-finished tasks may
+    still be in flight when the pipeline returns; ``collect`` polls until
+    the row count stops growing for one interval (bounded by
+    ``settle_s``) before draining."""
     import ray
 
-    rows = ray.get(_sink().drain.remote(clear))
+    sink = _sink()
+    prev = -1
+    waited = 0.0
+    while waited < settle_s:
+        cur = len(ray.get(sink.drain.remote(False)))
+        if cur == prev:
+            break
+        prev = cur
+        time.sleep(0.2)
+        waited += 0.2
+    rows = ray.get(sink.drain.remote(clear))
     cols = list(zip(*rows)) if rows else [[], [], [], [], [], []]
     return pa.table(
         {

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""4-vs-16-CPU bandwidth decomposition (VERDICT r3 #7).
+
+The 2v8 scaling ladders meet the >=0.8 bar, but 4v16 sits near ~0.70 and
+DROPPED as per-core code got faster — the signature BASELINE.md attributes
+to a shared single-box memory-bandwidth ceiling (89% of crawl wall is the
+fused decompress+parse stream).  This script turns that attribution into a
+controlled measurement by running three conditions at 4 and 16 CPUs, each
+in a fresh process, interleaved so both CPU levels sample the same ambient
+noise windows:
+
+  crawl_zstd    — the standard compressed corpus (decompress + parse)
+  crawl_raw     — the SAME corpus rewritten with compression="none"
+                  (decompression removed; bytes stream from page cache)
+  parse_plasma  — parse over a pre-materialized Arrow dataset in the
+                  object store (no file read, no decompress AT ALL:
+                  pure parse compute against shared memory)
+
+What the bandwidth hypothesis predicts: removing decompression shifts
+work from CPU to raw byte traffic, so crawl_raw gets FASTER at 4 CPUs
+(decompress cycles gone) but its 4v16 efficiency does NOT recover — and
+parse_plasma, which touches no files, still shows the same sub-0.8
+ceiling (parse input strings stream from shared memory, so it is
+memory-bound too).  If instead parse_plasma scaled >=0.8, the parse
+stage would have a real scaling bug (lock, GIL hand-off, scheduler gap)
+— the decomposition separates the two explanations.
+
+Usage:
+  python tools/bw_decomp.py                 # full run, prints JSON summary
+  python tools/bw_decomp.py worker C VARIANT CORPUS   # internal
+Env: BW_SF (default sf0.1), BW_REPS (default 2).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = ("crawl_zstd", "crawl_raw", "parse_plasma")
+
+
+def ensure_uncompressed(corpus: str) -> str:
+    """Rewrite the corpus parquet with compression='none' (idempotent)."""
+    import pyarrow.parquet as pq
+
+    out_root = corpus.rstrip("/") + "_uncompressed"
+    marker = os.path.join(out_root, "_done")
+    if os.path.exists(marker):
+        return out_root
+    for f in sorted(glob.glob(os.path.join(corpus, "*", "*.parquet"))):
+        rel = os.path.relpath(f, corpus)
+        out = os.path.join(out_root, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        pq.write_table(pq.read_table(f), out, compression="none")
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out_root
+
+
+def warm_page_cache(corpus: str) -> None:
+    for f in glob.glob(os.path.join(corpus, "*", "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+
+def worker(ncpu: int, variant: str, corpus: str) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             log_to_driver=False)
+    import ray.data
+
+    from spider_ray.config import CrawlConfig, CrawlJob
+    from spider_ray.fixtures import SCALE_PARAMS, seed_of
+
+    sf_name = os.environ.get("BW_SF", "sf0.1")
+    n_hosts = SCALE_PARAMS.get(sf_name, SCALE_PARAMS["unit"])[0]
+    warm_page_cache(corpus)
+    ray.data.range(64).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    if variant in ("crawl_zstd", "crawl_raw"):
+        from spider_ray.pipelines.crawl import RayCrawler
+
+        job = CrawlJob(tuple(seed_of(k) for k in range(n_hosts)),
+                       CrawlConfig(normalize=True))
+        t0 = time.perf_counter()
+        crawler = RayCrawler(job, corpus, keep_pages=False, collect_seen=False)
+        res = crawler.run()
+        wall = time.perf_counter() - t0
+        pages = len(res.visited)
+    else:  # parse_plasma
+        from spider_ray.stages.parse import ParsePages
+
+        job = CrawlJob(tuple(seed_of(k) for k in range(n_hosts)),
+                       CrawlConfig(normalize=True))
+        ds = ray.data.read_parquet(
+            corpus, columns=["url", "html", "status"]
+        ).materialize()  # decompressed Arrow blocks in the object store
+        t0 = time.perf_counter()
+        pages = ds.map_batches(
+            ParsePages(job), batch_format="pyarrow", batch_size=256
+        ).count()
+        wall = time.perf_counter() - t0
+    print(json.dumps({"variant": variant, "cpus": ncpu,
+                      "wall": round(wall, 3), "pages": pages}))
+    ray.shutdown()
+
+
+def main() -> None:
+    from spider_ray.fixtures import ensure_scale
+
+    sf_name = os.environ.get("BW_SF", "sf0.1")
+    reps = int(os.environ.get("BW_REPS", "2"))
+    corpus = ensure_scale(sf_name)
+    raw_corpus = ensure_uncompressed(corpus)
+    corpus_of = {"crawl_zstd": corpus, "crawl_raw": raw_corpus,
+                 "parse_plasma": corpus}
+
+    def run_once(ncpu: int, variant: str) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "worker", str(ncpu),
+             variant, corpus_of[variant]],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    walls: dict[tuple, list] = {}
+    for _ in range(reps):
+        for variant in VARIANTS:  # interleave: 4 then 16 inside each variant
+            for ncpu in (4, 16):
+                r = run_once(ncpu, variant)
+                walls.setdefault((variant, ncpu), []).append(r["wall"])
+
+    summary = {"sf": sf_name, "reps": reps, "conditions": {}}
+    for variant in VARIANTS:
+        w4, w16 = walls[(variant, 4)], walls[(variant, 16)]
+        b4, b16 = min(w4), min(w16)
+        summary["conditions"][variant] = {
+            "wall_4cpu_reps": w4, "wall_16cpu_reps": w16,
+            "wall_4cpu": b4, "wall_16cpu": b16,
+            "speedup_4to16": round(b4 / b16, 3),
+            "efficiency_4v16": round((b4 / b16) / 4.0, 3),
+        }
+    print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BW_DECOMP.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    else:
+        main()
