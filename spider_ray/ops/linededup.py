@@ -119,18 +119,21 @@ def _line_rows(batch: pa.Table, file_id: int) -> pa.Table:
 
 
 def _decode_winners(batch: pa.Table) -> pa.Table:
-    """``min(occ)`` winner strings -> ``(file_id, url, idx)`` keep rows."""
-    fids, urls, idxs = [], [], []
-    for occ in batch.column("min(occ)").to_pylist():
-        u, i, f = occ.rsplit("\x00", 2)
-        fids.append(int(f))
-        urls.append(u)
-        idxs.append(int(i))
+    """``min(occ)`` winner strings -> ``(file_id, url, idx)`` keep rows.
+
+    Vectorized: Arrow ``split_pattern`` + ``list_element`` kernels — the
+    per-row ``rsplit`` Python loop this replaces was ~25M iterations per
+    sf0.1 run and a measured chunk of the winners-fold CPU.  URLs cannot
+    contain NUL, so a plain left split is exact."""
+    occ = batch.column("min(occ)")
+    if isinstance(occ, pa.ChunkedArray):
+        occ = occ.combine_chunks()
+    parts = pc.split_pattern(occ, pattern="\x00")
     return pa.table(
         {
-            "file_id": pa.array(fids, pa.int64()),
-            "url": pa.array(urls, pa.string()),
-            "idx": pa.array(idxs, pa.int64()),
+            "file_id": pc.cast(pc.list_element(parts, 2), pa.int64()),
+            "url": pc.list_element(parts, 0),
+            "idx": pc.cast(pc.list_element(parts, 1), pa.int64()),
         }
     )
 

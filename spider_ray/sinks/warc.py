@@ -123,7 +123,8 @@ def iter_warc_records(data: bytes):
         }
 
 
-def warc_export_roundtrip(corpus_dir: str, out_dir: str):
+def warc_export_roundtrip(corpus_dir: str, out_dir: str,
+                          url_prefix: str | None = None):
     """Write the corpus as WARC files then READ THE BYTES BACK and emit one
     digest row per record: ``(url, warc_date, http_status, content_length,
     payload_md5)`` where ``payload_md5 = md5(base64(payload))`` (the
@@ -143,8 +144,15 @@ def warc_export_roundtrip(corpus_dir: str, out_dir: str):
     import ray.data
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    scan_filter = None
+    if url_prefix is not None:
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as pads
+
+        scan_filter = _pc.starts_with(pads.field("url"), pattern=url_prefix)
     ds = ray.data.read_parquet(
-        corpus_dir, columns=["url", "html", "warc_ts", "status"]
+        corpus_dir, columns=["url", "html", "warc_ts", "status"],
+        filter=scan_filter,
     )
     # drive the writes; manifest rows are O(corpus) slim but we only need
     # the side effect here — read-back is the verified surface
