@@ -49,6 +49,8 @@ def ensure_uncompressed(corpus: str) -> str:
     """Rewrite the corpus parquet with compression='none' (idempotent)."""
     import pyarrow.parquet as pq
 
+    import shutil
+
     out_root = corpus.rstrip("/") + "_uncompressed"
     marker = os.path.join(out_root, "_done")
     if os.path.exists(marker):
@@ -58,6 +60,9 @@ def ensure_uncompressed(corpus: str) -> str:
         out = os.path.join(out_root, rel)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         pq.write_table(pq.read_table(f), out, compression="none")
+    # the crawler's CorpusIndex reads the manifest for the bucket count
+    shutil.copy(os.path.join(corpus, "_corpus_manifest.json"),
+                os.path.join(out_root, "_corpus_manifest.json"))
     with open(marker, "w") as fh:
         fh.write("ok")
     return out_root
