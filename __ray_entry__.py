@@ -638,6 +638,47 @@ def q_top_backlinks(sf_dir: str):
     return top_backlinks(_corpus_for(sf_dir))
 
 
+def q_late_shipment_priority(sf_dir: str):
+    """TPC-H Q12 shape: lineitem⋈orders lateness bands × order-priority
+    CASE counts via one coarse hash(orderkey) co-group of slim rows."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import late_shipment_priority
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    ords = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    return late_shipment_priority(li, ords)
+
+
+def q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape: disjunctive OR-of-ANDs bracket predicate over a
+    broadcast part dimension; single scan, integer-exact revenue."""
+    import ray.data
+
+    from spider_ray.ops.tpch2 import bracket_revenue, part_size_brand
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return bracket_revenue(li, part_size_brand(sf_dir))
+
+
+def q_bpe_token_counts(sf_dir: str):
+    """GPT-2-style BPE pre-tokenizer counts per doc (stateless vectorized
+    map; the pinned ASCII-class pattern evaluates identically in Python re
+    and DuckDB RE2)."""
+    from spider_ray.ops.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir))
+
+
 def q_incremental_curation(sf_dir: str):
     """End-to-end incremental curation cycle (the per-ingest production
     composition): fresh generation → dedup vs ingested reference → C4
@@ -1949,6 +1990,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": q_host_hits,
         "top_backlinks": q_top_backlinks,
         "robots_audit": q_robots_audit,
+        "late_shipment_priority": q_late_shipment_priority,
+        "bracket_revenue": q_bracket_revenue,
+        "bpe_token_counts": q_bpe_token_counts,
         "incremental_curation": q_incremental_curation,
         "warc_roundtrip": q_warc_roundtrip,
         "download_manifest": q_download_manifest,
@@ -2141,6 +2185,42 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "late_shipment_priority": (
+            "SELECT CASE "
+            "WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) <= 2592000000000 "
+            "THEN 'on_time' "
+            "WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) <= 5184000000000 "
+            "THEN 'late' ELSE 'very_late' END AS lateness_band, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END)::BIGINT AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ),
+        "bracket_revenue": (
+            "SELECT count(*)::BIGINT AS n_items, "
+            "coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))), 0)::BIGINT "
+            "AS revenue_cents_x100 "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 5 "
+            "AND l.l_quantity BETWEEN 1 AND 11) "
+            "OR (p.p_brand = 'Brand#23' AND p.p_size <= 10 "
+            "AND l.l_quantity BETWEEN 10 AND 20) "
+            "OR (p.p_brand = 'Brand#34' AND p.p_size <= 15 "
+            "AND l.l_quantity BETWEEN 20 AND 30)"
+        ),
+        "bpe_token_counts": (
+            r"WITH t AS (SELECT doc_id, "
+            r"length(regexp_extract_all(coalesce(text, ''), "
+            r"$$'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+$$"
+            r"))::BIGINT AS n_pre, "
+            r"length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_ws "
+            r"FROM documents) "
+            "SELECT doc_id, n_pre AS n_pretokens, n_ws AS n_ws_tokens, "
+            "CASE WHEN n_ws = 0 THEN 0 ELSE (n_pre * 1000) // n_ws END "
+            "AS pretokens_per_ws_token_x1000 FROM t"
         ),
         "incremental_curation": (
             r"WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0), "

@@ -928,6 +928,38 @@ def run_bench() -> dict:
     robots_audit(corpus, mode="cogroup").count()
     queries["robots_audit_cogroup"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.textstats import bpe_token_counts
+
+    t0 = time.perf_counter()
+    bpe_token_counts(docs).count()
+    queries["bpe_token_counts"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.tpch2 import (
+        bracket_revenue,
+        late_shipment_priority,
+        part_size_brand,
+    )
+
+    li_q12 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    ord_q12 = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    t0 = time.perf_counter()
+    late_shipment_priority(li_q12, ord_q12).count()
+    queries["late_shipment_priority"] = round(time.perf_counter() - t0, 3)
+
+    li_q19 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    t0 = time.perf_counter()
+    bracket_revenue(li_q19, part_size_brand(sf_dir)).count()
+    queries["bracket_revenue"] = round(time.perf_counter() - t0, 3)
+
     result = {
         "metric": "crawl_full_sec",
         "value": round(crawl_sec, 3),

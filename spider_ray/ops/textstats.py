@@ -8,6 +8,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..hashing import stable_hash_str
 
@@ -47,6 +48,53 @@ class TokenCounter:
                 "n_words": pa.array(n_words, pa.int64()),
             }
         )
+
+
+# GPT-2-style pre-tokenizer (the BPE pre-split): contraction pieces, then
+# space-prefixed letter / digit / punctuation runs, then whitespace runs.
+# Pinned to explicit ASCII classes so Python re and DuckDB RE2 agree byte
+# for byte (non-ASCII letters land in the punctuation-run bucket — a
+# documented spec choice; real deployments plug a tiktoken-class encoder
+# behind the same actor hook).
+BPE_PRETOKEN_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+class BpeTokenCounter:
+    """``(doc_id, n_pretokens, n_ws_tokens, pretokens_per_ws_token_x1000)``
+    — GPT-2-style pre-tokenizer counts next to whitespace counts; the
+    ratio (integer, ×1000) is the standard "token inflation" signal a
+    training-data pipeline budgets with.  Stateless per-batch map — no
+    shuffle at any scale; the compiled pattern is class state."""
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id"):
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        n_pre = [len(BPE_PRETOKEN_RE.findall(t or "")) for t in texts]
+        n_ws = [len(_TOKEN_RE.findall(t or "")) for t in texts]
+        ratio = [
+            (p * 1000) // w if w else 0 for p, w in zip(n_pre, n_ws)
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column(self.id_column), pa.int64()),
+                "n_pretokens": pa.array(n_pre, pa.int64()),
+                "n_ws_tokens": pa.array(n_ws, pa.int64()),
+                "pretokens_per_ws_token_x1000": pa.array(ratio, pa.int64()),
+            }
+        )
+
+
+def bpe_token_counts(ds, text_column: str = "text", id_column: str = "doc_id"):
+    """(doc_id, n_pretokens, n_ws_tokens, ratio×1000) per document."""
+    return ds.map_batches(
+        BpeTokenCounter(text_column=text_column, id_column=id_column),
+        batch_format="pyarrow",
+    )
 
 
 class QualityScorer:

@@ -1185,3 +1185,238 @@ def latest_shipper_orders(lineitem, supplier_names_tbl: pa.Table):
 
     return rolled.map_batches(_Name, batch_format="pyarrow", concurrency=2,
                               num_cpus=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — shipping lateness vs order priority (join + banded CASE agg)
+# ---------------------------------------------------------------------------
+
+
+def late_shipment_priority(lineitem, orders, band_days=(30, 60)):
+    """``(lateness_band, high_line_count, low_line_count)`` — the TPC-H Q12
+    shape over the available columns: every lineitem joins its order, the
+    days from ``o_orderdate`` to ``l_shipdate`` band into
+    ``on_time`` (<= band_days[0]) / ``late`` / ``very_late``
+    (> band_days[1]), and each band counts lines of high-priority orders
+    (``1-URGENT``/``2-HIGH``) vs the rest — exactly Q12's CASE aggregation
+    with lateness bands standing in for ship modes.
+
+    Distributed shape: both sides slim to ~16-byte rows, ONE coarse
+    ``hash(orderkey)`` co-group joins them in-partition (the repo's
+    big×big fact-join pattern — `Dataset.join` avoided per the Ray 2.49
+    empty-partition note), and only ``(band, high, low)`` integer partials
+    leave each partition for the final 3-row fold.
+    """
+    from ..poolsize import coarse_fanout
+    from .behavior import coarse_part
+
+    nparts = coarse_fanout()
+    lo_us = band_days[0] * 86_400_000_000
+    hi_us = band_days[1] * 86_400_000_000
+    BANDS = ("on_time", "late", "very_late")
+
+    def li_slim(batch: pa.Table) -> pa.Table:
+        okey = pc.cast(batch.column("l_orderkey"), pa.int64())
+        return pa.table(
+            {
+                "okey": okey,
+                "ship": pc.cast(batch.column("l_shipdate"), pa.int64()),
+                "odate": pa.nulls(len(batch), pa.int64()),
+                "hi": pa.nulls(len(batch), pa.int8()),
+                "part": coarse_part(okey, nparts),
+            }
+        )
+
+    def ord_slim(batch: pa.Table) -> pa.Table:
+        okey = pc.cast(batch.column("o_orderkey"), pa.int64())
+        hi = pc.cast(
+            pc.is_in(
+                batch.column("o_orderpriority"),
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ),
+            pa.int8(),
+        )
+        return pa.table(
+            {
+                "okey": okey,
+                "ship": pa.nulls(len(batch), pa.int64()),
+                "odate": pc.cast(batch.column("o_orderdate"), pa.int64()),
+                "hi": hi,
+                "part": coarse_part(okey, nparts),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        li = group.filter(pc.is_valid(group.column("ship")))
+        od = group.filter(pc.is_valid(group.column("odate")))
+        j = pa.table(
+            {"okey": li.column("okey"), "ship": li.column("ship")}
+        ).join(
+            pa.table(
+                {"okey": od.column("okey"), "odate": od.column("odate"),
+                 "hi": od.column("hi")}
+            ),
+            keys=["okey"], join_type="inner",
+        )
+        delay = pc.subtract(j.column("ship"), j.column("odate"))
+        band = pc.if_else(
+            pc.less_equal(delay, pa.scalar(lo_us, pa.int64())),
+            pa.scalar("on_time"),
+            pc.if_else(
+                pc.less_equal(delay, pa.scalar(hi_us, pa.int64())),
+                pa.scalar("late"),
+                pa.scalar("very_late"),
+            ),
+        )
+        hi = pc.cast(j.column("hi"), pa.int64())
+        t = pa.table(
+            {
+                "lateness_band": band,
+                "high_line_count": hi,
+                "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), hi),
+            }
+        )
+        return (
+            t.group_by(["lateness_band"])
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+            .rename_columns(["lateness_band", "high_line_count", "low_line_count"])
+        )
+
+    partials = (
+        lineitem.map_batches(li_slim, batch_format="pyarrow")
+        .union(orders.map_batches(ord_slim, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    rolled = partials.groupby("lateness_band").sum(
+        ["high_line_count", "low_line_count"]
+    )
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "lateness_band": b.column("lateness_band"),
+                "high_line_count": pc.cast(
+                    b.column("sum(high_line_count)"), pa.int64()
+                ),
+                "low_line_count": pc.cast(
+                    b.column("sum(low_line_count)"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunctive bracket predicate revenue (broadcast dim + OR-of-ANDs)
+# ---------------------------------------------------------------------------
+
+BRACKETS = (
+    # (brand, max_size, qty_lo, qty_hi) — OR-of-ANDs, the Q19 signature
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def part_size_brand(sf_dir: str) -> pa.Table:
+    """Driver-side dimension read: (partkey, brand, size), pruned columns."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    return pa.table(
+        {
+            "l_partkey": pc.cast(t.column("p_partkey"), pa.int64()),
+            "p_brand": t.column("p_brand"),
+            "p_size": pc.cast(t.column("p_size"), pa.int64()),
+        }
+    )
+
+
+def bracket_revenue(lineitem, part_dims: pa.Table, brackets=BRACKETS):
+    """``(n_items, revenue_cents)`` — TPC-H Q19's disjunctive bracket
+    predicate: a lineitem counts iff ANY bracket's conjunction holds
+    (brand match AND part size <= cap AND quantity in range).  Revenue is
+    the exact integer ``price_cents · (100 - disc_cents)`` sum (÷100
+    deferred to the oracle's identical expression).
+
+    Distributed shape: the part dimension broadcasts once via ``ray.put``;
+    each batch hash-joins against it and evaluates the OR-of-ANDs with
+    vectorized Arrow kernels — one scan, single-row partials, no shuffle.
+    """
+    import ray
+
+    dims_ref = ray.put(part_dims)
+
+    class _Bracket:
+        def __init__(self):
+            self.dims = ray.get(dims_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qty = to_cents(batch.column("l_quantity"))  # qty ×100
+            t = pa.table(
+                {
+                    "l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+                    "qty_x100": qty,
+                    "rev": pc.multiply(
+                        to_cents(batch.column("l_extendedprice")),
+                        pc.subtract(
+                            pa.scalar(100, pa.int64()),
+                            to_cents(batch.column("l_discount")),
+                        ),
+                    ),
+                }
+            )
+            j = t.join(self.dims, keys=["l_partkey"], join_type="inner")
+            keep = None
+            for brand, max_size, q_lo, q_hi in brackets:
+                cond = pc.and_(
+                    pc.and_(
+                        pc.equal(j.column("p_brand"), brand),
+                        pc.less_equal(j.column("p_size"),
+                                      pa.scalar(max_size, pa.int64())),
+                    ),
+                    pc.and_(
+                        pc.greater_equal(j.column("qty_x100"),
+                                         pa.scalar(q_lo * 100, pa.int64())),
+                        pc.less_equal(j.column("qty_x100"),
+                                      pa.scalar(q_hi * 100, pa.int64())),
+                    ),
+                )
+                keep = cond if keep is None else pc.or_(keep, cond)
+            hit = j.filter(keep)
+            return pa.table(
+                {
+                    "n_items": pa.array([len(hit)], pa.int64()),
+                    "revenue_cents_x100": pa.array(
+                        [pc.sum(hit.column("rev")).as_py() or 0], pa.int64()
+                    ),
+                }
+            )
+
+    from ..poolsize import autoscale_pool
+
+    partials = lineitem.map_batches(
+        _Bracket, batch_format="pyarrow", concurrency=autoscale_pool(1),
+        num_cpus=0.5,
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_items": pa.array(
+                    [pc.sum(batch.column("n_items")).as_py() or 0], pa.int64()
+                ),
+                "revenue_cents_x100": pa.array(
+                    [pc.sum(batch.column("revenue_cents_x100")).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return partials.repartition(1).map_batches(final, batch_format="pyarrow")

@@ -158,3 +158,77 @@ def test_fuzz_dormant_customers(ray_session, con, trial):
         GROUP BY 1""").df())
     assert len(got) == len(want), cutoff
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_fuzz_late_shipment_priority(ray_session, con, trial):
+    import ray.data
+
+    from spider_ray.ops.tpch2 import late_shipment_priority
+
+    rng = random.Random(9000 + trial)
+    lo = rng.choice([10, 20, 30, 45])
+    hi = lo + rng.choice([15, 30, 60])
+    li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    got = _canon(
+        late_shipment_priority(li, orders, band_days=(lo, hi)).to_pandas()
+    )
+    want = _canon(con.sql(f"""
+        SELECT CASE
+          WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+               <= {lo} * 86400000000 THEN 'on_time'
+          WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate)
+               <= {hi} * 86400000000 THEN 'late'
+          ELSE 'very_late' END AS lateness_band,
+          sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+          sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1""").df())
+    assert len(got) == len(want), (lo, hi)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_fuzz_bracket_revenue(ray_session, con, trial):
+    import ray.data
+
+    from spider_ray.ops.tpch2 import bracket_revenue, part_size_brand
+
+    rng = random.Random(9500 + trial)
+    brackets = []
+    for _ in range(rng.randint(1, 4)):
+        b = rng.randint(1, 45)
+        size = rng.randint(3, 40)
+        q_lo = rng.randint(1, 30)
+        q_hi = q_lo + rng.randint(2, 15)
+        brackets.append((f"Brand#{b}", size, q_lo, q_hi))
+    li = ray.data.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    got = _canon(
+        bracket_revenue(li, part_size_brand(SF_DIR),
+                        brackets=tuple(brackets)).to_pandas()
+    )
+    preds = " OR ".join(
+        f"(p.p_brand = '{br}' AND p.p_size <= {sz} "
+        f"AND l.l_quantity BETWEEN {ql} AND {qh})"
+        for br, sz, ql, qh in brackets
+    )
+    want = _canon(con.sql(f"""
+        SELECT count(*)::BIGINT AS n_items,
+          coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+          (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)::BIGINT
+          AS revenue_cents_x100
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE {preds}""").df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
