@@ -1077,6 +1077,20 @@ def q_ivf_ann(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ADC top-k (codes, not floats, at scan time —
+    the memory-side ANN scale path; golden = independent sequential
+    recompute of the pinned spec)."""
+    from spider_ray.ops.similarity import pq_top_k
+
+    emb = _emb(sf_dir)
+    queries = np.array(
+        [r["embedding"] for r in emb.sort("vec_id").limit(5).take_all()],
+        dtype=np.float64,
+    )
+    return pq_top_k(emb, queries, k=10, m=4, nbits=4)
+
+
 def q_simhash(sf_dir: str):
     from spider_ray.ops.dedup import simhash_signatures
 
@@ -2047,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "pq_ann": q_pq_ann,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,

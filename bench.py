@@ -182,6 +182,12 @@ def run_bench() -> dict:
     lsh_top_k(emb, qvecs, k=10, n_planes=8)
     queries["lsh_ann"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.similarity import pq_top_k
+
+    t0 = time.perf_counter()
+    pq_top_k(emb, qvecs[:5], k=10, m=4, nbits=4)
+    queries["pq_ann"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.ngrams import bigram_topk
     from spider_ray.ops.packing import pack_sequences
     from spider_ray.ops.sampling import stratified_sample

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .hashing import stable_hash_str
 
-GOLDEN_VERSION = 38
+GOLDEN_VERSION = 39
 
 TESTDATA_BASE = "/root/testdata"
 
@@ -1323,6 +1323,7 @@ def _build_ops_goldens(sf_dir: str, out: dict[str, pa.Table]) -> None:
         out["embedding_pca"] = seq_embedding_pca(sf_dir)
         out["semdedup"] = seq_semdedup(sf_dir)
         out["kcenter_coreset"] = seq_kcenter(sf_dir)
+        out["pq_ann"] = seq_pq_ann(sf_dir)
     out["simhash"] = pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
@@ -1490,6 +1491,60 @@ def _read_unit_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     m = flat.reshape(len(ids), -1)
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     return ids, m
+
+
+def seq_pq_ann(sf_dir: str, k: int = 10, m: int = 4, nbits: int = 4) -> pa.Table:
+    """Independent PQ-ADC recompute (ops/similarity.pq_top_k pinned spec):
+    codebook rows = the 2^nbits Knuth-min vec_ids' unit rows (ascending-id
+    order), codebook_j = contiguous subspace slice (not renormalized),
+    codes by first-min argmin of round(lane-wise ||x_j - c||^2, 9), ADC
+    distance = integer sum of round(d2, 9)*1e9 per subspace, queries = the
+    5 lowest vec_ids, top-k by (adist asc, vec_id asc)."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_ids = np.asarray(emb.column("vec_id"))
+    order = np.argsort(vec_ids)
+    vec_ids = vec_ids[order]
+    mat = np.asarray(
+        emb.column("embedding").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(emb.num_rows, -1)[order]
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n = len(vec_ids)
+    n_codes = 1 << nbits
+    h = (vec_ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    sel_rows = np.sort(np.lexsort((vec_ids, h))[: min(n_codes, n)])
+    cents = mat[sel_rows]
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    d = cents.shape[1]
+    sub = d // m
+    qn = mn[:5]
+    adc = np.zeros((qn.shape[0], m, cents.shape[0]), dtype=np.int64)
+    dist = np.zeros((n, qn.shape[0]), dtype=np.int64)
+    for j in range(m):
+        lo, hi = j * sub, (j + 1) * sub
+        cj = cents[:, lo:hi]
+        qd2 = np.round(np.sum((qn[:, lo:hi][:, None, :] - cj[None, :, :]) ** 2,
+                              axis=2), 9)
+        adc[:, j, :] = np.rint(qd2 * 1e9).astype(np.int64)
+        vd2 = np.round(np.sum((mn[:, lo:hi][:, None, :] - cj[None, :, :]) ** 2,
+                              axis=2), 9)
+        codes = np.argmin(vd2, axis=1)
+        dist += adc[:, j, :][:, codes].T
+    out_q, out_id, out_rank, out_d = [], [], [], []
+    for qi in range(qn.shape[0]):
+        sel = np.lexsort((vec_ids, dist[:, qi]))[:k]
+        for rank, row in enumerate(sel, 1):
+            out_q.append(qi)
+            out_id.append(int(vec_ids[row]))
+            out_rank.append(rank)
+            out_d.append(int(dist[row, qi]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "adist_x1e9": pa.array(out_d, pa.int64()),
+        }
+    )
 
 
 def seq_kcenter(sf_dir: str, k: int = 8) -> pa.Table:
@@ -1670,6 +1725,7 @@ GOLDEN_QUERIES = (
     "embedding_pca",
     "semdedup",
     "kcenter_coreset",
+    "pq_ann",
     "dup_ngram_spans",
     "remove_dup_spans",
     "simhash",

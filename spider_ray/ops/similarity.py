@@ -444,3 +444,130 @@ def cosine_near_dup_bucketed(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) top-k
+# ---------------------------------------------------------------------------
+
+
+def pq_top_k(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    m: int = 4,
+    nbits: int = 4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """Product-quantization approximate top-k (the memory-side ANN scale
+    path: vectors compress to ``m`` sub-codes, queries scan CODES, not
+    floats — at 100 TB the float matrix never has to exist).
+
+    Pinned spec (bit-replicated by the sequential golden):
+
+    * codebook rows = the :func:`ivf_cells` deterministic selection of the
+      ``2^nbits`` Knuth-min vec_ids (unit rows, ascending-id order);
+      ``codebook_j`` is contiguous slice ``j`` of those rows — NOT
+      renormalized per subspace;
+    * ``code_j(x)`` = argmin over codes of ``round(||x_j - c||², 9)``
+      computed with the explicit lane-wise ``sum((x-c)**2)`` expression
+      (batch-shape-invariant, unlike a GEMM identity), first-min → lowest
+      code; ``x`` is the unit row;
+    * ADC distance = ``Σ_j int64(round(||q_j - cb_j[code_j]||², 9)·1e9)``
+      — integer sums, accumulation-order-free;
+    * top-``k`` per query by ``(adist_x1e9 asc, vec_id asc)``.
+
+    Recall < 1 by construction (tested against the brute-force baseline).
+    Scale shape: the ≤ ``2^nbits × d`` codebook matrix and the
+    ``queries × m × 2^nbits`` int64 ADC tables broadcast once; each block
+    encodes itself and emits ``k``-per-query partials; the driver folds
+    O(blocks · k · queries) slim rows.
+    """
+    import heapq
+
+    import ray
+
+    queries = np.asarray(queries, dtype=np.float64)
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-12
+    )
+    n_codes = 1 << nbits
+    _, cents = ivf_cells(ds, n_codes, column, id_column)
+    d = cents.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    # per-query integer ADC tables: adc[qi, j, c]
+    adc = np.zeros((qn.shape[0], m, cents.shape[0]), dtype=np.int64)
+    for j in range(m):
+        qj = qn[:, j * sub : (j + 1) * sub]
+        cj = cents[:, j * sub : (j + 1) * sub]
+        d2 = np.round(
+            np.sum((qj[:, None, :] - cj[None, :, :]) ** 2, axis=2), 9
+        )
+        adc[:, j, :] = np.rint(d2 * 1e9).astype(np.int64)
+
+    cents_ref = ray.put(cents)
+    adc_ref = ray.put(adc)
+
+    class _PQScorer:
+        def __init__(self):
+            self.cents = ray.get(cents_ref)
+            self.adc = ray.get(adc_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _batch_matrix(batch, column)
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            ids = np.asarray(batch.column(id_column), dtype=np.int64)
+            n = v.shape[0]
+            dist = np.zeros((n, self.adc.shape[0]), dtype=np.int64)
+            for j in range(m):
+                vj = v[:, j * sub : (j + 1) * sub]
+                cj = self.cents[:, j * sub : (j + 1) * sub]
+                d2 = np.round(
+                    np.sum((vj[:, None, :] - cj[None, :, :]) ** 2, axis=2), 9
+                )
+                codes = np.argmin(d2, axis=1)  # first-min -> lowest code
+                dist += self.adc[:, j, :][:, codes].T
+            qs, vids, dists = [], [], []
+            for qi in range(dist.shape[1]):
+                order = np.lexsort((ids, dist[:, qi]))[:k]
+                qs.extend([qi] * len(order))
+                vids.extend(ids[order].tolist())
+                dists.extend(dist[order, qi].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(qs, pa.int64()),
+                    "vec_id": pa.array(vids, pa.int64()),
+                    "adist_x1e9": pa.array(dists, pa.int64()),
+                }
+            )
+
+    partial = ds.map_batches(
+        _PQScorer, batch_format="pyarrow", batch_size=1024, concurrency=2
+    )
+    heaps: dict[int, list] = {}
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        for q, vid, dd in zip(
+            b.column("query_id").to_pylist(),
+            b.column("vec_id").to_pylist(),
+            b.column("adist_x1e9").to_pylist(),
+        ):
+            heaps.setdefault(q, []).append((dd, vid))
+    rows_q, rows_id, rows_rank, rows_d = [], [], [], []
+    for q in sorted(heaps):
+        for rank, (dd, vid) in enumerate(heapq.nsmallest(k, heaps[q]), 1):
+            rows_q.append(q)
+            rows_id.append(vid)
+            rows_rank.append(rank)
+            rows_d.append(dd)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "rank": pa.array(rows_rank, pa.int64()),
+            "adist_x1e9": pa.array(rows_d, pa.int64()),
+        }
+    )

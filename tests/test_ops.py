@@ -594,3 +594,31 @@ def test_ivf_cells_distributed_selection(ray_session):
     assert cents.shape == (32, dim)
     # normalized, ascending-id order
     assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+
+def test_pq_top_k_recall_and_batch_invariance(emb_ds, ray_session):
+    """PQ-ADC recall vs the exact baseline, plus batch-size invariance of
+    the pinned lane-wise distance spec (the reason the spec avoids a GEMM
+    identity)."""
+    import numpy as np
+
+    from spider_ray.ops.similarity import brute_force_top_k, pq_top_k
+
+    queries = np.array(
+        [r["embedding"] for r in emb_ds.sort("vec_id").limit(5).take_all()],
+        dtype=np.float64,
+    )
+    exact = brute_force_top_k(emb_ds, queries, k=10)
+    approx = pq_top_k(emb_ds, queries, k=10, m=4, nbits=4)
+    ex = {(q, v) for q, v in zip(exact.column("query_id").to_pylist(),
+                                 exact.column("vec_id").to_pylist())}
+    ap = {(q, v) for q, v in zip(approx.column("query_id").to_pylist(),
+                                 approx.column("vec_id").to_pylist())}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.2  # 16-code 4-subspace compression is lossy...
+    assert len(ap) == len(ex)  # ...but every query still fills its k
+    # batch-shape invariance: a different block split gives identical rows
+    again = pq_top_k(emb_ds.repartition(7), queries, k=10, m=4, nbits=4)
+    assert approx.sort_by([("query_id", "ascending"), ("rank", "ascending")]).equals(
+        again.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    )
