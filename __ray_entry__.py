@@ -1077,6 +1077,16 @@ def q_ivf_ann(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_knn_graph(sf_dir: str):
+    """EXACT k-NN graph via block-pair task fan-out + one coarse
+    hash(vec_id) top-k co-group; round-6 similarity is the op spec (the
+    precision at which DuckDB's list_cosine_similarity over DOUBLE casts
+    agrees bit-for-bit with the numpy GEMM — pure-SQL oracle)."""
+    from spider_ray.ops.similarity import knn_graph
+
+    return knn_graph(_emb(sf_dir), k=5)
+
+
 def q_pq_ann(sf_dir: str):
     """Product-quantization ADC top-k (codes, not floats, at scan time —
     the memory-side ANN scale path; golden = independent sequential
@@ -2062,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
+        "knn_graph": q_knn_graph,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -2200,6 +2211,16 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "knn_graph": (
+            "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]), 6) AS c "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), "
+            "r AS (SELECT vec_id, neighbor_id, c, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY c DESC, neighbor_id) AS rk FROM s) "
+            "SELECT vec_id, neighbor_id, rk AS rank, "
+            "CAST(round(c * 1e6) AS BIGINT) AS sim_x1e6 FROM r WHERE rk <= 5"
         ),
         "late_shipment_priority": (
             "SELECT CASE "

@@ -188,6 +188,12 @@ def run_bench() -> dict:
     pq_top_k(emb, qvecs[:5], k=10, m=4, nbits=4)
     queries["pq_ann"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.similarity import knn_graph
+
+    t0 = time.perf_counter()
+    knn_graph(emb, k=5).count()
+    queries["knn_graph"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.ngrams import bigram_topk
     from spider_ray.ops.packing import pack_sequences
     from spider_ray.ops.sampling import stratified_sample

@@ -622,3 +622,21 @@ def test_pq_top_k_recall_and_batch_invariance(emb_ds, ray_session):
     assert approx.sort_by([("query_id", "ascending"), ("rank", "ascending")]).equals(
         again.sort_by([("query_id", "ascending"), ("rank", "ascending")])
     )
+
+
+def test_knn_graph_block_invariance(emb_ds, ray_session):
+    """Exact k-NN graph must be independent of the block split (the
+    block-pair fan-out + coarse co-group top-k is partition-invariant)."""
+    from spider_ray.ops.similarity import knn_graph
+
+    def canon(out):
+        return out.to_pandas().sort_values(
+            ["vec_id", "rank"]).reset_index(drop=True)
+
+    a = canon(knn_graph(emb_ds, k=5))
+    b = canon(knn_graph(emb_ds, k=5, target_block_rows=97))
+    assert len(a) and a.equals(b)
+    # every vector appears with exactly min(k, n-1) neighbors
+    n = emb_ds.count()
+    counts = a.groupby("vec_id").size()
+    assert (counts == min(5, n - 1)).all()
