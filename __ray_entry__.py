@@ -1077,6 +1077,18 @@ def q_ivf_ann(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-weighted source mixing (α-sampling): integer-exact
+    per-source epoch weights from one slim count fold, then the
+    source_mix row-local expansion."""
+    from spider_ray.ops.sampling import temperature_mix
+
+    return temperature_mix(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        alpha=0.5, budget=5000,
+    )
+
+
 def q_knn_graph(sf_dir: str):
     """EXACT k-NN graph via block-pair task fan-out + one coarse
     hash(vec_id) top-k co-group; round-6 similarity is the op spec (the
@@ -2073,6 +2085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": q_ivf_ann,
         "pq_ann": q_pq_ann,
         "knn_graph": q_knn_graph,
+        "temperature_mix": q_temperature_mix,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -2211,6 +2224,23 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "temperature_mix": (
+            "WITH n AS (SELECT source, count(*)::BIGINT AS n "
+            "FROM documents GROUP BY 1), "
+            "a AS (SELECT source, n, "
+            "CAST(round(power(n, 0.5) * 1e6) AS BIGINT) AS am FROM n), "
+            "s AS (SELECT sum(am)::BIGINT AS tot FROM a), "
+            "w AS (SELECT source, "
+            "((5000::BIGINT * am * 100) // (tot * n))::BIGINT AS wx "
+            "FROM a, s), "
+            "c AS (SELECT d.doc_id, d.source, (wx // 100) + "
+            "(CASE WHEN (d.doc_id * 2654435761) % 4294967296 < "
+            "((wx % 100) * 4294967296) // 100 THEN 1 ELSE 0 END) AS nrep "
+            "FROM documents d JOIN w USING (source)) "
+            "SELECT doc_id, source, "
+            "unnest(generate_series(0, (nrep - 1)::INT))::BIGINT AS copy_id "
+            "FROM c WHERE nrep > 0"
         ),
         "knn_graph": (
             "WITH s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "

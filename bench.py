@@ -531,6 +531,12 @@ def run_bench() -> dict:
     source_mix(docs_mix, {"src0": 250, "src1": 0, "src2": 130, "src3": 300}).count()
     queries["source_mix"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.sampling import temperature_mix
+
+    t0 = time.perf_counter()
+    temperature_mix(docs_mix, alpha=0.5, budget=5000).count()
+    queries["temperature_mix"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.linededup import global_line_dedup, normalize_pages
 
     t0 = time.perf_counter()

@@ -435,3 +435,38 @@ def token_budget_trim(docs, budget_tokens: int = 5_000,
             }
         )
     )
+
+
+def temperature_mix(ds, alpha: float = 0.5, budget: int = 5000,
+                    key_col: str = "doc_id", source_col: str = "source"):
+    """Temperature-weighted source mixing — the multilingual α-sampling
+    recipe (sample source i with probability ∝ n_i^α; α < 1 upweights
+    small sources): per-source targets derive from the corpus counts and
+    the expansion reuses :func:`source_mix`'s exact fractional-epoch
+    machinery, emitting ``(doc_id, source, copy_id)``.
+
+    Integer-exact weight spec (shared bit-for-bit with the SQL oracle):
+    ``a_i = round_half_away(n_i^α · 1e6)`` (the ONLY float op — C libm
+    ``pow`` on both engines), ``S = Σ a_i`` (exact int),
+    ``w_i(×100 epochs) = (budget · a_i · 100) // (S · n_i)``.
+    Per-source counts fold through one slim distributed
+    ``groupby(source).count`` — sources are bounded (tens), so the
+    driver holds O(sources) rows; everything after is stateless row-local
+    expansion.
+    """
+    import math
+
+    counts = {
+        r[source_col]: int(r["count()"])
+        for r in ds.groupby(source_col).count().take_all()
+    }
+    a = {
+        s: int(math.floor(math.pow(n, alpha) * 1e6 + 0.5))
+        for s, n in counts.items()
+    }
+    S = sum(a.values())
+    weights_x100 = {
+        s: (budget * a[s] * 100) // (S * n) for s, n in counts.items()
+    }
+    return source_mix(ds, weights_x100, default_x100=0,
+                      key_col=key_col, source_col=source_col)

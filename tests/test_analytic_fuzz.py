@@ -115,3 +115,38 @@ def test_fuzz_event_trigrams(ray_session, con, trial):
         GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT {k}""").df())
     assert len(got) == len(want), k
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("trial", range(N_TRIALS))
+def test_fuzz_temperature_mix(ray_session, con, trial):
+    """Randomized (alpha, budget) parity for the α-sampling weights —
+    the pow→round-1e6 quantization plus all-integer arithmetic must track
+    the identical SQL expression for every parameter draw."""
+    import ray.data
+
+    from spider_ray.ops.sampling import temperature_mix
+
+    rng = random.Random(8800 + trial)
+    alpha = rng.choice([0.2, 0.3, 0.5, 0.7, 0.9])
+    budget = rng.choice([500, 2_000, 5_000, 20_000])
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
+    )
+    got = _canon(temperature_mix(docs, alpha=alpha, budget=budget).to_pandas())
+    want = _canon(con.sql(f"""
+        WITH n AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        a AS (SELECT source, n,
+              CAST(round(power(n, {alpha}) * 1e6) AS BIGINT) AS am FROM n),
+        s AS (SELECT sum(am)::BIGINT AS tot FROM a),
+        w AS (SELECT source,
+              (({budget}::BIGINT * am * 100) // (tot * n))::BIGINT AS wx
+              FROM a, s),
+        c AS (SELECT d.doc_id, d.source, (wx // 100) +
+              (CASE WHEN (d.doc_id * 2654435761) % 4294967296 <
+               ((wx % 100) * 4294967296) // 100 THEN 1 ELSE 0 END) AS nrep
+              FROM documents d JOIN w USING (source))
+        SELECT doc_id, source,
+          unnest(generate_series(0, (nrep - 1)::INT))::BIGINT AS copy_id
+        FROM c WHERE nrep > 0""").df())
+    assert len(got) == len(want), (alpha, budget)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
