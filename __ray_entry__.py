@@ -1077,6 +1077,24 @@ def q_ivf_ann(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source n-gram contamination matrix: distinct (gram, source)
+    partials -> one hash(gram) co-group -> length-vectorized per-gram
+    pair generation -> <= C(sources,2)-row fold."""
+    from spider_ray.ops.corpusstats import source_overlap
+
+    return source_overlap(_docs(sf_dir), n=3)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weight-proportional sample without replacement
+    (RNG-free reproducible uniforms, per-block top-k partials, O(blocks*k)
+    driver fold)."""
+    from spider_ray.ops.sampling import weighted_sample_k
+
+    return weighted_sample_k(_docs(sf_dir), k=100)
+
+
 def q_temperature_mix(sf_dir: str):
     """Temperature-weighted source mixing (α-sampling): integer-exact
     per-source epoch weights from one slim count fold, then the
@@ -2086,6 +2104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann": q_pq_ann,
         "knn_graph": q_knn_graph,
         "temperature_mix": q_temperature_mix,
+        "weighted_sample": q_weighted_sample,
+        "source_overlap": q_source_overlap,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -2224,6 +2244,29 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "source_overlap": (
+            r"WITH words AS (SELECT source, "
+            r"regexp_extract_all(lower(coalesce(text, '')), '\S+') AS w "
+            r"FROM documents), "
+            r"grams AS (SELECT DISTINCT source, unnest(list_transform("
+            r"generate_series(1, greatest(len(w)-2, 0)), "
+            r"i -> array_to_string(w[i:i+2], ' '))) AS g FROM words) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "count(*)::BIGINT AS n_shared "
+            "FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source "
+            "GROUP BY 1, 2"
+        ),
+        "weighted_sample": (
+            r"WITH t AS (SELECT doc_id, "
+            r"length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT "
+            r"AS n_tokens FROM documents), "
+            "k AS (SELECT doc_id, n_tokens, "
+            "power(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0, "
+            "1.0 / greatest(n_tokens, 1)) AS ky FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "row_number() OVER (ORDER BY ky DESC, doc_id ASC) AS rank "
+            "FROM k ORDER BY ky DESC, doc_id ASC LIMIT 100"
         ),
         "temperature_mix": (
             "WITH n AS (SELECT source, count(*)::BIGINT AS n "

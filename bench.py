@@ -537,6 +537,18 @@ def run_bench() -> dict:
     temperature_mix(docs_mix, alpha=0.5, budget=5000).count()
     queries["temperature_mix"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.sampling import weighted_sample_k
+
+    t0 = time.perf_counter()
+    weighted_sample_k(docs, k=100)
+    queries["weighted_sample"] = round(time.perf_counter() - t0, 3)
+
+    from spider_ray.ops.corpusstats import source_overlap
+
+    t0 = time.perf_counter()
+    source_overlap(docs, n=3).count()
+    queries["source_overlap"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.linededup import global_line_dedup, normalize_pages
 
     t0 = time.perf_counter()

@@ -489,3 +489,133 @@ def length_trim(ds, group_col: str = "lang", value_col: str = "n_chars",
     return ds.select_columns([id_col, group_col, value_col]).map_batches(
         Trim, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5
     )
+
+
+def source_overlap(ds, n: int = 3, text_col: str = "text",
+                   source_col: str = "source"):
+    """Cross-source contamination matrix: ``(source_a, source_b,
+    n_shared)`` — how many DISTINCT word ``n``-grams each unordered source
+    pair has in common (``source_a < source_b``).  The report a curation
+    pipeline reads before trusting per-source dedup boundaries.
+
+    Scale shape: per-batch DISTINCT ``(gram, source)`` partials (set
+    semantics collapse in-batch repeats), ONE shuffle keyed by
+    ``hash(gram)`` co-locates every holder of a gram, and the partition
+    re-dedups then generates per-gram source pairs with run-length
+    segments vectorized BY SEGMENT LENGTH (sources are bounded — tens —
+    so lengths are tiny and each length class is one numpy gather; no
+    per-gram Python).  Only ``(pair, count)`` partials leave a partition;
+    the final fold is <= C(sources, 2) rows.
+    """
+    from itertools import combinations
+
+    from ..poolsize import coarse_fanout
+    from .tfidf import term_hash_parts
+    from .textstats import _TOKEN_RE
+
+    nparts = coarse_fanout(floor=256, per_cpu=8)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, str]] = set()
+        for src, t in zip(
+            batch.column(source_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = [w.lower() for w in _TOKEN_RE.findall(t or "")]
+            for i in range(len(toks) - n + 1):
+                seen.add((" ".join(toks[i : i + n]), src))
+        if not seen:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "src": pa.array([], pa.string()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        grams, srcs = zip(*seen)
+        g_arr = pa.array(grams, pa.string())
+        return pa.table(
+            {
+                "g": g_arr,
+                "src": pa.array(srcs, pa.string()),
+                "part": term_hash_parts(g_arr, nparts),
+            }
+        )
+
+    def pair_partition(group: pa.Table) -> pa.Table:
+        t = (
+            group.select(["g", "src"])
+            .group_by(["g", "src"])
+            .aggregate([])  # global distinct: the gram-hash routing makes it so
+        )
+        enc = pc.dictionary_encode(t.column("g").combine_chunks())
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        src = np.asarray(t.column("src"))
+        order = np.lexsort((src, codes))
+        codes, src = codes[order], src[order]
+        m = len(codes)
+        if m == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        new = np.ones(m, dtype=bool)
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        lengths = np.diff(np.append(starts, m))
+        out_a, out_b = [], []
+        # vectorize by segment LENGTH: sources per gram are bounded (tens),
+        # so each length class is one gather over all its segments
+        for L in np.unique(lengths):
+            if L < 2:
+                continue
+            S = starts[lengths == L]
+            ai, bi = zip(*combinations(range(int(L)), 2))
+            ai = np.asarray(ai, dtype=np.int64)
+            bi = np.asarray(bi, dtype=np.int64)
+            out_a.append(src[(S[:, None] + ai[None, :]).ravel()])
+            out_b.append(src[(S[:, None] + bi[None, :]).ravel()])
+        if not out_a:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        t2 = pa.table(
+            {
+                "source_a": pa.array(a, pa.string()),
+                "source_b": pa.array(b, pa.string()),
+                "n_shared": pa.nulls(len(a), pa.int64()).fill_null(1),
+            }
+        )
+        return (
+            t2.group_by(["source_a", "source_b"])
+            .aggregate([("n_shared", "sum")])
+            .rename_columns(["source_a", "source_b", "n_shared"])
+        )
+
+    rolled = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_partition, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .sum("n_shared")
+    )
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "source_a": b.column("source_a"),
+                "source_b": b.column("source_b"),
+                "n_shared": pc.cast(b.column("sum(n_shared)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

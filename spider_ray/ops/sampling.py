@@ -470,3 +470,61 @@ def temperature_mix(ds, alpha: float = 0.5, budget: int = 5000,
     }
     return source_mix(ds, weights_x100, default_x100=0,
                       key_col=key_col, source_col=source_col)
+
+
+def weighted_sample_k(ds, k: int = 100, key_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Deterministic weight-proportional sample WITHOUT replacement —
+    Efraimidis–Spirakis A-ES over a reproducible uniform: each doc draws
+    ``u = ((knuth(id) mod 2³²) + 1) / (2³² + 1)`` and ranks by
+    ``u^(1/w)`` with ``w`` = its whitespace token count (longer docs
+    proportionally likelier); the global top-``k`` keys ARE the sample.
+    RNG-free (the repo's Knuth-hash membership convention), so the SQL
+    oracle evaluates the identical ``power()`` expression.
+
+    Scale shape: keys are row-local; each block emits its top-``k``
+    partial and the driver merges O(blocks·k) slim rows — the
+    brute-force-top-k fold, no shuffle, no full sort.  Returns
+    ``(doc_id, n_tokens, rank)`` ordered by the sampling key.
+    """
+    import heapq
+
+    from .textstats import _TOKEN_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = np.fromiter(
+            (len(_TOKEN_RE.findall(t or "")) for t in
+             batch.column(text_col).to_pylist()),
+            dtype=np.int64, count=len(ids),
+        )
+        w = np.maximum(toks, 1)  # zero-token docs sample as weight 1
+        u = ((_bucket(ids).astype(np.float64)) + 1.0) / float((1 << 32) + 1)
+        key = u ** (1.0 / w)
+        sel = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "n_tokens": pa.array(toks[sel], pa.int64()),
+                "key": pa.array(key[sel], pa.float64()),
+            }
+        )
+
+    heap: list = []
+    for b in ds.select_columns([key_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for i, t, ky in zip(
+            b.column("doc_id").to_pylist(),
+            b.column("n_tokens").to_pylist(),
+            b.column("key").to_pylist(),
+        ):
+            heap.append((-ky, i, t))
+    out = heapq.nsmallest(k, heap)
+    return pa.table(
+        {
+            "doc_id": pa.array([i for _, i, _ in out], pa.int64()),
+            "n_tokens": pa.array([t for _, _, t in out], pa.int64()),
+            "rank": pa.array(range(1, len(out) + 1), pa.int64()),
+        }
+    )
