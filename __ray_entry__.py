@@ -1077,6 +1077,16 @@ def q_ivf_ann(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_near_dup_incremental(sf_dir: str):
+    """Incremental NEAR-dup vs the ingested generation (fuzzy sibling of
+    dedup_against_corpus): minhash_dedup pair spec over the union, fresh
+    docs with a confirmed cross-generation pair dropped via the 3-tier
+    anti semi-join."""
+    from spider_ray.ops.dedup import near_dup_against_corpus
+
+    return near_dup_against_corpus(_docs(sf_dir), threshold=0.5)
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source n-gram contamination matrix: distinct (gram, source)
     partials -> one hash(gram) co-group -> length-vectorized per-gram
@@ -2106,6 +2116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "weighted_sample": q_weighted_sample,
         "source_overlap": q_source_overlap,
+        "near_dup_incremental": q_near_dup_incremental,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -2244,6 +2255,16 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "near_dup_incremental": (
+            f"WITH pairs AS (SELECT * FROM "
+            f"read_parquet('{golden_path('sf0.01', 'minhash_pairs')}')), "
+            "drops AS (SELECT doc_b AS d FROM pairs "
+            "WHERE doc_b % 2 = 1 AND doc_a % 2 = 0 "
+            "UNION SELECT doc_a FROM pairs "
+            "WHERE doc_a % 2 = 1 AND doc_b % 2 = 0) "
+            "SELECT doc_id, source FROM documents "
+            "WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT d FROM drops)"
         ),
         "source_overlap": (
             r"WITH words AS (SELECT source, "

@@ -549,6 +549,12 @@ def run_bench() -> dict:
     source_overlap(docs, n=3).count()
     queries["source_overlap"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.dedup import near_dup_against_corpus
+
+    t0 = time.perf_counter()
+    near_dup_against_corpus(docs, threshold=0.5).count()
+    queries["near_dup_incremental"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.linededup import global_line_dedup, normalize_pages
 
     t0 = time.perf_counter()

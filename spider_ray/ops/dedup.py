@@ -817,3 +817,61 @@ def near_dup_canonical(ds, threshold: float = 0.5, **kwargs) -> pa.Table:
             "n_dropped": pa.array([n_members[c] - 1 for c in cls], pa.int64()),
         }
     )
+
+
+def near_dup_against_corpus(
+    docs,
+    threshold: float = 0.5,
+    id_column: str = "doc_id",
+    source_col: str = "source",
+    is_ref=None,
+    **kwargs,
+):
+    """Incremental NEAR-dup against an ingested reference generation — the
+    fuzzy sibling of :func:`dedup_against_corpus`: fresh docs whose
+    verified Jaccard similarity to ANY reference doc meets ``threshold``
+    are dropped; survivors return as slim ``(doc_id, source)`` rows.
+
+    ``is_ref(ids) -> bool mask`` splits generations (default: even ids =
+    ingested reference, odd = fresh — the ``pipelines/incremental``
+    convention).  The pair spec is EXACTLY :func:`minhash_dedup` over the
+    union (same LSH bands, same chunk-capped buckets, same distributed
+    shingle-join verify), so the confirmed-pair golden is shared; this op
+    adds only the cross-generation interpretation: a fresh doc with a
+    confirmed pair whose other end is a reference doc is a drop.  The
+    drop-id set stays a Dataset end to end
+    (:func:`~spider_ray.ops.joins.semi_join_ids` anti-join — broadcast /
+    bloom / cogroup by size); no driver id sets."""
+    from .joins import semi_join_ids
+
+    if is_ref is None:
+        def is_ref(ids):
+            return (ids & 1) == 0
+
+    pairs = minhash_dedup(docs, threshold=threshold, id_column=id_column,
+                          **kwargs)
+
+    def cross_drops(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ra, rb = is_ref(a), is_ref(b)
+        drops = np.concatenate([b[ra & ~rb], a[rb & ~ra]])
+        return pa.table({id_column: pa.array(np.unique(drops), pa.int64())})
+
+    drop_ids = pairs.map_batches(cross_drops, batch_format="pyarrow")
+
+    def fresh_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~is_ref(ids)
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_column: pc.cast(t.column(id_column), pa.int64()),
+                source_col: t.column(source_col),
+            }
+        )
+
+    fresh = docs.select_columns([id_column, source_col]).map_batches(
+        fresh_only, batch_format="pyarrow"
+    )
+    return semi_join_ids(fresh, drop_ids, id_column=id_column, anti=True)
