@@ -1077,6 +1077,15 @@ def q_ivf_ann(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def q_token_percentiles(sf_dir: str):
+    """Within-source percentile ranks via a bounded histogram fold +
+    broadcast cumulative table + vectorized searchsorted (no per-doc
+    shuffle, no window sort)."""
+    from spider_ray.ops.corpusstats import token_percentiles
+
+    return token_percentiles(_docs(sf_dir))
+
+
 def q_near_dup_incremental(sf_dir: str):
     """Incremental NEAR-dup vs the ingested generation (fuzzy sibling of
     dedup_against_corpus): minhash_dedup pair spec over the union, fresh
@@ -2117,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "source_overlap": q_source_overlap,
         "near_dup_incremental": q_near_dup_incremental,
+        "token_percentiles": q_token_percentiles,
         "simhash": q_simhash,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -2255,6 +2265,16 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_parity": (
             f"SELECT url, text FROM read_parquet('{corpus_glob}') "
             "WHERE url NOT LIKE '%robots.txt' AND url NOT LIKE '%sitemap.xml'"
+        ),
+        "token_percentiles": (
+            r"WITH t AS (SELECT doc_id, source, "
+            r"length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT "
+            r"AS n_tokens FROM documents), "
+            "r AS (SELECT doc_id, source, n_tokens, "
+            "rank() OVER (PARTITION BY source ORDER BY n_tokens) AS rk, "
+            "count(*) OVER (PARTITION BY source) AS n FROM t) "
+            "SELECT doc_id, source, n_tokens, "
+            "((rk - 1) * 1000000 // n)::BIGINT AS pct_x1e6 FROM r"
         ),
         "near_dup_incremental": (
             f"WITH pairs AS (SELECT * FROM "

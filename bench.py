@@ -555,6 +555,12 @@ def run_bench() -> dict:
     near_dup_against_corpus(docs, threshold=0.5).count()
     queries["near_dup_incremental"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.corpusstats import token_percentiles
+
+    t0 = time.perf_counter()
+    token_percentiles(docs).count()
+    queries["token_percentiles"] = round(time.perf_counter() - t0, 3)
+
     from spider_ray.ops.linededup import global_line_dedup, normalize_pages
 
     t0 = time.perf_counter()

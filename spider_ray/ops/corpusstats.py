@@ -619,3 +619,100 @@ def source_overlap(ds, n: int = 3, text_col: str = "text",
         ),
         batch_format="pyarrow",
     )
+
+
+def token_percentiles(ds, text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source"):
+    """Within-source percentile rank of every doc's token count —
+    the normalization step that makes quality thresholds comparable
+    ACROSS sources (a p10 web doc and a p10 books doc filter alike even
+    though their raw length distributions differ by orders of magnitude).
+
+    Integer-exact spec (ties share the min rank, SQL ``rank()``):
+    ``pct_x1e6 = (rank - 1) · 1e6 // n_source``.
+
+    Scale shape: one slim tokenize pass folds a ``(source, n_tokens,
+    count)`` HISTOGRAM (distinct token counts are bounded — thousands —
+    regardless of corpus size), the per-source cumulative-below table
+    broadcasts once via ``ray.put``, and a second pass assigns ranks by
+    vectorized ``searchsorted`` — no per-doc shuffle, no window sort.
+    """
+    import ray
+
+    from .textstats import _TOKEN_RE
+
+    def slim(batch: pa.Table) -> pa.Table:
+        toks = np.fromiter(
+            (len(_TOKEN_RE.findall(t or "")) for t in
+             batch.column(text_col).to_pylist()),
+            dtype=np.int64, count=batch.num_rows,
+        )
+        t = pa.table(
+            {
+                "source": batch.column(source_col),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "n": pa.nulls(batch.num_rows, pa.int64()).fill_null(1),
+            }
+        )
+        return (
+            t.group_by(["source", "n_tokens"]).aggregate([("n", "sum")])
+            .rename_columns(["source", "n_tokens", "n"])
+        )
+
+    hist = (
+        ds.select_columns([source_col, text_col])
+        .map_batches(slim, batch_format="pyarrow")
+        .groupby(["source", "n_tokens"])
+        .sum("n")
+    )
+    # the histogram is O(sources × distinct counts) — dimension-class
+    cum: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    acc: dict[str, list] = {}
+    for b in hist.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0 or "source" not in b.column_names:
+            continue
+        for s, v, c in zip(
+            b.column("source").to_pylist(),
+            b.column("n_tokens").to_pylist(),
+            b.column("sum(n)").to_pylist(),
+        ):
+            acc.setdefault(s, []).append((int(v), int(c)))
+    for s, rows in acc.items():
+        rows.sort()
+        vals = np.array([v for v, _ in rows], dtype=np.int64)
+        cnts = np.array([c for _, c in rows], dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        cum[s] = (vals, below, int(cnts.sum()))
+    cum_ref = ray.put(cum)
+
+    class _Assign:
+        def __init__(self):
+            self.cum = ray.get(cum_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = np.fromiter(
+                (len(_TOKEN_RE.findall(t or "")) for t in
+                 batch.column(text_col).to_pylist()),
+                dtype=np.int64, count=batch.num_rows,
+            )
+            srcs = batch.column(source_col).to_pylist()
+            pct = np.empty(batch.num_rows, dtype=np.int64)
+            for i, (s, v) in enumerate(zip(srcs, toks)):
+                vals, below, n = self.cum[s]
+                j = int(np.searchsorted(vals, v))
+                pct[i] = (int(below[j]) * 1_000_000) // n
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+                    "source": batch.column(source_col),
+                    "n_tokens": pa.array(toks, pa.int64()),
+                    "pct_x1e6": pa.array(pct, pa.int64()),
+                }
+            )
+
+    from ..poolsize import autoscale_pool
+
+    return ds.select_columns([id_col, source_col, text_col]).map_batches(
+        _Assign, batch_format="pyarrow", concurrency=autoscale_pool(1),
+        num_cpus=0.5,
+    )
