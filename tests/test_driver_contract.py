@@ -94,6 +94,19 @@ def test_all_queries_run(contract):
         "event_trigrams",
         "token_budget_trim",
         "zipf_slope",
+        # round-4 additions
+        "incremental_curation",
+        "warc_roundtrip",
+        "download_manifest",
+        "bpe_token_counts",
+        "knn_graph",
+        "temperature_mix",
+        "weighted_sample",
+        "source_overlap",
+        "near_dup_incremental",
+        "token_percentiles",
+        "late_shipment_priority",
+        "bracket_revenue",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
