@@ -483,13 +483,14 @@ def weighted_sample_k(ds, k: int = 100, key_col: str = "doc_id",
     oracle evaluates the identical ``power()`` expression.
 
     Scale shape: keys are row-local; each block emits its top-``k``
-    partial and the driver merges O(blocks·k) slim rows — the
-    brute-force-top-k fold, no shuffle, no full sort.  Returns
-    ``(doc_id, n_tokens, rank)`` ordered by the sampling key.
+    partial and the shared
+    :func:`~spider_ray.ops.topkfold.fold_partial_topk` merges the
+    O(blocks·k) slim rows on the driver — a GLOBAL top-k has no group
+    key to co-group by, and the per-block cap already bounds the fold.
+    Returns ``(doc_id, n_tokens, rank)`` ordered by the sampling key.
     """
-    import heapq
-
     from .textstats import _TOKEN_RE
+    from .topkfold import fold_partial_topk
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -510,21 +511,10 @@ def weighted_sample_k(ds, k: int = 100, key_col: str = "doc_id",
             }
         )
 
-    heap: list = []
-    for b in ds.select_columns([key_col, text_col]).map_batches(
+    partials = ds.select_columns([key_col, text_col]).map_batches(
         partial, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow", batch_size=None):
-        for i, t, ky in zip(
-            b.column("doc_id").to_pylist(),
-            b.column("n_tokens").to_pylist(),
-            b.column("key").to_pylist(),
-        ):
-            heap.append((-ky, i, t))
-    out = heapq.nsmallest(k, heap)
-    return pa.table(
-        {
-            "doc_id": pa.array([i for _, i, _ in out], pa.int64()),
-            "n_tokens": pa.array([t for _, _, t in out], pa.int64()),
-            "rank": pa.array(range(1, len(out) + 1), pa.int64()),
-        }
     )
+    folded = fold_partial_topk(
+        partials, k, [("key", "descending"), ("doc_id", "ascending")]
+    )
+    return folded.select(["doc_id", "n_tokens", "rank"])

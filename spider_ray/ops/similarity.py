@@ -12,7 +12,6 @@
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pyarrow as pa
@@ -71,19 +70,42 @@ class CosineScorer:
         )
 
 
+def _round9_prep(batch: pa.Table) -> pa.Table:
+    """Append ``_ord = round(cos_sim, 9)`` with PYTHON ``round`` (the
+    pinned order spec both the old heap fold and the DuckDB oracle use —
+    correctly-rounded decimal, not np.round's scale/rint).  Runs only on
+    k-capped partial rows, never on the corpus."""
+    sims = batch.column("cos_sim").to_pylist()
+    return batch.append_column(
+        "_ord", pa.array([round(s, 9) for s in sims], pa.float64())
+    )
+
+
 def brute_force_top_k(
     ds,
     queries: np.ndarray,
     k: int = 10,
     column: str = "embedding",
     id_column: str = "vec_id",
-    concurrency: int = 2,
+    concurrency=None,
+    fold_mode: str = "driver",
 ):
-    """Global top-k neighbors per query.  Per-batch partial top-k in actors,
-    exact fold on the driver (k × n_queries rows only).  Deterministic
-    tie-break: (−sim rounded to 9 dp, vec_id)."""
+    """Global top-k neighbors per query.  Per-batch partial top-k in an
+    autoscaling actor pool (``poolsize.autoscale_pool()`` — a fixed
+    2-actor pool bottlenecked a full-speed read on anything bigger than
+    the 32-CPU bench box), then the shared
+    :func:`~spider_ray.ops.topkfold.fold_partial_topk`: driver fold of the
+    O(blocks·k·queries) slim partials by default, ``fold_mode="cogroup"``
+    folds them through a coarse ``hash(query_id)`` co-group so only the
+    O(queries·k) winners reach the driver (bit-identical; mode-parity
+    tested).  Deterministic tie-break: (−sim rounded to 9 dp, vec_id)."""
     import ray
 
+    from ..poolsize import autoscale_pool
+    from .topkfold import fold_partial_topk
+
+    if concurrency is None:
+        concurrency = autoscale_pool()
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     partial = ds.map_batches(
         CosineScorer,
@@ -92,30 +114,15 @@ def brute_force_top_k(
         batch_size=1024,
         concurrency=concurrency,
     )
-    heaps: dict[int, list] = {}
-    for batch in partial.iter_batches(batch_format="pyarrow"):
-        for q, vid, sim in zip(
-            batch.column("query_id").to_pylist(),
-            batch.column("vec_id").to_pylist(),
-            batch.column("cos_sim").to_pylist(),
-        ):
-            heaps.setdefault(q, []).append((-round(sim, 9), vid, sim))
-    rows_q, rows_id, rows_rank, rows_sim = [], [], [], []
-    for q in sorted(heaps):
-        best = heapq.nsmallest(k, heaps[q])
-        for rank, (_, vid, sim) in enumerate(best, 1):
-            rows_q.append(q)
-            rows_id.append(vid)
-            rows_rank.append(rank)
-            rows_sim.append(sim)
-    return pa.table(
-        {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "vec_id": pa.array(rows_id, pa.int64()),
-            "rank": pa.array(rows_rank, pa.int64()),
-            "cos_sim": pa.array(rows_sim, pa.float64()),
-        }
+    folded = fold_partial_topk(
+        partial,
+        k,
+        [("_ord", "descending"), ("vec_id", "ascending")],
+        group_col="query_id",
+        prep=_round9_prep,
+        mode=fold_mode,
     )
+    return folded.select(["query_id", "vec_id", "rank", "cos_sim"])
 
 
 class HyperplaneLSH:
@@ -277,6 +284,20 @@ def ivf_top_k(
     return brute_force_top_k(pruned, queries, k, column, id_column)
 
 
+def _nonempty_block_refs(ds):
+    """Block ``ObjectRef``\\ s of a materialized dataset, empty blocks
+    skipped by METADATA row count — never by fetching block bytes into
+    the driver (the r4 version ``ray.get``-ed every block to test
+    ``num_rows``, pulling the whole slim dataset through the driver
+    heap)."""
+    return [
+        ref
+        for bundle in ds.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+
+
 def cosine_near_dup(
     ds,
     threshold: float = 0.4,
@@ -305,7 +326,7 @@ def cosine_near_dup(
     n_blocks = max(1, -(-n // target_block_rows))
     if n_blocks > 1:
         slim = slim.repartition(n_blocks).materialize()
-    part_refs = [r for r in slim.to_arrow_refs() if ray.get(r).num_rows]
+    part_refs = _nonempty_block_refs(slim)
     if not part_refs:
         return rd.from_arrow(_EMPTY_PAIRS)
 
@@ -460,6 +481,8 @@ def pq_top_k(
     nbits: int = 4,
     column: str = "embedding",
     id_column: str = "vec_id",
+    concurrency=None,
+    fold_mode: str = "driver",
 ):
     """Product-quantization approximate top-k (the memory-side ANN scale
     path: vectors compress to ``m`` sub-codes, queries scan CODES, not
@@ -482,11 +505,15 @@ def pq_top_k(
     Recall < 1 by construction (tested against the brute-force baseline).
     Scale shape: the ≤ ``2^nbits × d`` codebook matrix and the
     ``queries × m × 2^nbits`` int64 ADC tables broadcast once; each block
-    encodes itself and emits ``k``-per-query partials; the driver folds
-    O(blocks · k · queries) slim rows.
+    encodes itself in an autoscaling actor pool
+    (``poolsize.autoscale_pool()`` — the r4 hardcoded ``concurrency=2``
+    capped the scan at two workers on any cluster) and emits
+    ``k``-per-query partials; the shared
+    :func:`~spider_ray.ops.topkfold.fold_partial_topk` folds the
+    O(blocks · k · queries) slim rows on the driver, or through a coarse
+    ``hash(query_id)`` co-group with ``fold_mode="cogroup"`` when that
+    volume itself is the bottleneck (bit-identical; mode-parity tested).
     """
-    import heapq
-
     import ray
 
     queries = np.asarray(queries, dtype=np.float64)
@@ -546,32 +573,23 @@ def pq_top_k(
                 }
             )
 
+    from ..poolsize import autoscale_pool
+    from .topkfold import fold_partial_topk
+
+    if concurrency is None:
+        concurrency = autoscale_pool()
     partial = ds.map_batches(
-        _PQScorer, batch_format="pyarrow", batch_size=1024, concurrency=2
+        _PQScorer, batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency,
     )
-    heaps: dict[int, list] = {}
-    for b in partial.iter_batches(batch_format="pyarrow"):
-        for q, vid, dd in zip(
-            b.column("query_id").to_pylist(),
-            b.column("vec_id").to_pylist(),
-            b.column("adist_x1e9").to_pylist(),
-        ):
-            heaps.setdefault(q, []).append((dd, vid))
-    rows_q, rows_id, rows_rank, rows_d = [], [], [], []
-    for q in sorted(heaps):
-        for rank, (dd, vid) in enumerate(heapq.nsmallest(k, heaps[q]), 1):
-            rows_q.append(q)
-            rows_id.append(vid)
-            rows_rank.append(rank)
-            rows_d.append(dd)
-    return pa.table(
-        {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "vec_id": pa.array(rows_id, pa.int64()),
-            "rank": pa.array(rows_rank, pa.int64()),
-            "adist_x1e9": pa.array(rows_d, pa.int64()),
-        }
+    folded = fold_partial_topk(
+        partial,
+        k,
+        [("adist_x1e9", "ascending"), ("vec_id", "ascending")],
+        group_col="query_id",
+        mode=fold_mode,
     )
+    return folded.select(["query_id", "vec_id", "rank", "adist_x1e9"])
 
 
 # ---------------------------------------------------------------------------
@@ -605,7 +623,16 @@ def knn_graph(
     diagonal); the k-per-vector-per-pair candidate rows then fold through
     ONE coarse ``hash(vec_id)`` co-group with a vectorized segmented
     rank — no O(N·k) driver fold, nothing ever materializes the N×N
-    matrix."""
+    matrix.
+
+    Driver discipline (r5): pair-task outputs stay in the object store
+    as ``ObjectRef``\\ s and become a dataset via
+    ``ray.data.from_arrow_refs`` (metadata computed by remote tasks), so
+    the O(N·k·n_blocks) candidate volume never transits the driver heap;
+    empty input blocks are skipped by METADATA row counts
+    (``iter_internal_ref_bundles``), never fetched.
+    ``max_parallel_pairs`` bounds in-flight pair tasks with ``ray.wait``
+    alone — no ``ray.get`` of any candidate table on the driver."""
     import ray
     import ray.data as rd
 
@@ -629,7 +656,7 @@ def knn_graph(
     n_blocks = max(1, -(-n // target_block_rows))
     if n_blocks > 1:
         slim = slim.repartition(n_blocks).materialize()
-    part_refs = [r for r in slim.to_arrow_refs() if ray.get(r).num_rows]
+    part_refs = _nonempty_block_refs(slim)
 
     @ray.remote
     def pair_topk(ref_i, ref_j, same: bool) -> pa.Table:
@@ -662,17 +689,15 @@ def knn_graph(
             }
         )
 
-    pending, tables = [], []
+    pending, out_refs = [], []
     for i, ri in enumerate(part_refs):
         for j, rj in enumerate(part_refs):
-            pending.append(pair_topk.remote(ri, rj, i == j))
             if len(pending) >= max_parallel_pairs:
                 done, pending = ray.wait(pending, num_returns=1)
-                tables.append(ray.get(done[0]))
-    tables.extend(ray.get(pending))
-    cand = rd.from_arrow(
-        pa.concat_tables([t for t in tables if t.num_rows])
-    )
+                out_refs.extend(done)
+            pending.append(pair_topk.remote(ri, rj, i == j))
+    out_refs.extend(pending)
+    cand = rd.from_arrow_refs(out_refs)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(
