@@ -163,6 +163,9 @@ def main(argv=None) -> int:
         p.add_argument("--output-html", action="store_true",
                        help="scrape: emit raw HTML content (reference --output-html "
                             "overrides --return-format)")
+        p.add_argument("-W", "--warc", metavar="DIR",
+                       help="also store the crawl as a WARC 1.1 archive under "
+                            "DIR (spider_cli args.rs:120-122 -W/--warc)")
         p.add_argument("--num-cpus", type=int)
     # ops: run any driver-contract pipeline over an sf-shaped table dir
     p = sub.add_parser("ops", help="list / run the training-data operators")
@@ -302,6 +305,14 @@ def main(argv=None) -> int:
         manifest = download_pages(args.corpus, args.target_dir, set(result.visited))
         summary["downloaded"] = manifest.num_rows
         summary["target_dir"] = args.target_dir
+    if args.warc:
+        from .sinks.warc import write_warc_archive
+
+        warc_manifest = write_warc_archive(
+            args.corpus, args.warc, set(result.visited)
+        )
+        summary["warc_records"] = warc_manifest.num_rows
+        summary["warc_dir"] = args.warc
     print(json.dumps(summary), file=sys.stderr)
     if started_ray:
         ray.shutdown()

@@ -35,20 +35,47 @@ def format_warc_record(url: str, body: bytes, date: str, status: int = 200) -> b
 
 class WarcWriter:
     """``map_batches`` sink stage: writes one WARC file per batch under
-    ``out_dir`` and emits (url, warc_path, offset, length) manifest rows."""
+    ``out_dir`` and emits (url, warc_path, offset, length) manifest rows.
+
+    ``url_set_ref`` (optional ``ray.put`` of a lowercase-url frozenset —
+    broadcast once, read per actor/task, the download-sink convention)
+    restricts the archive to the crawl's visited pages for the CLI
+    ``--warc`` surface."""
 
     def __init__(self, out_dir: str, url_column: str = "url", html_column: str = "html",
-                 ts_column: str = "warc_ts", status_column: str = "status"):
+                 ts_column: str = "warc_ts", status_column: str = "status",
+                 url_set_ref=None):
         self.out_dir = out_dir
         self.url_column = url_column
         self.html_column = html_column
         self.ts_column = ts_column
         self.status_column = status_column
+        if url_set_ref is not None:
+            import ray
+
+            self.urls = ray.get(url_set_ref)
+        else:
+            self.urls = None
         os.makedirs(out_dir, exist_ok=True)
 
     def __call__(self, batch):
         import pyarrow as pa
 
+        if self.urls is not None:
+            keep = pa.array(
+                [u.lower() in self.urls
+                 for u in batch.column(self.url_column).to_pylist()]
+            )
+            batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "warc_path": pa.array([], pa.string()),
+                    "offset": pa.array([], pa.int64()),
+                    "length": pa.array([], pa.int64()),
+                }
+            )
         urls = batch.column(self.url_column).to_pylist()
         htmls = batch.column(self.html_column).to_pylist()
         names = batch.column_names
@@ -121,6 +148,56 @@ def iter_warc_records(data: bytes):
             "status": status,
             "payload": block[http_end + 4 :],
         }
+
+
+def write_warc_archive(corpus_dir: str, out_dir: str,
+                       visited: set[str] | None = None,
+                       concurrency: int | None = None):
+    """The CLI ``--warc`` surface (reference ``-W/--warc``,
+    ``spider_cli/src/options/args.rs:120-122``: store the crawl in a WARC
+    archive): write the visited pages' raw bytes as WARC/1.1 files under
+    ``out_dir`` and return the ``(url, warc_path, offset, length)``
+    manifest table.
+
+    Distributed consumer, the download-sink shape: the corpus IS the
+    content store, so archive = pruned Parquet scan filtered to the
+    visited set (lowercased, broadcast ONCE via ``ray.put``) with one
+    writer task per batch — no single-writer funnel, no driver
+    materialization of html bytes.  ``out_dir`` must be shared storage on
+    a multi-node cluster (standard file-sink contract)."""
+    import ray
+    import ray.data
+
+    url_set_ref = (
+        ray.put(frozenset(u.lower() for u in visited))
+        if visited is not None else None
+    )
+    ds = ray.data.read_parquet(
+        corpus_dir, columns=["url", "html", "warc_ts", "status"]
+    )
+    out = ds.map_batches(
+        WarcWriter,
+        fn_constructor_args=(out_dir,),
+        fn_constructor_kwargs={"url_set_ref": url_set_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+        num_cpus=0.5,
+        batch_size=64,
+    )
+    import pyarrow as pa
+
+    refs = out.materialize().to_arrow_refs()
+    tables = [t for t in map(ray.get, refs) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "warc_path": pa.array([], pa.string()),
+                "offset": pa.array([], pa.int64()),
+                "length": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables)
 
 
 def warc_export_roundtrip(corpus_dir: str, out_dir: str,

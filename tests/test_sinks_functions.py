@@ -221,3 +221,46 @@ def test_cli_ops_list_and_run(ray_session, tmp_path, capsys):
 
     m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["partitions"] == 3 and m["rows"] == 500
+
+
+def test_cli_warc_archive(ray_session, tmp_path):
+    """--warc DIR (reference -W, args.rs:120-122): the crawl also writes a
+    WARC 1.1 archive whose records byte-match the corpus html for exactly
+    the visited pages."""
+    import io
+    from contextlib import redirect_stderr
+
+    from spider_ray.cli import main
+    from spider_ray.fixtures import build_corpus, seed_of, write_corpus_parquet
+    from spider_ray.sinks.warc import iter_warc_records
+
+    rows = build_corpus(n_hosts=2, pages_per_host=20)
+    cdir = tempfile.mkdtemp()
+    write_corpus_parquet(rows, cdir, n_buckets=4)
+    warc_dir = str(tmp_path / "archive")
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        rc = main(["crawl", "--corpus", cdir, "--seeds", seed_of(0),
+                   "--warc", warc_dir])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["warc_dir"] == warc_dir
+    assert summary["warc_records"] > 0
+
+    # read every record back; payloads must byte-match the corpus html
+    by_url = {r["url"].lower(): r for r in rows}
+    seen = set()
+    import glob as _glob
+
+    for path in sorted(_glob.glob(os.path.join(warc_dir, "*.warc"))):
+        with open(path, "rb") as f:
+            data = f.read()
+        for rec in iter_warc_records(data):
+            lu = rec["url"].lower()
+            assert lu in by_url
+            assert rec["payload"] == (by_url[lu]["html"] or b"")
+            seen.add(lu)
+    assert len(seen) == summary["warc_records"]
+    # archive covers the visited set only: every record's url was crawlable
+    assert summary["visited"] >= summary["warc_records"]
