@@ -49,6 +49,9 @@ def _sink():
         def add(self, rows):
             self.rows.extend(rows)
 
+        def count(self) -> int:
+            return len(self.rows)
+
         def drain(self, clear: bool):
             out = list(self.rows)
             if clear:
@@ -98,16 +101,18 @@ def collect(clear: bool = False, settle_s: float = 2.0) -> pa.Table:
     """Driver-side fold of every reported row so far.
 
     Reporting is fire-and-forget, so rows from just-finished tasks may
-    still be in flight when the pipeline returns; ``collect`` polls until
-    the row count stops growing for one interval (bounded by
-    ``settle_s``) before draining."""
+    still be in flight when the pipeline returns; ``collect`` polls the
+    scalar ``count()`` until it stops growing for one interval (bounded
+    by ``settle_s``), then drains ONCE — the r4 version transferred the
+    whole accumulated row list on every poll (O(rows × polls)
+    serialization for what is a scalar check)."""
     import ray
 
     sink = _sink()
     prev = -1
     waited = 0.0
     while waited < settle_s:
-        cur = len(ray.get(sink.drain.remote(False)))
+        cur = ray.get(sink.count.remote())
         if cur == prev:
             break
         prev = cur

@@ -112,10 +112,19 @@ def _line_rows(batch: pa.Table, file_id: int) -> pa.Table:
     idx_str = pc.utf8_lpad(
         pc.cast(pa.array(idx, pa.int64()), pa.string()), width=10, padding="0"
     )
+    # NUL is the occ field separator, so strip it from urls before the
+    # join (a hostile/corrupt URL with an embedded NUL would otherwise
+    # shift the fields and crash the vectorized decode's int64 cast);
+    # rebuild_shard strips its value_set side identically so the
+    # winner-key lookup still matches
     occ = pc.binary_join_element_wise(
-        pc.cast(urls, pa.string()), idx_str, str(file_id), "\x00"
+        _strip_nul(pc.cast(urls, pa.string())), idx_str, str(file_id), "\x00"
     )
     return pa.table({"h1": h1, "h2": h2, "occ": occ})
+
+
+def _strip_nul(arr):
+    return pc.replace_substring(arr, pattern="\x00", replacement="")
 
 
 def _decode_winners(batch: pa.Table) -> pa.Table:
@@ -123,8 +132,9 @@ def _decode_winners(batch: pa.Table) -> pa.Table:
 
     Vectorized: Arrow ``split_pattern`` + ``list_element`` kernels — the
     per-row ``rsplit`` Python loop this replaces was ~25M iterations per
-    sf0.1 run and a measured chunk of the winners-fold CPU.  URLs cannot
-    contain NUL, so a plain left split is exact."""
+    sf0.1 run and a measured chunk of the winners-fold CPU.  The url
+    field is NUL-stripped at occ-build time (``_line_rows``), so the
+    plain left split is provably exact even for hostile input."""
     occ = batch.column("min(occ)")
     if isinstance(occ, pa.ChunkedArray):
         occ = occ.combine_chunks()
@@ -275,7 +285,13 @@ def global_line_dedup(corpus_dir: str):
         # within a shard, so index_in is an exact row lookup)
         wurl = pc.cast(group.column("url").filter(wmask), pa.string())
         widx = np.asarray(group.column("idx").filter(wmask), dtype=np.int64)
-        wrow_arr = pc.index_in(wurl, value_set=pc.cast(t.column("url"), pa.string()))
+        # winner urls were NUL-stripped when the occ strings were built;
+        # strip the value_set side the same way so the lookup is exact
+        # (two urls colliding after the strip is pathological input —
+        # index_in then picks the first, deterministically)
+        wrow_arr = pc.index_in(
+            wurl, value_set=_strip_nul(pc.cast(t.column("url"), pa.string()))
+        )
         wrow_valid = np.asarray(pc.is_valid(wrow_arr))
         wrow = np.asarray(wrow_arr.fill_null(0), dtype=np.int64)
         wkey = (wrow[wrow_valid] << np.int64(32)) + widx[wrow_valid]

@@ -71,6 +71,23 @@ def _page_keep_mask(batch: pa.Table):
     )
 
 
+def _robots_winners(rows):
+    """Deterministic per-host robots row: min by ``(url, status, body)``
+    over ``(host, url, status, body)`` rows.  A host can carry robots.txt
+    under several schemes (http AND https); without a pinned winner the
+    broadcast tier (``take_all`` order) and the cogroup tier (shuffle row
+    order) could disagree, and either could flip run-to-run.  Shared by
+    BOTH tiers so mode parity holds for such hosts."""
+    best: dict[str, tuple] = {}
+    for h, u, st, body in rows:
+        cand = (u or "", int(st), body if body is not None else "")
+        cur = best.get(h)
+        if cur is None or cand < (cur[0] or "", int(cur[1]),
+                                  cur[2] if cur[2] is not None else ""):
+            best[h] = (u, int(st), body)
+    return best
+
+
 def _robots_audit_cogroup(robots_scan, pages):
     """Sharded tier (module docstring): one hash(host) shuffle co-locates
     each host's robots rules with its slim page rows; partitions emit
@@ -89,7 +106,11 @@ def _robots_audit_cogroup(robots_scan, pages):
         t = pa.table(
             {
                 "host": hosts,
-                "url": pa.nulls(len(batch), pa.string()),
+                # carry the robots url: the deterministic per-host winner
+                # (min by (url, status, body)) needs it — shuffle row
+                # order is nondeterministic, so last-write-wins could pick
+                # a different scheme's rules run-to-run
+                "url": batch.column("url"),
                 "status": pc.cast(batch.column("status"), pa.int64()),
                 "body": pa.array(
                     [_decode(b) for b in batch.column("html").to_pylist()],
@@ -117,12 +138,16 @@ def _robots_audit_cogroup(robots_scan, pages):
     def audit_partition(group: pa.Table) -> pa.Table:
         is_r = group.column("is_robots")
         rb = group.filter(pc.equal(is_r, 1))
+        best = _robots_winners(
+            zip(
+                rb.column("host").to_pylist(),
+                rb.column("url").to_pylist(),
+                rb.column("status").to_pylist(),
+                rb.column("body").to_pylist(),
+            )
+        )
         parsers: dict[str, RobotFileParser | None] = {}
-        for h, st, body in zip(
-            rb.column("host").to_pylist(),
-            rb.column("status").to_pylist(),
-            rb.column("body").to_pylist(),
-        ):
+        for h, (_u, st, body) in best.items():
             p = RobotFileParser()
             p.read_status(int(st), body)
             parsers[h] = p
@@ -182,10 +207,18 @@ def robots_audit(corpus_dir: str, concurrency=None, mode: str = "auto",
         if robots_scan.count() > broadcast_max_hosts:
             return _robots_audit_cogroup(robots_scan, pages)
 
-    robots_by_host: dict[str, tuple[int, str | None]] = {}
-    for r in robots_scan.take_all():
-        host = r["url"].split("://", 1)[1].split("/", 1)[0]
-        robots_by_host[host] = (r["status"], _decode(r["html"]))
+    winners = _robots_winners(
+        (
+            r["url"].split("://", 1)[1].split("/", 1)[0],
+            r["url"],
+            r["status"],
+            _decode(r["html"]),
+        )
+        for r in robots_scan.take_all()
+    )
+    robots_by_host: dict[str, tuple[int, str | None]] = {
+        h: (st, body) for h, (_u, st, body) in winners.items()
+    }
     robots_ref = ray.put(robots_by_host)
 
     class Auditor:

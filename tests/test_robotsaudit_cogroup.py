@@ -46,3 +46,44 @@ def test_auto_switches_on_host_count(ray_session, monkeypatch):
     monkeypatch.setattr(ray, "put", guard_put)
     got = _canon(robots_audit(corpus, mode="auto", broadcast_max_hosts=0))
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_multi_scheme_robots_deterministic_winner(ray_session, tmp_path):
+    """A host with robots.txt under BOTH http and https must audit with a
+    pinned winner (min by (url, status, body) — http sorts first), the
+    same in both tiers and run-to-run (ADVICE r4: last-write-wins over
+    shuffle order was nondeterministic)."""
+    import datetime as dt
+
+    from spider_ray.fixtures import write_corpus_parquet
+    from spider_ray.ops.robotsaudit import robots_audit
+
+    ts = dt.datetime(2026, 1, 1)
+    host = "www.site0.example"
+    # http robots disallows /blocked/, https robots allows everything:
+    # the pinned winner is the http row ("http://..." < "https://...")
+    rows = [
+        {"url": f"http://{host}/robots.txt", "warc_ts": ts,
+         "html": b"User-agent: *\nDisallow: /blocked/\n",
+         "text": "", "lang": "en", "status": 200},
+        {"url": f"https://{host}/robots.txt", "warc_ts": ts,
+         "html": b"User-agent: *\nAllow: /\n",
+         "text": "", "lang": "en", "status": 200},
+        {"url": f"https://{host}/blocked/a", "warc_ts": ts,
+         "html": b"<p>a</p>", "text": "a", "lang": "en", "status": 200},
+        {"url": f"https://{host}/open/b", "warc_ts": ts,
+         "html": b"<p>b</p>", "text": "b", "lang": "en", "status": 200},
+    ]
+    cdir = str(tmp_path / "corpus")
+    write_corpus_parquet(rows, cdir, n_buckets=2)
+
+    runs = [
+        _canon(robots_audit(cdir, mode=m))
+        for m in ("broadcast", "cogroup", "broadcast", "cogroup")
+    ]
+    for r in runs[1:]:
+        pd.testing.assert_frame_equal(runs[0], r, check_dtype=False,
+                                      check_exact=True)
+    row = runs[0].set_index("host").loc[host]
+    assert int(row["n_pages"]) == 2
+    assert int(row["n_disallowed"]) == 1  # the http rules won
