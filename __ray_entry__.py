@@ -681,9 +681,10 @@ def q_bpe_token_counts(sf_dir: str):
 
 def q_incremental_curation(sf_dir: str):
     """End-to-end incremental curation cycle (the per-ingest production
-    composition): fresh generation → dedup vs ingested reference → C4
-    quality gate → exact-dedup canonicalization → resumable partitioned
-    write → read-back from disk (pipelines/incremental.py)."""
+    composition): fresh generation → exact dedup vs ingested reference →
+    cross-generation MinHash near-dup drop (shared minhash_pairs golden)
+    → C4 quality gate → exact-dedup canonicalization → resumable
+    partitioned write → read-back from disk (pipelines/incremental.py)."""
     import shutil
 
     from spider_ray.pipelines.incremental import incremental_curation
@@ -2375,8 +2376,15 @@ def oracle_sql() -> dict[str, str]:
         "incremental_curation": (
             r"WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0), "
             r"fresh AS (SELECT * FROM documents WHERE doc_id % 2 = 1), "
+            f"pairs AS (SELECT * FROM "
+            f"read_parquet('{golden_path('sf0.01', 'minhash_pairs')}')), "
+            "ndrops AS (SELECT doc_b AS d FROM pairs "
+            "WHERE doc_b % 2 = 1 AND doc_a % 2 = 0 "
+            "UNION SELECT doc_a FROM pairs "
+            "WHERE doc_a % 2 = 1 AND doc_b % 2 = 0), "
             r"nodup AS (SELECT f.* FROM fresh f WHERE NOT EXISTS "
-            r"(SELECT 1 FROM ref r WHERE coalesce(r.text, '') = coalesce(f.text, ''))), "
+            r"(SELECT 1 FROM ref r WHERE coalesce(r.text, '') = coalesce(f.text, '')) "
+            r"AND f.doc_id NOT IN (SELECT d FROM ndrops)), "
             r"tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS term FROM nodup), "
             r"c AS (SELECT doc_id, term, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2), "
             r"agg AS (SELECT doc_id, sum(n) AS nw, count(*) AS nd, max(n) AS mx FROM c GROUP BY 1), "

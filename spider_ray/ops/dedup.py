@@ -819,6 +819,36 @@ def near_dup_canonical(ds, threshold: float = 0.5, **kwargs) -> pa.Table:
     )
 
 
+def cross_generation_drop_ids(
+    docs,
+    threshold: float = 0.5,
+    id_column: str = "doc_id",
+    is_ref=None,
+    **kwargs,
+):
+    """Fresh-generation ids with a confirmed near-dup pair into the
+    ingested reference generation — the drop set both
+    :func:`near_dup_against_corpus` and the incremental-curation pipeline
+    anti-join against.  Pair spec is EXACTLY :func:`minhash_dedup` over
+    the union (shared confirmed-pair golden); returns a slim id Dataset,
+    never a driver set."""
+    if is_ref is None:
+        def is_ref(ids):
+            return (ids & 1) == 0
+
+    pairs = minhash_dedup(docs, threshold=threshold, id_column=id_column,
+                          **kwargs)
+
+    def cross_drops(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ra, rb = is_ref(a), is_ref(b)
+        drops = np.concatenate([b[ra & ~rb], a[rb & ~ra]])
+        return pa.table({id_column: pa.array(np.unique(drops), pa.int64())})
+
+    return pairs.map_batches(cross_drops, batch_format="pyarrow")
+
+
 def near_dup_against_corpus(
     docs,
     threshold: float = 0.5,
@@ -848,17 +878,10 @@ def near_dup_against_corpus(
         def is_ref(ids):
             return (ids & 1) == 0
 
-    pairs = minhash_dedup(docs, threshold=threshold, id_column=id_column,
-                          **kwargs)
-
-    def cross_drops(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        ra, rb = is_ref(a), is_ref(b)
-        drops = np.concatenate([b[ra & ~rb], a[rb & ~ra]])
-        return pa.table({id_column: pa.array(np.unique(drops), pa.int64())})
-
-    drop_ids = pairs.map_batches(cross_drops, batch_format="pyarrow")
+    drop_ids = cross_generation_drop_ids(
+        docs, threshold=threshold, id_column=id_column, is_ref=is_ref,
+        **kwargs,
+    )
 
     def fresh_only(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)

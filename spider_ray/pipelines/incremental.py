@@ -5,6 +5,10 @@ the 100-TB shape SURVEY §8's op catalog exists for):
     fresh batch (generation 2)
       → :func:`~spider_ray.ops.dedup.dedup_against_corpus` (drop docs whose
         text already exists in the ingested generation-1 reference)
+      → :func:`~spider_ray.ops.dedup.cross_generation_drop_ids` fuzzy
+        NEAR-dup anti-join (drop fresh docs with a confirmed MinHash-LSH
+        pair into the reference — the pair spec is minhash_dedup over the
+        union, shared with the ``near_dup_incremental`` golden)
       → C4 heuristic quality gate (``textstats.HeuristicFilter`` keep rule)
       → exact-dedup canonicalization WITHIN the surviving batch
         (hash-partition + min-id winner)
@@ -62,16 +66,25 @@ def _quality_gate(ds, text_col: str = "text"):
     return ds.map_batches(gate, batch_format="pyarrow")
 
 
-def incremental_curation(docs, out_dir: str, completed=None):
+def incremental_curation(docs, out_dir: str, completed=None,
+                         fuzzy: bool = True):
     """Run one ingest cycle over the deterministic generation split and
     return the curated rows ``(doc_id, source, n_tokens)`` READ BACK from
     the partitioned output at ``out_dir`` (module docstring).
 
     ``completed`` forwards to :func:`~spider_ray.ops.io.write_partitioned`
-    — partition keys a previous (killed) run already landed."""
+    — partition keys a previous (killed) run already landed.  ``fuzzy``
+    (default on — the production chain) adds the cross-generation
+    MinHash near-dup drop stage between exact reference dedup and the
+    quality gate; the drop-id set stays a Dataset end to end (anti
+    semi-join), no driver id sets."""
     import ray.data
 
-    from ..ops.dedup import dedup_against_corpus, exact_dedup
+    from ..ops.dedup import (
+        cross_generation_drop_ids,
+        dedup_against_corpus,
+        exact_dedup,
+    )
     from ..ops.io import write_partitioned
     from ..ops.joins import semi_join_ids
     from ..ops.textstats import _TOKEN_RE
@@ -80,6 +93,11 @@ def incremental_curation(docs, out_dir: str, completed=None):
     fresh = _split_generation(docs, 1)
 
     survivors = dedup_against_corpus(fresh, ref)
+    if fuzzy:
+        survivors = semi_join_ids(
+            survivors, cross_generation_drop_ids(docs),
+            id_column="doc_id", anti=True,
+        )
     quality = _quality_gate(survivors)
 
     # canonical winners within the surviving batch; quality was NOT

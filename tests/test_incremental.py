@@ -26,17 +26,28 @@ def _canon(ds):
 
 def test_chain_matches_sequential(ray_session, tmp_path):
     """Distributed chain == a sequential pandas re-derivation of the spec
-    (dedup vs even-gen, C4 gate, min-id canonical)."""
+    (dedup vs even-gen, cross-generation near-dup drop, C4 gate, min-id
+    canonical).  The near-dup drop set re-derives from the confirmed-pair
+    op (minhash_dedup — its pair spec carries its own golden elsewhere),
+    so this test pins the COMPOSITION, not the pair algorithm."""
     import re
 
     from collections import Counter
 
     import pyarrow.parquet as pq
 
+    from spider_ray.ops.dedup import minhash_dedup
     from spider_ray.pipelines.incremental import incremental_curation
 
     out = str(tmp_path / "inc")
     got = _canon(incremental_curation(_docs(), out))
+
+    pairs = minhash_dedup(_docs()).to_pandas()
+    ndrops = set(
+        pairs.loc[(pairs.doc_b % 2 == 1) & (pairs.doc_a % 2 == 0), "doc_b"]
+    ) | set(
+        pairs.loc[(pairs.doc_a % 2 == 1) & (pairs.doc_b % 2 == 0), "doc_a"]
+    )
 
     tok = re.compile(r"\S+")
     df = pq.read_table(
@@ -47,7 +58,7 @@ def test_chain_matches_sequential(ray_session, tmp_path):
     rows = []
     for _, r in fresh.iterrows():
         t = r.text or ""
-        if t in ref_texts:
+        if t in ref_texts or int(r.doc_id) in ndrops:
             continue
         c = Counter(w.lower() for w in tok.findall(t))
         nw, nd = sum(c.values()), len(c)
