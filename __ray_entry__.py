@@ -1425,6 +1425,30 @@ def q_line_dedup(sf_dir: str):
     return global_line_dedup(_corpus_for(sf_dir))
 
 
+def q_line_dedup_partitioned(sf_dir: str):
+    """Fused resumable-layout tier of global_line_dedup (r5): each rebuild
+    task atomically lands its input shard as file_id=<N>/part.parquet
+    before returning; rows here are read BACK from the landed files, so
+    the oracle match proves the fused write (the incremental_curation
+    pattern — no second materialization of the corpus text)."""
+    import glob as _glob
+    import shutil
+
+    import ray.data
+
+    from spider_ray.ops.linededup import global_line_dedup
+
+    out = os.path.join("/tmp/spider_ray_scratch", f"lded_{_sf_name(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+    global_line_dedup(_corpus_for(sf_dir), out_dir=out).materialize()
+    files = sorted(_glob.glob(os.path.join(out, "*", "part.parquet")))
+    # drop the hive-inferred file_id partition column: the contract is the
+    # line_dedup schema, read back from disk
+    return ray.data.read_parquet(files).select_columns(
+        ["url", "n_lines", "n_removed", "clean_text"]
+    )
+
+
 def q_normalize_text(sf_dir: str):
     """CCNet-style pre-dedup normalization (lowercase, digits->0,
     whitespace-run collapse, trim) — pure Arrow RE2 kernels."""
@@ -2147,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "source_mix": q_source_mix,
         "line_dedup": q_line_dedup,
+        "line_dedup_partitioned": q_line_dedup_partitioned,
         "normalize_text": q_normalize_text,
         "chunk_documents": q_chunk_documents,
         "global_sample": q_global_sample,
@@ -3224,6 +3249,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10"
         ),
     }
+    # the fused-write tier lands the identical rows, read back from disk
+    oracles["line_dedup_partitioned"] = oracles["line_dedup"]
     # composed oracle: the per-source keep report wraps the gopher gate SQL
     oracles["quality_by_source"] = (
         f"WITH g AS ({oracles['gopher_quality']}) "

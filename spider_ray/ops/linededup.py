@@ -148,11 +148,20 @@ def _decode_winners(batch: pa.Table) -> pa.Table:
     )
 
 
-def global_line_dedup(corpus_dir: str):
+def global_line_dedup(corpus_dir: str, out_dir: str | None = None):
     """``(url, n_lines, n_removed, clean_text)`` per corpus page after
     corpus-global first-occurrence line dedup (see module docstring).
     ``clean_text`` is null when every line was dropped (string_agg-over-
     nothing parity with the SQL oracle); empty lines are always kept.
+
+    ``out_dir`` fuses the resumable partitioned write INTO the rebuild
+    (VERDICT r4 #7): each rebuild task atomically lands its shard as
+    ``out_dir/file_id=<N>/part.parquet`` (tmp + rename, orphan sweep —
+    the ``ops/io.write_partitioned`` contract) before returning the same
+    rows, so curation chains skip a second full materialization of the
+    corpus text; on re-run a landed shard is READ BACK instead of
+    recomputed (kill/resume).  ``out_dir`` must be shared storage on a
+    multi-node cluster.
 
     Page TEXT never enters a shuffle, and no per-group Python runs on the
     wide path: the corpus-global winner per distinct line is a native
@@ -257,11 +266,25 @@ def global_line_dedup(corpus_dir: str):
     tagged = winners.union(ray.data.from_arrow(sentinels))
 
     def rebuild_shard(group: pa.Table) -> pa.Table:
+        import glob as _g
+        import os as _os
+
         import polars as pl
         import pyarrow.parquet as pq
 
         paths = ray.get(files_ref)
         fid = int(group.column("file_id")[0].as_py())
+        final = None
+        if out_dir is not None:
+            pdir = _os.path.join(out_dir, f"file_id={fid}")
+            final = _os.path.join(pdir, "part.parquet")
+            for stale in _g.glob(final + ".tmp.*"):  # killed-writer sweep
+                try:
+                    _os.remove(stale)
+                except OSError:
+                    pass
+            if _os.path.exists(final):  # landed by a previous run: resume
+                return pq.read_table(final)
         t = _corpus_page_filter(pq.read_table(paths[fid], columns=["url", "text"]))
         n = len(t)
         # re-explode the shard's pages into lines (same kernels as the
@@ -311,7 +334,7 @@ def global_line_dedup(corpus_dir: str):
         )
         clean = np.full(n, None, dtype=object)
         clean[agg["p"].to_numpy()] = agg["l"].to_numpy()
-        return pa.table(
+        out = pa.table(
             {
                 "url": t.column("url"),
                 "n_lines": pa.array(n_lines, pa.int64()),
@@ -319,7 +342,17 @@ def global_line_dedup(corpus_dir: str):
                 "clean_text": pa.array(clean, pa.string()),
             }
         )
+        if final is not None:  # fused atomic per-shard landing
+            _os.makedirs(_os.path.dirname(final), exist_ok=True)
+            tmp = final + f".tmp.{_os.getpid()}"
+            pq.write_table(out, tmp)
+            _os.replace(tmp, final)
+        return out
 
+    if out_dir is not None:
+        import os as _os2
+
+        _os2.makedirs(out_dir, exist_ok=True)
     return tagged.groupby("file_id").map_groups(
         wrap(rebuild_shard, "line_dedup", "rebuild"), batch_format="pyarrow"
     )
