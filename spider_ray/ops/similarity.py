@@ -89,6 +89,7 @@ def brute_force_top_k(
     id_column: str = "vec_id",
     concurrency=None,
     fold_mode: str = "driver",
+    est_rows: int | None = None,
 ):
     """Global top-k neighbors per query.  Per-batch partial top-k in an
     autoscaling actor pool (``poolsize.autoscale_pool()`` — a fixed
@@ -98,7 +99,11 @@ def brute_force_top_k(
     O(blocks·k·queries) slim partials by default, ``fold_mode="cogroup"``
     folds them through a coarse ``hash(query_id)`` co-group so only the
     O(queries·k) winners reach the driver (bit-identical; mode-parity
-    tested).  Deterministic tie-break: (−sim rounded to 9 dp, vec_id)."""
+    tested); ``fold_mode="auto"`` + ``est_rows`` (caller's estimate of
+    ``ceil(n/1024) · n_queries · k`` partial rows — the op does NOT
+    ``count()`` the input, which could re-execute an upstream pipeline)
+    picks cogroup above ``topkfold.DRIVER_ROW_BOUND``.  Deterministic
+    tie-break: (−sim rounded to 9 dp, vec_id)."""
     import ray
 
     from ..poolsize import autoscale_pool
@@ -121,6 +126,7 @@ def brute_force_top_k(
         group_col="query_id",
         prep=_round9_prep,
         mode=fold_mode,
+        est_rows=est_rows,
     )
     return folded.select(["query_id", "vec_id", "rank", "cos_sim"])
 
@@ -483,6 +489,7 @@ def pq_top_k(
     id_column: str = "vec_id",
     concurrency=None,
     fold_mode: str = "driver",
+    est_rows: int | None = None,
 ):
     """Product-quantization approximate top-k (the memory-side ANN scale
     path: vectors compress to ``m`` sub-codes, queries scan CODES, not
@@ -588,6 +595,7 @@ def pq_top_k(
         [("adist_x1e9", "ascending"), ("vec_id", "ascending")],
         group_col="query_id",
         mode=fold_mode,
+        est_rows=est_rows,
     )
     return folded.select(["query_id", "vec_id", "rank", "adist_x1e9"])
 

@@ -62,6 +62,7 @@ def fold_partial_topk(
     group_col: str | None = None,
     prep: Callable[[pa.Table], pa.Table] | None = None,
     mode: str = "driver",
+    est_rows: int | None = None,
 ) -> pa.Table:
     """Fold a dataset of per-block partial top-k rows to the exact global
     top-k per group.
@@ -76,8 +77,17 @@ def fold_partial_topk(
 
     ``mode="cogroup"`` requires an int64 ``group_col`` (the coarse scatter
     key); global top-k (``group_col=None``) is inherently a driver fold of
-    O(blocks·k) rows and stays on the driver path.
+    O(blocks·k) rows and stays on the driver path.  ``mode="auto"`` picks
+    by the caller's ``est_rows`` estimate of the partial volume (cogroup
+    above :data:`DRIVER_ROW_BOUND`, driver below or when unknown).
     """
+    if mode == "auto":
+        mode = (
+            "cogroup"
+            if est_rows is not None and est_rows > DRIVER_ROW_BOUND
+            and group_col is not None
+            else "driver"
+        )
     if mode not in ("driver", "cogroup"):
         raise ValueError(f"unknown fold mode {mode!r}")
     if mode == "cogroup" and group_col is not None:

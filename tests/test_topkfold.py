@@ -78,6 +78,61 @@ def test_fold_empty_input(ray_session):
     assert set(out.column_names) == {"g", "v", "rank"}
 
 
+def test_auto_mode_routing(emb_ds, monkeypatch):
+    """fold_mode='auto': est_rows above DRIVER_ROW_BOUND routes through
+    the cogroup fold (proven by forbidding the driver-path iter_batches),
+    below or absent stays on the driver path; results bit-identical."""
+    from spider_ray.ops import topkfold
+    from spider_ray.ops.similarity import brute_force_top_k
+
+    q = np.asarray(_emb_table().column("embedding").to_pylist()[:3])
+    want = brute_force_top_k(emb_ds, q, k=5, fold_mode="driver")
+
+    calls = {"cogroup": 0}
+    orig = topkfold._cogroup_fold
+
+    def spy(*a, **k):
+        calls["cogroup"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(topkfold, "_cogroup_fold", spy)
+    low = brute_force_top_k(emb_ds, q, k=5, fold_mode="auto", est_rows=10)
+    assert calls["cogroup"] == 0
+    high = brute_force_top_k(
+        emb_ds, q, k=5, fold_mode="auto",
+        est_rows=topkfold.DRIVER_ROW_BOUND + 1,
+    )
+    assert calls["cogroup"] == 1
+    assert low.equals(want) and high.equals(want)
+
+
+def test_cogroup_fold_bounded_driver(emb_ds, monkeypatch):
+    """On the cogroup path the only tables ray.get pulls to the driver are
+    the O(groups·k) winner tables — never the partial volume."""
+    import ray
+
+    from spider_ray.ops.similarity import brute_force_top_k
+
+    q = np.asarray(_emb_table().column("embedding").to_pylist()[:4])
+    k = 7
+    fetched = []
+    orig_get = ray.get
+
+    def guard_get(refs, *a, **kw):
+        out = orig_get(refs, *a, **kw)
+        for o in out if isinstance(out, list) else [out]:
+            if isinstance(o, pa.Table):
+                fetched.append(o.num_rows)
+        return out
+
+    monkeypatch.setattr(ray, "get", guard_get)
+    res = brute_force_top_k(emb_ds, q, k=k, fold_mode="cogroup")
+    monkeypatch.setattr(ray, "get", orig_get)
+    bound = len(q) * k
+    assert all(r <= bound for r in fetched), fetched
+    assert res.num_rows == bound
+
+
 def test_knn_graph_bounded_driver(ray_session, monkeypatch):
     """knn_graph construction must not ray.get any pyarrow.Table into the
     driver — candidates go object-store -> from_arrow_refs, empty blocks
