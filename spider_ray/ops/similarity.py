@@ -330,8 +330,10 @@ def cosine_near_dup(
     slim = ds.select_columns([id_column, column]).materialize()
     n = slim.count()
     n_blocks = max(1, -(-n // target_block_rows))
-    if n_blocks > 1:
-        slim = slim.repartition(n_blocks).materialize()
+    # always coalesce to the computed block count: the pair fan-out is
+    # quadratic in the block count, and a materialized read can carry far
+    # more (tiny) blocks than target_block_rows implies
+    slim = slim.repartition(n_blocks).materialize()
     part_refs = _nonempty_block_refs(slim)
     if not part_refs:
         return rd.from_arrow(_EMPTY_PAIRS)
@@ -662,8 +664,12 @@ def knn_graph(
             )
         )
     n_blocks = max(1, -(-n // target_block_rows))
-    if n_blocks > 1:
-        slim = slim.repartition(n_blocks).materialize()
+    # ALWAYS coalesce to the computed block count: a materialized read can
+    # carry far more (tiny) blocks than target_block_rows implies, and the
+    # pair fan-out is quadratic in the block count — 32 stray blocks of 16
+    # rows each mean 1024 pair tasks where 1 suffices (measured 44 s vs
+    # 2 s at sf0.01)
+    slim = slim.repartition(n_blocks).materialize()
     part_refs = _nonempty_block_refs(slim)
 
     @ray.remote
