@@ -301,6 +301,7 @@ def minhash_dedup(
     threshold: float = 0.8,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     num_partitions: int | None = None,
+    pair_filter=None,
     **kwargs,
 ):
     """Near-dup groups: LSH candidates verified by exact Jaccard ≥ threshold.
@@ -315,13 +316,23 @@ def minhash_dedup(
     (20-50% of the corpus) the old gather-to-driver dict WAS a whole-dataset
     materialization; the joins keep everything in the object store.
     Returns (doc_a, doc_b, jaccard) confirmed pairs.
+
+    ``pair_filter`` (optional ``pa.Table -> pa.Table`` over the candidate
+    (doc_a, doc_b) rows) prunes candidate pairs BEFORE the expensive
+    shingle/verify stage — callers that only consume a subset of the
+    confirmed pairs (e.g. cross-generation drops) skip verifying pairs
+    they would discard anyway; the surviving pairs' jaccard values are
+    unchanged.
     """
     import ray
     import ray.data as rd
 
     id_column = kwargs.get("id_column", "doc_id")
     text_column = kwargs.get("text_column", "text")
-    candidates = minhash_lsh_candidates(ds, max_bucket=max_bucket, **kwargs).materialize()
+    candidates = minhash_lsh_candidates(ds, max_bucket=max_bucket, **kwargs)
+    if pair_filter is not None:
+        candidates = candidates.map_batches(pair_filter, batch_format="pyarrow")
+    candidates = candidates.materialize()
     cand_parts = [t for t in ray.get(candidates.to_arrow_refs()) if t.num_rows]
     if not cand_parts:
         return rd.from_arrow(
@@ -829,15 +840,23 @@ def cross_generation_drop_ids(
     """Fresh-generation ids with a confirmed near-dup pair into the
     ingested reference generation — the drop set both
     :func:`near_dup_against_corpus` and the incremental-curation pipeline
-    anti-join against.  Pair spec is EXACTLY :func:`minhash_dedup` over
-    the union (shared confirmed-pair golden); returns a slim id Dataset,
-    never a driver set."""
+    anti-join against.  Pair spec is :func:`minhash_dedup` over the union
+    (shared confirmed-pair golden) restricted to CROSS-generation
+    candidate pairs — same-generation pairs can never contribute a drop,
+    so they are pruned before the expensive shingle-join verify (the
+    confirmed cross pairs and therefore the drop set are identical).
+    Returns a slim id Dataset, never a driver set."""
     if is_ref is None:
         def is_ref(ids):
             return (ids & 1) == 0
 
+    def cross_only(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(is_ref(a) != is_ref(b)))
+
     pairs = minhash_dedup(docs, threshold=threshold, id_column=id_column,
-                          **kwargs)
+                          pair_filter=cross_only, **kwargs)
 
     def cross_drops(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)

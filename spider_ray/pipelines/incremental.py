@@ -78,16 +78,18 @@ def incremental_curation(docs, out_dir: str, completed=None,
     MinHash near-dup drop stage between exact reference dedup and the
     quality gate; the drop-id set stays a Dataset end to end (anti
     semi-join), no driver id sets."""
+    import numpy as np
     import ray.data
 
     from ..ops.dedup import (
+        _text_hash_batch,
         cross_generation_drop_ids,
         dedup_against_corpus,
-        exact_dedup,
     )
     from ..ops.io import write_partitioned
     from ..ops.joins import semi_join_ids
     from ..ops.textstats import _TOKEN_RE
+    from ..poolsize import coarse_fanout
 
     ref = _split_generation(docs, 0)
     fresh = _split_generation(docs, 1)
@@ -100,26 +102,57 @@ def incremental_curation(docs, out_dir: str, completed=None,
         )
     quality = _quality_gate(survivors)
 
-    # canonical winners within the surviving batch; quality was NOT
-    # materialized, so re-derive it lazily on both branches (each side is
-    # one pass over the pruned read — no driver state either way)
-    kept_ids = exact_dedup(quality)
-    canonical = semi_join_ids(quality, kept_ids, id_column="doc_id")
-
+    # canonical winners within the surviving batch in ONE PASS: slim to
+    # (doc_id, source, n_tokens, text_hash) — text is dropped BEFORE the
+    # shuffle — then a coarse hash(text_hash) co-group keeps the min
+    # doc_id per hash (exact_dedup's winner spec).  The r4 two-branch
+    # shape (exact_dedup ids + semi-join back) consumed `quality` twice,
+    # re-executing the whole upstream chain — including the minhash drop
+    # stage — twice (measured ~20 s vs ~13 s at sf0.1/32).
     def slim(batch: pa.Table) -> pa.Table:
         toks = [
             len(_TOKEN_RE.findall(t or ""))
             for t in batch.column("text").to_pylist()
         ]
+        hashed = _text_hash_batch(batch, "text")
         return pa.table(
             {
                 "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
                 "source": batch.column("source"),
                 "n_tokens": pa.array(toks, pa.int64()),
+                "text_hash": hashed.column("text_hash"),
             }
         )
 
-    out_rows = canonical.map_batches(slim, batch_format="pyarrow")
+    nparts = coarse_fanout()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(
+            pc.cast(batch.column("text_hash"), pa.int64(), safe=False),
+            pa.scalar(nparts - 1, pa.int64()),
+        )
+        return batch.append_column("part", part)
+
+    def first_per_hash(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("text_hash", "ascending"), ("doc_id", "ascending")],
+        )
+        t = group.take(idx)
+        h = t.column("text_hash").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(h), dtype=bool)
+        if len(h):
+            keep[1:] = h[1:] != h[:-1]
+        return t.filter(pa.array(keep)).select(
+            ["doc_id", "source", "n_tokens"]
+        )
+
+    out_rows = (
+        quality.map_batches(slim, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(first_per_hash, batch_format="pyarrow")
+    )
     manifest = write_partitioned(out_rows, out_dir, by="source",
                                  completed=completed)
     manifest.materialize()  # drive every partition write before read-back
