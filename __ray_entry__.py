@@ -1360,6 +1360,18 @@ def q_unigram_logprob(sf_dir: str):
     return unigram_logprob(_docs(sf_dir))
 
 
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail quality buckets per language: docs
+    ranked within their language by per-token unigram log-prob (IEEE
+    double quotient of the pinned int64 spec — bit-identical across
+    engines), split by exact SQL ntile semantics; ONE slim co-group +
+    ONE slim sort + ordered-prefix rank assignment (no doc row on the
+    driver)."""
+    from spider_ray.ops.textstats import perplexity_buckets
+
+    return perplexity_buckets(_docs(sf_dir))
+
+
 def q_bigram_logprob(sf_dir: str):
     """Order-1 (bigram) conditional log-prob per doc: one tagged count
     shuffle, repeated-items-only broadcast (hapax elision)."""
@@ -2165,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "user_features": q_user_features,
         "unigram_logprob": q_unigram_logprob,
+        "perplexity_buckets": q_perplexity_buckets,
         "bigram_logprob": q_bigram_logprob,
         "heuristic_filter": q_heuristic_filter,
         "interval_join": q_interval_join,
@@ -2756,6 +2769,21 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens, "
             r"coalesce(a.s, 0)::BIGINT AS sum_logp_x1e6 "
             r"FROM documents d LEFT JOIN agg a USING (doc_id)"
+        ),
+        "perplexity_buckets": (
+            r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term "
+            r"FROM documents), "
+            r"tot AS (SELECT count(*)::DOUBLE AS n FROM toks), "
+            r"freq AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term), "
+            r"lp AS (SELECT term, CAST(round(ln(c / (SELECT n FROM tot)) * 1000000) AS BIGINT) AS lp "
+            r"FROM freq), "
+            r"agg AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum(l.lp)::BIGINT AS s "
+            r"FROM toks t JOIN lp l USING (term) GROUP BY t.doc_id), "
+            r"ky AS (SELECT d.doc_id, d.lang, (a.s::DOUBLE / a.n_tokens) AS key "
+            r"FROM documents d JOIN agg a USING (doc_id) WHERE a.n_tokens > 0) "
+            r"SELECT doc_id, lang, "
+            r"ntile(3) OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC)::BIGINT AS bucket "
+            r"FROM ky"
         ),
         "bigram_logprob": (
             r"WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w "

@@ -856,3 +856,172 @@ def host_lang_mix(corpus_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Vectorized SQL ``ntile(k)`` over 1-based ``rank`` in a group of
+    ``n`` rows: bucket sizes differ by at most one, larger buckets first
+    (DuckDB/ANSI semantics — the oracle's window function)."""
+    big = n % k
+    small = n // k
+    if small == 0:
+        return rank.astype(np.int64)
+    cut = big * (small + 1)
+    return np.where(
+        rank <= cut,
+        (rank - 1) // (small + 1) + 1,
+        big + (rank - cut - 1) // small + 1,
+    ).astype(np.int64)
+
+
+def perplexity_buckets(ds, k: int = 3, text_column: str = "text",
+                       id_column: str = "doc_id", lang_column: str = "lang",
+                       **kwargs):
+    """CCNet-style quality bucketing: rank every doc WITHIN ITS LANGUAGE
+    by per-token unigram log-probability (the order-0 perplexity proxy —
+    :func:`unigram_logprob`'s pinned integer spec) and split each
+    language into ``k`` ntile buckets — 1 = head (most probable), ``k`` =
+    tail.  Zero-token docs are excluded.  Returns
+    ``(doc_id, lang, bucket)``.
+
+    Determinism across engines: the ranking key is the IEEE double
+    quotient ``sum_logp_x1e6 / n_tokens`` of two int64s — both engines
+    perform the same single division, so the quotient is bit-identical
+    (the repo's libm-parity convention); ties break by ascending doc_id;
+    bucket boundaries follow SQL ``ntile`` exactly (:func:`_ntile`).
+
+    Scale shape: scores merge with the slim ``(doc_id, lang)`` rows
+    through ONE coarse ``hash(doc_id)`` co-group (tagged union — no
+    ``Dataset.join``), then ONE distributed sort of the slim
+    ``(lang, -key, doc_id)`` triples — 24 bytes/doc, the engine's wide
+    primitive.  Rank assignment is the distributed ordered-prefix
+    pattern: one remote count task per sorted block gives the
+    O(blocks × langs) driver offset table; one remote task per block
+    assigns ``rank = start[lang] + local index`` and the ntile bucket
+    vectorized, outputs streaming back via ``from_arrow_refs`` — no doc
+    row ever lands on the driver.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..poolsize import coarse_fanout
+    from .behavior import coarse_part
+
+    score = unigram_logprob(ds, text_column=text_column,
+                            id_column=id_column, **kwargs)
+    langs = ds.select_columns([id_column, lang_column])
+    nparts = coarse_fanout()
+
+    def tag_lang(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": pc.cast(batch.column(id_column), pa.int64()),
+                "lang": pc.cast(batch.column(lang_column), pa.string()),
+                "negkey": pa.nulls(len(batch), pa.float64()),
+            }
+        )
+        return t.append_column("part", coarse_part(t.column("doc_id"), nparts))
+
+    def tag_score(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("sum_logp_x1e6").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nt > 0
+        nt, s = nt[keep], s[keep]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.nulls(len(ids), pa.string()),
+                # single IEEE division of the two int64s (negated for an
+                # all-ascending sort) — bit-identical to the SQL DOUBLE
+                # quotient
+                "negkey": pa.array(-(s.astype(np.float64) / nt), pa.float64()),
+            }
+        )
+        return t.append_column("part", coarse_part(t.column("doc_id"), nparts))
+
+    def merge(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(group)
+        sc = g.filter(pl.col("negkey").is_not_null()).select(["doc_id", "negkey"])
+        la = g.filter(pl.col("negkey").is_null()).select(["doc_id", "lang"])
+        out = sc.join(la, on="doc_id", how="inner").select(
+            ["doc_id", "lang", "negkey"]
+        )
+        return out.to_arrow()
+
+    merged = (
+        langs.map_batches(tag_lang, batch_format="pyarrow")
+        .union(score.map_batches(tag_score, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+        }
+    )
+    srt = merged.sort(["lang", "negkey", "doc_id"]).materialize()
+    block_refs = [
+        ref
+        for bundle in srt.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not block_refs:
+        return rd.from_arrow(empty)
+
+    @ray.remote
+    def lang_counts(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.select(["lang"]).group_by("lang").aggregate([([], "count_all")])
+            .rename_columns(["lang", "n"])
+        )
+
+    counts = ray.get([lang_counts.remote(r) for r in block_refs])
+    totals: dict[str, int] = {}
+    starts: list[dict[str, int]] = []
+    for c in counts:  # blocks arrive in sorted dataset order
+        starts.append(dict(totals))
+        for l, n in zip(c.column("lang").to_pylist(), c.column("n").to_pylist()):
+            totals[l] = totals.get(l, 0) + int(n)
+    totals_ref = ray.put(totals)
+
+    @ray.remote
+    def assign(tbl: pa.Table, start: dict, k_: int) -> pa.Table:
+        tot = ray.get(totals_ref)
+        langs_np = np.asarray(tbl.column("lang"))
+        pos = np.arange(len(langs_np), dtype=np.int64)
+        new = np.ones(len(langs_np), dtype=bool)
+        if len(langs_np):
+            new[1:] = langs_np[1:] != langs_np[:-1]
+        seg = np.maximum.accumulate(np.where(new, pos, 0))
+        local = pos - seg  # 0-based index within this block's lang segment
+        base = np.fromiter((start.get(l, 0) for l in langs_np), np.int64,
+                           len(langs_np))
+        rank = base + local + 1
+        bucket = np.empty(len(langs_np), dtype=np.int64)
+        for l in set(langs_np.tolist()):
+            m = langs_np == l
+            bucket[m] = _ntile(rank[m], tot[l], k_)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "lang": tbl.column("lang"),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    out_refs = [
+        assign.remote(r, starts[i], k) for i, r in enumerate(block_refs)
+    ]
+    return rd.from_arrow_refs(out_refs)
