@@ -323,23 +323,35 @@ def global_line_dedup(corpus_dir: str, out_dir: str | None = None):
         keep = np.asarray(pc.equal(flat, "")) | np.isin(key, wkey)
         kept_parent = parent[keep]
         kept_count = np.bincount(kept_parent, minlength=n)
-        # rejoin kept lines per page in one vectorized group_by (polars
-        # maintains first-appearance group order == line order within page)
-        agg = (
-            pl.DataFrame(
-                {"p": kept_parent, "l": pl.from_arrow(flat.filter(pa.array(keep)))}
-            )
-            .group_by("p", maintain_order=True)
-            .agg(pl.col("l").str.join("\n"))
+        # rejoin kept lines per page entirely in Arrow: rebuild a list
+        # array from the kept-count offsets (kept lines are already in
+        # page order) and binary_join with "\n" — replaces the polars
+        # maintain_order group_by + str.join that was the measured
+        # rebuild hotspot; all-dropped pages stay NULL
+        # (string_agg-over-nothing parity)
+        kept_flat = flat.filter(pa.array(keep))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        joffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_count, out=joffs[1:])
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(joffs, pa.int64()),
+                pc.cast(kept_flat, pa.large_string()),
+            ),
+            pa.scalar("\n", pa.large_string()),
         )
-        clean = np.full(n, None, dtype=object)
-        clean[agg["p"].to_numpy()] = agg["l"].to_numpy()
+        clean = pc.if_else(
+            pa.array(kept_count > 0),
+            pc.cast(joined, pa.string()),
+            pa.nulls(n, pa.string()),
+        )
         out = pa.table(
             {
                 "url": t.column("url"),
                 "n_lines": pa.array(n_lines, pa.int64()),
                 "n_removed": pa.array(n_lines - kept_count, pa.int64()),
-                "clean_text": pa.array(clean, pa.string()),
+                "clean_text": clean,
             }
         )
         if final is not None:  # fused atomic per-shard landing
