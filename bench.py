@@ -473,6 +473,12 @@ def run_bench() -> dict:
     bigram_logprob(docs).count()
     queries["bigram_logprob"] = round(time.perf_counter() - t0, 3)
 
+    from spider_ray.ops.textstats import perplexity_buckets
+
+    t0 = time.perf_counter()
+    perplexity_buckets(docs).count()
+    queries["perplexity_buckets"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     heuristic_filter(docs).count()
     queries["heuristic_filter"] = round(time.perf_counter() - t0, 3)
