@@ -1169,6 +1169,20 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_js_challenge_report(sf_dir: str):
+    """Anti-bot JS-challenge interstitial detector over the corpus
+    (website.rs:860-906 is_safe_javascript_challenge + the pinned vendor
+    phrase table) as a per-vendor count report — stable 3-row output,
+    zeros included.  The UTF-8-validity gate is SQL-inexpressible
+    (DuckDB decode() aborts on the corpus's Shift_JIS rows), so the
+    oracle scans hex-encoded bytes with even-offset anchoring; the
+    validity gate itself is pinned by the 1:1 pytest port
+    (test_js_challenge.py)."""
+    from spider_ray.functions.js_challenge import js_challenge_report
+
+    return js_challenge_report(_corpus_for(sf_dir))
+
+
 def q_needs_js(sf_dir: str):
     """JS-dependence sniff over the fixture web corpus (page.rs:1840-1877
     pattern tables; golden = independent regex-alternation recompute)."""
@@ -2228,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_line_per_order": q_best_line_per_order,
         "quality_by_source": q_quality_by_source,
         "needs_js": q_needs_js,
+        "js_challenge_report": q_js_challenge_report,
         "link_graph": q_link_graph,
         "host_degrees": q_host_degrees,
         "host_pagerank": q_host_pagerank,
@@ -2433,6 +2448,36 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, source, "
             r"length(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS n_tokens "
             r"FROM canon"
+        ),
+        "js_challenge_report": (
+            # bytes are scanned HEX-ENCODED with an even-offset anchor
+            # ('^(..)*' — to_hex doubles every byte, so an aligned match
+            # is exactly a byte-level substring hit); decode() would
+            # abort on the corpus's invalid-UTF-8 rows.  Leftmost-phrase
+            # vendor attribution, pattern order breaking position ties.
+            "WITH p AS (SELECT to_hex(html) AS h "
+            f"FROM read_parquet('{corpus_glob}') "
+            "WHERE html IS NOT NULL AND octet_length(html) BETWEEN 1 AND 10000), "
+            "pats AS (SELECT to_hex('Enable JavaScript and cookies to continue'::BLOB) AS p1, "
+            "to_hex('To continue, please enable JavaScript in your browser settings'::BLOB) AS p2, "
+            "to_hex('Please enable JavaScript to view the page content'::BLOB) AS p3), "
+            "hits AS (SELECT "
+            "CASE WHEN regexp_matches(h, '^(..)*' || p1) THEN "
+            "length(regexp_extract(h, '^((?:..)*?)' || p1, 1)) // 2 END AS q1, "
+            "CASE WHEN regexp_matches(h, '^(..)*' || p2) THEN "
+            "length(regexp_extract(h, '^((?:..)*?)' || p2, 1)) // 2 END AS q2, "
+            "CASE WHEN regexp_matches(h, '^(..)*' || p3) THEN "
+            "length(regexp_extract(h, '^((?:..)*?)' || p3, 1)) // 2 END AS q3 "
+            "FROM p, pats), "
+            "best AS (SELECT CASE "
+            "WHEN q1 IS NOT NULL AND (q2 IS NULL OR q1 <= q2) "
+            "AND (q3 IS NULL OR q1 <= q3) THEN 'cloudflare' "
+            "WHEN q2 IS NOT NULL AND (q3 IS NULL OR q2 <= q3) THEN 'akamai_f5' "
+            "WHEN q3 IS NOT NULL THEN 'aws_waf' END AS vendor FROM hits "
+            "WHERE q1 IS NOT NULL OR q2 IS NOT NULL OR q3 IS NOT NULL) "
+            "SELECT v.vendor, count(b.vendor)::BIGINT AS n_pages "
+            "FROM (VALUES ('cloudflare'), ('akamai_f5'), ('aws_waf')) v(vendor) "
+            "LEFT JOIN best b USING (vendor) GROUP BY 1"
         ),
         "warc_roundtrip": (
             "SELECT url, "
