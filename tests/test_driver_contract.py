@@ -107,6 +107,10 @@ def test_all_queries_run(contract):
         "token_percentiles",
         "late_shipment_priority",
         "bracket_revenue",
+        # round-5 additions
+        "line_dedup_partitioned",
+        "perplexity_buckets",
+        "js_challenge_report",
     ],
 )
 def test_sql_oracle_match(contract, con, name):
