@@ -202,6 +202,13 @@ def main(argv=None) -> int:
     job = CrawlJob(seeds, build_config(args))
 
     if args.command == "crawl" and args.cron:
+        if args.warc:
+            # the warc block below runs after the single-crawl path only;
+            # silently ignoring -W on a recurring crawl would let the
+            # user believe cycles are being archived
+            parser.error("--warc is not supported with --cron "
+                         "(archive each cycle's corpus via a separate "
+                         "crawl, or run scrape/crawl without --cron)")
         from dataclasses import replace as _replace
 
         from .pipelines.cron import CronRecrawler

@@ -865,7 +865,10 @@ def cross_generation_drop_ids(
         drops = np.concatenate([b[ra & ~rb], a[rb & ~ra]])
         return pa.table({id_column: pa.array(np.unique(drops), pa.int64())})
 
-    return pairs.map_batches(cross_drops, batch_format="pyarrow")
+    # materialize the slim id dataset: semi_join_ids(mode="auto") consumes
+    # its id side up to three times (two counts + the broadcast fetch),
+    # and each lazy consumption would re-run the shingle-join verify tail
+    return pairs.map_batches(cross_drops, batch_format="pyarrow").materialize()
 
 
 def near_dup_against_corpus(

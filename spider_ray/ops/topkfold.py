@@ -90,7 +90,13 @@ def fold_partial_topk(
         )
     if mode not in ("driver", "cogroup"):
         raise ValueError(f"unknown fold mode {mode!r}")
-    if mode == "cogroup" and group_col is not None:
+    if mode == "cogroup":
+        if group_col is None:
+            raise ValueError(
+                "fold_partial_topk(mode='cogroup') requires group_col — a "
+                "global top-k has no scatter key; the driver fold is the "
+                "only exact path"
+            )
         return _cogroup_fold(partial_ds, k, sort_keys, group_col, prep)
     tables = []
     for b in partial_ds.iter_batches(batch_format="pyarrow", batch_size=None):

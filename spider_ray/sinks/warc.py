@@ -61,10 +61,11 @@ class WarcWriter:
     def __call__(self, batch):
         import pyarrow as pa
 
-        if self.urls is not None:
+        if self.urls is not None and batch.num_rows:
             keep = pa.array(
                 [u.lower() in self.urls
-                 for u in batch.column(self.url_column).to_pylist()]
+                 for u in batch.column(self.url_column).to_pylist()],
+                pa.bool_(),
             )
             batch = batch.filter(keep)
         if batch.num_rows == 0:

@@ -42,7 +42,10 @@ def test_chain_matches_sequential(ray_session, tmp_path):
     out = str(tmp_path / "inc")
     got = _canon(incremental_curation(_docs(), out))
 
-    pairs = minhash_dedup(_docs()).to_pandas()
+    # threshold 0.5 = cross_generation_drop_ids' default (the 0.8
+    # minhash_dedup default is a DIFFERENT pair spec — a cross pair in
+    # the [0.5, 0.8) band would make this re-derivation wrong)
+    pairs = minhash_dedup(_docs(), threshold=0.5).to_pandas()
     ndrops = set(
         pairs.loc[(pairs.doc_b % 2 == 1) & (pairs.doc_a % 2 == 0), "doc_b"]
     ) | set(
