@@ -686,20 +686,30 @@ def knn_graph(
             eq = ids_i[:, None] == ids_j[None, :]
             sims = np.where(eq, np.int64(-2_000_000), sims)
         kk = min(k, sims.shape[1])
-        out_v, out_n, out_s = [], [], []
-        for r in range(sims.shape[0]):
-            row = sims[r]
-            sel = np.lexsort((ids_j, -row))[:kk]
-            good = row[sel] > -2_000_000
-            sel = sel[good]
-            out_v.extend([int(ids_i[r])] * len(sel))
-            out_n.extend(ids_j[sel].tolist())
-            out_s.extend(row[sel].tolist())
+        # whole-matrix top-k via one composite argpartition instead of a
+        # per-row lexsort (r5: the row loop was O(rows · width log width)
+        # Python+sort per pair task).  ids are unique, so rank-of-id is a
+        # total tiebreak: comp = (1e6 - sim) · 2²⁰ + rank_j orders exactly
+        # by (sim desc, neighbor_id asc); 3e6·2²⁰ ≈ 3.1e12 fits int64.
+        rank_j = np.empty(len(ids_j), dtype=np.int64)
+        rank_j[np.argsort(ids_j, kind="stable")] = np.arange(len(ids_j))
+        comp = (np.int64(1_000_000) - sims) * np.int64(1 << 20) + rank_j[None, :]
+        rows = np.arange(sims.shape[0])[:, None]
+        part = (
+            np.argpartition(comp, kk - 1, axis=1)[:, :kk]
+            if kk < sims.shape[1] else
+            np.broadcast_to(np.arange(kk), (sims.shape[0], kk)).copy()
+        )
+        ord2 = np.argsort(comp[rows, part], axis=1, kind="stable")
+        sel = part[rows, ord2]
+        chosen = sims[rows, sel]
+        good = chosen > -2_000_000
+        counts = good.sum(axis=1)
         return pa.table(
             {
-                "vec_id": pa.array(out_v, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "sim_x1e6": pa.array(out_s, pa.int64()),
+                "vec_id": pa.array(np.repeat(ids_i, counts), pa.int64()),
+                "neighbor_id": pa.array(ids_j[sel][good], pa.int64()),
+                "sim_x1e6": pa.array(chosen[good], pa.int64()),
             }
         )
 
@@ -719,25 +729,13 @@ def knn_graph(
         )
 
     def fold(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[
-                ("vec_id", "ascending"),
-                ("sim_x1e6", "descending"),
-                ("neighbor_id", "ascending"),
-            ],
-        )
-        t = group.take(idx)
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        pos = np.arange(len(ids), dtype=np.int64)
-        new = np.ones(len(ids), dtype=bool)
-        if len(ids):
-            new[1:] = ids[1:] != ids[:-1]
-        seg = np.maximum.accumulate(np.where(new, pos, 0))
-        rank = pos - seg + 1
-        keep = rank <= k
-        t = t.append_column("rank", pa.array(rank, pa.int64())).filter(
-            pa.array(keep)
+        from .topkfold import rank_topk
+
+        t = rank_topk(
+            group.drop_columns(["part"]),
+            k,
+            [("sim_x1e6", "descending"), ("neighbor_id", "ascending")],
+            group_col="vec_id",
         )
         return t.select(["vec_id", "neighbor_id", "rank", "sim_x1e6"])
 
